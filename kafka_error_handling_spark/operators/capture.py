@@ -1,0 +1,443 @@
+"""Error-capturing decorators — route per-record failures to an error branch.
+
+Spark-native re-expression of the reference's ``captureErrors`` family
+(SURVEY.md §2.1; reference ``ErrorCapturingKeyValueMapper.java:94-107``,
+``ErrorCapturingValueMapper.java:86-95``, ``ErrorCapturingFlatValueMapper.java:89-98``,
+``ErrorCapturingProcessor.java:164-176``).
+
+Shared semantics, identical to the reference:
+
+- call the wrapped function once per record;
+- on success, emit the result with a NULL ``error`` column;
+- on ``Exception e``: if ``error_filter(e)`` is true (default
+  :func:`~kafka_error_handling_spark.model.is_recoverable`) **re-raise** —
+  the Spark task fails and retries, preserving the reference's
+  crash-and-retry-at-least-once contract (``ErrorCapturingValueMapper.java:57-60``);
+  otherwise emit a NULL result with a populated ``error`` struct;
+- exceptions that are not ``Exception`` (``KeyboardInterrupt``,
+  ``SystemExit``, … — the Python analog of Java ``Error``/``Throwable``)
+  are never caught (``ErrorCapturingKeyValueMapperTopologyTest.java:117-125``).
+
+Architecture notes (scale):
+
+- The wrapped Python function is the slow path by definition; it runs inside
+  an **Arrow-batched pandas UDF with a per-row loop**, so one bad row poisons
+  neither the batch nor the task, while JVM↔Python transfer stays vectorized.
+- Capture UDFs are marked ``asNondeterministic()`` so Catalyst never
+  duplicates them into both the success and the error branch — the wrapped
+  function must run exactly once per record (SURVEY.md §4).
+- Splitting success/error is two cheap JVM-side ``filter`` + ``select``
+  projections of one DataFrame; in streaming, pair with
+  ``streaming.runner.run_captured`` (single ``foreachBatch`` + persist).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Optional, Sequence, Union
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DataType, StructField, StructType
+
+from ..model import (
+    ERROR_SCHEMA,
+    ErrorFilter,
+    error_payload,
+    is_recoverable,
+    processed_schema,
+)
+
+__all__ = [
+    "capture_udf",
+    "capture_map_values",
+    "capture_map_values_with_key",
+    "capture_map",
+    "capture_flat_map_values",
+    "capture_flat_map_values_with_key",
+    "capture_flat_map",
+    "capture_process",
+    "capture_process_values",
+    "values",
+    "errors",
+    "kv_struct_type",
+]
+
+# Column names used for the ProcessedValue analog.
+RESULT_COL = "result"
+ERROR_COL = "error"
+
+
+def _norm(v: Any) -> Any:
+    """Normalize pandas null sentinels (NaT / NA) to None for the user fn."""
+    if v is None:
+        return None
+    if v is pd.NaT or v is pd.NA:
+        return None
+    return v
+
+
+def _run_one(
+    fn: Callable[..., Any],
+    args: Sequence[Any],
+    rendered_input: Any,
+    error_filter: ErrorFilter,
+):
+    """One record through the wrapped fn → (result, error_dict)."""
+    try:
+        return fn(*args), None
+    except Exception as exc:  # noqa: BLE001 — Throwables pass through untouched
+        if error_filter(exc):
+            raise
+        return None, error_payload(rendered_input, exc)
+
+
+def capture_udf(
+    fn: Callable[..., Any],
+    result_type: Union[DataType, str],
+    error_filter: Optional[ErrorFilter] = None,
+    n_args: int = 1,
+):
+    """Column-level capture primitive.
+
+    Returns a nondeterministic pandas UDF mapping ``n_args`` input columns to
+    ``struct<result: result_type, error: ERROR_SCHEMA>``.  The rendered
+    ``input_value`` in the error payload is the *last* argument (the value;
+    key-value shapes pass ``(key, value)``), matching the reference where
+    ``ProcessingError`` carries the input value (``ProcessingError.java:43-47``).
+    """
+    flt = error_filter or is_recoverable
+    if isinstance(result_type, str):
+        result_type = DataType.fromDDL(result_type)
+    out_schema = processed_schema(result_type)
+
+    @pandas_udf(out_schema)
+    def _capture(*cols: pd.Series) -> pd.DataFrame:
+        n = len(cols[0])
+        results = [None] * n
+        errs = [None] * n
+        rows = zip(*[c.tolist() for c in cols])
+        for i, raw in enumerate(rows):
+            args = tuple(_norm(a) for a in raw)
+            results[i], errs[i] = _run_one(fn, args, args[-1], flt)
+        return pd.DataFrame({RESULT_COL: results, ERROR_COL: errs})
+
+    return _capture.asNondeterministic()
+
+
+def _apply_capture(
+    df: DataFrame,
+    fn: Callable[..., Any],
+    result_type: DataType,
+    in_cols: Sequence[Union[str, Column]],
+    error_filter: Optional[ErrorFilter],
+    processed_col: str,
+) -> DataFrame:
+    udf = capture_udf(fn, result_type, error_filter, n_args=len(in_cols))
+    cols = [F.col(c) if isinstance(c, str) else c for c in in_cols]
+    return df.withColumn(processed_col, udf(*cols))
+
+
+def kv_struct_type(key_type: DataType, value_type: DataType) -> StructType:
+    """Result type for key-changing shapes: ``struct<key, value>``."""
+    return StructType(
+        [StructField("key", key_type, True), StructField("value", value_type, True)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level decorator matrix (SURVEY.md §2.1 table)
+# ---------------------------------------------------------------------------
+
+
+def capture_map_values(
+    df: DataFrame,
+    fn: Callable[[Any], Any],
+    result_type: DataType,
+    value_col: str = "value",
+    error_filter: Optional[ErrorFilter] = None,
+    processed_col: str = "r",
+) -> DataFrame:
+    """``ErrorCapturingValueMapper.captureErrors`` (``ErrorCapturingValueMapper.java:57,86-95``).
+
+    Adds ``processed_col = struct<result, error>``; the key (all other
+    columns) is untouched.  Split with :func:`values` / :func:`errors`.
+    """
+    return _apply_capture(df, fn, result_type, [value_col], error_filter, processed_col)
+
+
+def capture_map_values_with_key(
+    df: DataFrame,
+    fn: Callable[[Any, Any], Any],
+    result_type: DataType,
+    key_col: str = "key",
+    value_col: str = "value",
+    error_filter: Optional[ErrorFilter] = None,
+    processed_col: str = "r",
+) -> DataFrame:
+    """``ErrorCapturingValueMapperWithKey`` (``ErrorCapturingValueMapperWithKey.java:60,90-99``).
+
+    ``fn(key, value)``; the key column is read-only and still untouched in
+    the output.
+    """
+    return _apply_capture(
+        df, fn, result_type, [key_col, value_col], error_filter, processed_col
+    )
+
+
+def capture_map(
+    df: DataFrame,
+    fn: Callable[[Any, Any], Any],
+    key_type: DataType,
+    value_type: DataType,
+    key_col: str = "key",
+    value_col: str = "value",
+    error_filter: Optional[ErrorFilter] = None,
+    processed_col: str = "r",
+) -> DataFrame:
+    """``ErrorCapturingKeyValueMapper.captureErrors`` (``ErrorCapturingKeyValueMapper.java:63,94-107``).
+
+    ``fn(key, value) -> (new_key, new_value)``.  On success the result struct
+    carries the new key+value; on error the new key is NULL and the *old*
+    key survives as the original ``key_col`` column ("new key is only
+    relevant if no error occurs", ``ErrorCapturingKeyValueMapper.java:103-105``).
+    """
+
+    def _kv(k, v):
+        out = fn(k, v)
+        if out is None:
+            return None
+        nk, nv = out
+        return {"key": nk, "value": nv}
+
+    return _apply_capture(
+        df,
+        _kv,
+        kv_struct_type(key_type, value_type),
+        [key_col, value_col],
+        error_filter,
+        processed_col,
+    )
+
+
+def capture_flat_map_values(
+    df: DataFrame,
+    fn: Callable[[Any], Iterable[Any]],
+    element_type: DataType,
+    value_col: str = "value",
+    error_filter: Optional[ErrorFilter] = None,
+    processed_col: str = "r",
+) -> DataFrame:
+    """``ErrorCapturingFlatValueMapper`` (``ErrorCapturingFlatValueMapper.java:60,89-98``).
+
+    ``fn(value) -> iterable``; result column is ``array<element_type>``.
+    :func:`values` explodes it (``explode_outer`` never drops error rows
+    because they are filtered to the other branch first).
+    """
+
+    def _flat(v):
+        out = fn(v)
+        return None if out is None else list(out)
+
+    return _apply_capture(
+        df, _flat, ArrayType(element_type), [value_col], error_filter, processed_col
+    )
+
+
+def capture_flat_map_values_with_key(
+    df: DataFrame,
+    fn: Callable[[Any, Any], Iterable[Any]],
+    element_type: DataType,
+    key_col: str = "key",
+    value_col: str = "value",
+    error_filter: Optional[ErrorFilter] = None,
+    processed_col: str = "r",
+) -> DataFrame:
+    """``ErrorCapturingFlatValueMapperWithKey`` (``...WithKey.java:62,92-101``)."""
+
+    def _flat(k, v):
+        out = fn(k, v)
+        return None if out is None else list(out)
+
+    return _apply_capture(
+        df,
+        _flat,
+        ArrayType(element_type),
+        [key_col, value_col],
+        error_filter,
+        processed_col,
+    )
+
+
+def capture_flat_map(
+    df: DataFrame,
+    fn: Callable[[Any, Any], Iterable[Any]],
+    key_type: DataType,
+    value_type: DataType,
+    key_col: str = "key",
+    value_col: str = "value",
+    error_filter: Optional[ErrorFilter] = None,
+    processed_col: str = "r",
+) -> DataFrame:
+    """``ErrorCapturingFlatKeyValueMapper`` (``ErrorCapturingFlatKeyValueMapper.java:67,102-115``).
+
+    ``fn(key, value) -> iterable[(new_key, new_value)]``; result column is
+    ``array<struct<key, value>>``.
+    """
+
+    def _flat(k, v):
+        out = fn(k, v)
+        if out is None:
+            return None
+        return [{"key": nk, "value": nv} for nk, nv in out]
+
+    return _apply_capture(
+        df,
+        _flat,
+        ArrayType(kv_struct_type(key_type, value_type)),
+        [key_col, value_col],
+        error_filter,
+        processed_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split projections — the consumer-side API
+# (reference ``ProcessedKeyValue.getValues/getErrors``,
+#  ``ProcessedKeyValue.java:64-83``; usage ``README.md:79-83``)
+# ---------------------------------------------------------------------------
+
+
+def values(
+    df: DataFrame,
+    processed_col: str = "r",
+    result_alias: Optional[str] = RESULT_COL,
+) -> DataFrame:
+    """Success branch: rows whose ``error`` is NULL, result column surfaced.
+
+    Array results (the ``flat_map*`` shapes) are exploded — the 0-or-1 /
+    0-or-n element contract of ``SuccessValue.getValues``
+    (``SuccessValue.java:48-52``).
+    """
+    r = F.col(processed_col)
+    out = df.filter(r[ERROR_COL].isNull())
+    result = r[RESULT_COL]
+    field = dict(zip(df.schema[processed_col].dataType.names, df.schema[processed_col].dataType.fields))
+    rt = field[RESULT_COL].dataType
+    if isinstance(rt, ArrayType):
+        result = F.explode(result)
+    keep = [c for c in df.columns if c != processed_col]
+    return out.select(*keep, result.alias(result_alias))
+
+
+def errors(df: DataFrame, processed_col: str = "r") -> DataFrame:
+    """Error branch: the ``ProcessingError`` struct fields next to the
+    original input columns — the old key is preserved for free because Spark
+    never destroys input columns (``ErrorKeyValue.java:48-51``,
+    ``ProcessedKeyValue.java:64-67``).
+    """
+    r = F.col(processed_col)
+    keep = [c for c in df.columns if c != processed_col]
+    return df.filter(r[ERROR_COL].isNotNull()).select(
+        *keep, r[ERROR_COL].alias(ERROR_COL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Processor shapes — arbitrary 0..n forwards per record via mapInPandas
+# (reference ``ErrorCapturingProcessor.java:164-176``,
+#  ``ErrorCapturingValueProcessor.java:159-168``)
+# ---------------------------------------------------------------------------
+
+
+def capture_process(
+    df: DataFrame,
+    processor: Callable[[dict], Optional[Iterable[dict]]],
+    result_type: StructType,
+    error_filter: Optional[ErrorFilter] = None,
+    pass_through: Optional[Sequence[str]] = None,
+    input_value_col: Optional[str] = None,
+) -> DataFrame:
+    """``ErrorCapturingProcessor.captureErrors`` — the general ``process`` shape.
+
+    ``processor(row_dict)`` may forward 0..n result dicts (the Spark analog
+    of ``context.forward`` — ``ErrorCapturingApiProcessorContext.java:31-59``:
+    every forward is re-wrapped as a success).  Output schema:
+    ``pass_through`` columns (default: all input columns) + ``result``
+    (nullable ``result_type``) + ``error``.  Success rows: one per forward,
+    error NULL.  Error rows: one, result NULL.
+
+    Implemented with ``mapInPandas`` so multi-forward and per-row capture
+    stay inside one Arrow-batched pass — no driver involvement, scales with
+    partitions.
+    """
+    flt = error_filter or is_recoverable
+    keep = list(pass_through) if pass_through is not None else list(df.columns)
+    ival = input_value_col or (df.columns[-1])
+    out_schema = StructType(
+        [df.schema[c] for c in keep]
+        + [
+            StructField(RESULT_COL, result_type, True),
+            StructField(ERROR_COL, ERROR_SCHEMA, True),
+        ]
+    )
+
+    def _map(batches):
+        for pdf in batches:
+            out_rows = []
+            records = pdf.to_dict("records")
+            for rec in records:
+                rec = {k: _norm(v) for k, v in rec.items()}
+                base = {k: rec.get(k) for k in keep}
+                try:
+                    forwards = processor(dict(rec))
+                except Exception as exc:  # noqa: BLE001
+                    if flt(exc):
+                        raise
+                    row = dict(base)
+                    row[RESULT_COL] = None
+                    row[ERROR_COL] = error_payload(rec.get(ival), exc)
+                    out_rows.append(row)
+                    continue
+                for fwd in forwards or ():
+                    row = dict(base)
+                    row[RESULT_COL] = fwd
+                    row[ERROR_COL] = None
+                    out_rows.append(row)
+            yield pd.DataFrame(out_rows, columns=keep + [RESULT_COL, ERROR_COL])
+
+    return df.mapInPandas(_map, out_schema)
+
+
+def capture_process_values(
+    df: DataFrame,
+    processor: Callable[[dict], Optional[Iterable[Any]]],
+    result_type: DataType,
+    error_filter: Optional[ErrorFilter] = None,
+    pass_through: Optional[Sequence[str]] = None,
+    input_value_col: Optional[str] = None,
+) -> DataFrame:
+    """``ErrorCapturingValueProcessor`` — fixed-key ``processValues`` shape
+    (``ErrorCapturingValueProcessor.java:68,159-168``): forwards carry only a
+    new value; key columns pass through unchanged.
+    """
+    wrapped_type = result_type
+    needs_wrap = not isinstance(result_type, StructType)
+    if needs_wrap:
+        wrapped_type = StructType([StructField("value", result_type, True)])
+
+        def _proc(rec):
+            out = processor(rec)
+            return None if out is None else [{"value": v} for v in out]
+
+    else:
+        _proc = processor
+
+    out = capture_process(
+        df, _proc, wrapped_type, error_filter, pass_through, input_value_col
+    )
+    if needs_wrap:
+        out = out.withColumn(RESULT_COL, F.col(RESULT_COL)["value"])
+    return out

@@ -1,0 +1,183 @@
+"""Correctness-gate queries exercising the error-handling decorator matrix.
+
+Each query runs the real Arrow-batched capture path (pandas UDF, per-row
+loop) with a *deterministically* failing user function, so a plain-SQL
+oracle can predict exactly which rows land in the success branch vs the
+dead-letter branch — this is how the engine's novel semantics (SURVEY.md
+§2.1-2.4) get oracle-checked, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ..operators import (
+    capture_flat_map_values_with_key,
+    capture_map_values,
+    errors,
+    log_map_values_with_key,
+    values,
+)
+from ..functions.dead_letter import dead_letters
+
+
+from ..sources.files import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _parse_rate(v: str) -> float:
+    # fails with ZeroDivisionError when props.k == 0
+    return 100.0 / json.loads(v)["k"]
+
+
+def q_capture_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """captureErrors success branch (ErrorCapturingValueMapper semantics)."""
+    p = capture_map_values(_events(spark, sf_dir), _parse_rate, DoubleType(), value_col="props")
+    return values(p).select(
+        "event_id", F.round("result", 4).alias("rate")
+    )
+
+
+SQL_CAPTURE_SUCCESS = """
+SELECT event_id, round(100.0 / CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT), 4) AS rate
+FROM events
+WHERE CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) <> 0
+"""
+
+
+def q_capture_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """captureErrors dead-letter branch with DeadLetterProcessor formatting —
+    deterministic DLQ fields only (stack traces / wall-clock are asserted in
+    pytest, not hashable by an oracle)."""
+    p = capture_map_values(_events(spark, sf_dir), _parse_rate, DoubleType(), value_col="props")
+    dlq = dead_letters(
+        errors(p),
+        "rate pipeline",
+        key_cols=["event_id"],
+        timestamp_col="ts",
+    )
+    return dlq.select(
+        "event_id",
+        F.col("dead_letter.description").alias("description"),
+        F.col("dead_letter.input_value").alias("input_value"),
+        F.col("dead_letter.cause.error_class").alias("error_class"),
+        F.col("dead_letter.cause.message").alias("message"),
+        F.date_format("dead_letter.input_timestamp", "yyyy-MM-dd HH:mm:ss").alias("input_ts"),
+    )
+
+
+SQL_CAPTURE_DLQ = """
+SELECT event_id,
+       'rate pipeline' AS description,
+       props AS input_value,
+       'ZeroDivisionError' AS error_class,
+       'float division by zero' AS message,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS input_ts
+FROM events
+WHERE CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) = 0
+"""
+
+
+def _tokenize_checked(doc_id: int, text: str):
+    # deterministic failure: docs whose text length is divisible by 13
+    if len(text) % 13 == 0:
+        raise ValueError(f"unlucky length {len(text)}")
+    return text.split(" ")
+
+
+def q_capture_flat_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """captureErrors over the flatMapValues shape: success tokens exploded,
+    error docs routed out (ErrorCapturingFlatValueMapperWithKey semantics)."""
+    p = capture_flat_map_values_with_key(
+        _documents(spark, sf_dir),
+        _tokenize_checked,
+        StringType(),
+        key_col="doc_id",
+        value_col="text",
+    )
+    ok = values(p)
+    return ok.groupBy("doc_id").agg(
+        F.count("result").alias("n_tokens"),
+        F.count(F.when(F.col("result") == "the", 1)).alias("n_the"),
+    )
+
+
+SQL_CAPTURE_FLAT_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(string_split(text, ' '), t -> t = 'the')) AS n_the
+FROM documents
+WHERE length(text) % 13 <> 0
+"""
+
+
+def q_capture_flat_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error branch of the flat shape: old key (doc_id) preserved."""
+    p = capture_flat_map_values_with_key(
+        _documents(spark, sf_dir),
+        _tokenize_checked,
+        StringType(),
+        key_col="doc_id",
+        value_col="text",
+    )
+    return errors(p).select(
+        "doc_id",
+        F.col("error.error_class").alias("error_class"),
+        F.col("error.message").alias("message"),
+    )
+
+
+SQL_CAPTURE_FLAT_ERRORS = """
+SELECT doc_id,
+       'ValueError' AS error_class,
+       concat('unlucky length ', CAST(length(text) AS VARCHAR)) AS message
+FROM documents
+WHERE length(text) % 13 = 0
+"""
+
+
+def _double_unless_error(event_type: str, value: float) -> float:
+    if event_type == "error":
+        raise RuntimeError("synthetic failure event")
+    return value * 2.0
+
+
+def q_log_and_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logErrors semantics: failing records logged and dropped; the output
+    contains only successes (ErrorLoggingValueMapperWithKey)."""
+    out = log_map_values_with_key(
+        _events(spark, sf_dir),
+        _double_unless_error,
+        DoubleType(),
+        key_col="event_type",
+        value_col="value",
+        observe=False,
+    )
+    return out.select("event_id", F.round("result", 4).alias("doubled"))
+
+
+SQL_LOG_AND_DROP = """
+SELECT event_id, round(value * 2.0, 4) AS doubled
+FROM events
+WHERE event_type <> 'error'
+"""
+
+
+QUERIES = {
+    "capture_map_values_success": (q_capture_success, SQL_CAPTURE_SUCCESS),
+    "capture_map_values_dlq": (q_capture_dlq, SQL_CAPTURE_DLQ),
+    "capture_flat_map_tokens": (q_capture_flat_tokens, SQL_CAPTURE_FLAT_TOKENS),
+    "capture_flat_map_errors": (q_capture_flat_errors, SQL_CAPTURE_FLAT_ERRORS),
+    "log_errors_drop": (q_log_and_drop, SQL_LOG_AND_DROP),
+}

@@ -1,0 +1,33 @@
+"""File sources (SURVEY.md §2.7 "scans/sources").
+
+The reference reads Kafka topics only; our engine exposes Spark's full
+source matrix.  This module holds the batch parquet loader for the driver's
+testdata plus schema edge-handling that a 100 TB lake needs anyway:
+
+- **Nanosecond timestamps**: Spark's vectorized parquet reader rejects
+  INT64 TIMESTAMP(NANOS) (`PARQUET_TYPE_ILLEGAL`).  We flip the public
+  ``spark.sql.legacy.parquet.nanosAsLong`` conf, read nanos as long, and
+  rebuild a proper (microsecond) timestamp column — truncation at the ns→µs
+  edge, documented divergence, irrelevant at second-level analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["load_table"]
+
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table, normalizing nano-timestamps."""
+    ns_cols = _NANO_TS_COLS.get(name, [])
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
