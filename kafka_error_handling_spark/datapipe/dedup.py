@@ -1,0 +1,361 @@
+"""Deduplication operators for training-data pipelines, built Spark-first.
+
+Design for 100 TB:
+
+- **Exact dedup**: hash-groupBy on ``md5(text)`` — one shuffle on a short
+  key, partial agg map-side.  Never ``dropDuplicates`` on the full text
+  column (wide shuffle rows); group on the digest, keep ``min(doc_id)``.
+- **MinHash + LSH**: shingle → hash → 64-permutation signature via
+  ``explode`` + 64 ``min()`` partial aggregates (all JVM-side, no UDF),
+  then band-bucket self-join on (band, key) — the join key is a tiny
+  (int, string) pair, so the shuffle moves signatures, not documents.
+  Candidate pairs are verified with exact shingle-set Jaccard (arrays
+  joined in, ``array_intersect``/``array_union``) before any doc is dropped.
+- **SimHash**: per-token hash → 32 bit-majority partial sums per doc — one
+  aggregation, emits a single long; near-dup = small hamming distance
+  (``bit_count(xor)``).
+- **N-gram Jaccard**: exact similarity, restricted to a bounded candidate
+  window (same ``source``, doc_id delta ≤ W) so the pair count stays
+  linear; the unrestricted version is what MinHash-LSH approximates.
+
+All hashes derive from ``md5`` (stable across engines) reduced mod
+2^31-1 so every product stays in int64 — the DuckDB oracles compute the
+exact same signatures, making the approximate algorithms value-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+__all__ = [
+    "content_hash",
+    "shingles",
+    "shingle_hash",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "exact_dedup",
+    "simhash",
+]
+
+# modulus chosen so a*h+b stays < 2^62 (no int64 overflow in any engine)
+MH_PRIME = 2_147_483_647  # 2^31 - 1
+NUM_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows → s-curve threshold ≈ 0.55
+ROWS_PER_BAND = NUM_PERM // LSH_BANDS
+
+# permutation constants: fixed affine maps, formula-generated so the SQL
+# oracle can regenerate them verbatim
+_A = [(2 * i + 1) * 40_503 % MH_PRIME for i in range(NUM_PERM)]
+_B = [(i * 65_537 + 17) % MH_PRIME for i in range(NUM_PERM)]
+
+SHINGLE_K = 5  # word count per shingle is costly; char 5-grams, stride 1
+
+
+def content_hash(text: Column) -> Column:
+    """Stable content digest for exact dedup (group on this, not the text)."""
+    return F.md5(text)
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Char k-gram shingle array: substrings at every position, JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(k)),
+    )
+
+
+def shingle_hash(sh: Column) -> Column:
+    """md5-derived 60-bit int reduced mod 2^31-1 (engine-portable)."""
+    return (
+        F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long") % MH_PRIME
+    )
+
+
+def _shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h) exploded shingle hashes — the fan-out stage of the pipeline."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col))).alias("sh"),
+    ).select(id_col, shingle_hash(F.col("sh")).alias("h"))
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-permutation MinHash signature per doc: explode shingles once, then
+    64 ``min((a_i*h+b_i) mod P)`` partial aggregates in a single groupBy —
+    one shuffle keyed by doc id, map-side combine does most of the work."""
+    sh = _shingle_df(docs, id_col, text_col)
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MH_PRIME).alias(f"mh{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (16 bands × 4 rows), self-join per band bucket.
+
+    Emits distinct (id_a < id_b) candidate pairs.  The banded frame carries
+    only (band, key, id) — at scale the shuffle is tiny compared to moving
+    documents; the s-curve makes bucket sizes ~1 for non-duplicates.
+    """
+    band_rows = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            sig.select(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey"),
+                F.col(id_col),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: digest → (keep_id = min id, n_copies)."""
+    return (
+        docs.select(F.col(id_col), content_hash(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-token-hash bit-majority SimHash: explode tokens, one groupBy with
+    ``bits`` signed sums, recombine to a single long — two narrow shuffles
+    worst case, no UDF."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries + SQL oracles (same signatures, regenerated)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("keep_id", "n_copies")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+_DUCK_H = (
+    "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT) % 2147483647"
+)
+
+
+def _duck_shingles() -> str:
+    k = SHINGLE_K
+    return (
+        f"SELECT doc_id, {_DUCK_H.format(x='sh')} AS h FROM ("
+        f"SELECT doc_id, unnest([text[i:i+{k-1}] for i in range(1, greatest(length(text)-{k-1}, 1) + 1)]) AS sh"
+        " FROM documents)"
+    )
+
+
+def _duck_signature() -> str:
+    mins = ", ".join(
+        f"min(({_A[i]}::BIGINT * h + {_B[i]}) % {MH_PRIME}) AS mh{i}"
+        for i in range(NUM_PERM)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_duck_shingles()}) GROUP BY doc_id"
+
+
+def q_minhash_signature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 signature components for every doc — pins the whole minhash
+    pipeline (shingling, hashing, permutations) against the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d)
+    return sig.select("doc_id", *[f"mh{i}" for i in range(8)])
+
+
+def _sql_minhash_sample() -> str:
+    mins = ", ".join(
+        f"min(({_A[i]}::BIGINT * h + {_B[i]}) % {MH_PRIME}) AS mh{i}"
+        for i in range(8)
+    )
+    return f"SELECT doc_id, {mins} FROM ({_duck_shingles()}) GROUP BY doc_id"
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified with exact shingle-set Jaccard ≥ 0.7 —
+    the full near-dup pipeline, value-checked end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d)
+    pairs = lsh_candidate_pairs(sig)
+    sets = (
+        _shingle_df(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "ha"), "id_a")
+        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hs", "hb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("ha", "hb"))
+                / F.size(F.array_union("ha", "hb")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    band_keys = []
+    for b in range(LSH_BANDS):
+        cols = "||'_'||".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        band_keys.append(f"SELECT doc_id, {b} AS band, {cols} AS bkey FROM sig")
+    banded = " UNION ALL ".join(band_keys)
+    return f"""
+WITH sh AS ({_duck_shingles()}),
+sig AS ({_duck_signature().replace(_duck_shingles(), 'SELECT * FROM sh')}),
+banded AS ({banded}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+             / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
+FROM pairs
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+            / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= 0.7
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM sums
+"""
+
+
+def q_ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a bounded candidate window (same source,
+    doc_id delta ≤ 50): top-100 most similar pairs, fully deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = (
+        _shingle_df(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .join(d.select("doc_id", "source"), "doc_id")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"), F.col("source").alias("src")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"), F.col("source").alias("src")
+    )
+    return (
+        a.join(b, "src")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= 50))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("ha", "hb"))
+                / F.size(F.array_union("ha", "hb")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(100)
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS ({_duck_shingles()}),
+sets AS (
+  SELECT s.doc_id, list_distinct(list(h)) AS hs, any_value(d.source) AS src
+  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.hs, b.hs))::DOUBLE
+             / len(list_distinct(list_concat(a.hs, b.hs))), 4) AS jaccard
+FROM sets a JOIN sets b
+  ON a.src = b.src AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50
+ORDER BY jaccard DESC, id_a ASC, id_b ASC
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signature": (q_minhash_signature_sample, _sql_minhash_sample()),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash_lsh()),
+    "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
+    "dedup_ngram_jaccard": (q_ngram_jaccard_neighbors, _sql_ngram_jaccard()),
+}

@@ -1,0 +1,202 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata structs.
+
+The Spark-side machinery — schemas, partition-parallel ``mapInPandas``
+decode, Arrow batch shapes, capture-by-default error routing — is real and
+tested; the actual codec step is STUBBED (this container has no
+image/audio libraries): ``decode_stub`` computes deterministic fake
+"decoded" features (byte length, digest, fake dimensions) so the plumbing
+is value-checkable, and ``decode_image`` raises ``NotImplementedError``
+at the exact seam where Pillow/ffmpeg would plug in.
+
+At 100 TB: binary payloads stay in their partitions end-to-end (no
+shuffle), decode runs once per row inside Arrow batches, and metadata-only
+queries never touch the bytes thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.files import load_table
+
+__all__ = ["MEDIA_SCHEMA", "with_payload", "decode_stub", "decode_image", "frame_sample_stub"]
+
+# typed metadata carried next to every opaque payload
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("codec", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("n_bytes", LongType(), False),
+        StructField("digest", StringType(), False),
+        StructField("fake_width", IntegerType(), False),
+        StructField("fake_height", IntegerType(), False),
+    ]
+)
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture an opaque binary payload + metadata struct from a text
+    column (the testdata has no real media; the *plumbing* is the point)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake/raw").alias("codec"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def decode_stub(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Partition-parallel 'decode' over Arrow batches (``mapInPandas``):
+    deterministic fake features so the batch shape, schema, and
+    partitioning of a real decoder are exercised end-to-end."""
+    out_schema = StructType(
+        [df.schema[id_col], StructField("decoded", DECODED_SCHEMA, False)]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                digest = hashlib.md5(b).hexdigest()
+                rows.append(
+                    {
+                        id_col: rid,
+                        "decoded": {
+                            "n_bytes": len(b),
+                            "digest": digest,
+                            # fake dims derived from content, deterministic
+                            "fake_width": int(digest[:4], 16) % 640 + 1,
+                            "fake_height": int(digest[4:8], 16) % 480 + 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "decoded"])
+
+    return df.mapInPandas(_decode, out_schema)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """The real-codec seam: identical plumbing to :func:`decode_stub`, but
+    the codec is not available in this environment."""
+    raise NotImplementedError(
+        "image decode requires Pillow/torchvision; not installed in this "
+        "container — use decode_stub for plumbing tests, plug the codec in "
+        "here (same mapInPandas shape) on a real cluster"
+    )
+
+
+def frame_sample_stub(
+    df: DataFrame, every_n_bytes: int = 64, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Video-frame-sampling plumbing: emit one row per sampled 'frame'
+    (byte offset stride) — the explode-shaped decode path."""
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_no", IntegerType(), False),
+            StructField("offset", LongType(), False),
+            StructField("frame_digest", StringType(), False),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i, off in enumerate(range(0, len(b), every_n_bytes)):
+                    chunk = b[off : off + every_n_bytes]
+                    rows.append(
+                        {
+                            id_col: rid,
+                            "frame_no": i,
+                            "offset": off,
+                            "frame_digest": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_no", "offset", "frame_digest"])
+
+    return df.mapInPandas(_sample, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    dec = decode_stub(d)
+    return dec.select(
+        "doc_id",
+        F.col("decoded.n_bytes").alias("n_bytes"),
+        F.col("decoded.digest").alias("digest"),
+        F.col("decoded.fake_width").alias("fake_width"),
+        F.col("decoded.fake_height").alias("fake_height"),
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 640 + 1 AS fake_width,
+       CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 480 + 1 AS fake_height
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    fr = frame_sample_stub(d)
+    return fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("offset").alias("last_offset"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id,
+       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+       (CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1) * 64 AS last_offset
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+}

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Scale design:
+
+- **Brute-force cosine top-k** (the exactness baseline): broadcast the
+  (small) query set against the corpus; the dot product is a JVM-side
+  ``aggregate(zip_with(...))`` fold — no Python, no shuffle besides the
+  final per-query top-k (``row_number`` window over rank-partitioned keys).
+  At 100 TB the corpus side stays partition-parallel; only k rows per
+  query per partition survive to the shuffle (via partial ``limit``
+  semantics of the window + filter).
+- **Random-hyperplane LSH buckets** (the scale path): sign-bit sketch of
+  each vector against ``n_planes`` deterministic pseudo-random hyperplanes
+  (derived from md5 of (plane, dim) — engine-portable, no RNG state),
+  bucket join on the sketch, exact cosine re-rank inside buckets.  Probes
+  scale by hamming-adjacent buckets; here we pin bucket assignment + the
+  bucketed search result against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table
+
+__all__ = ["cosine", "knn_bruteforce", "hyperplane_sketch", "knn_lsh"]
+
+DIM = 64
+N_PLANES = 8
+
+
+def _dvec(c) -> Column:
+    return F.transform(c if isinstance(c, Column) else F.col(c), lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays — whole-stage-codegen fold."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (broadcast queries × corpus)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _plane_weight(p: int, d: int) -> int:
+    """Deterministic pseudo-random weight in [-8, 8): md5-derived, shared
+    with the SQL oracle (no RNG state, reproducible anywhere)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{p}dim{d}".encode()).hexdigest()[:8], 16)
+    return (h % 16) - 8
+
+
+_PLANES = [[_plane_weight(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+
+
+def hyperplane_sketch(vec: Column) -> Column:
+    """Sign-bit sketch: bit p = 1 iff dot(vec, plane_p) > 0."""
+    v = _dvec(vec)
+    sketch = F.lit(0)
+    for p in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(w)) for w in _PLANES[p]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        sketch = sketch + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    return sketch
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: join query and corpus on the hyperplane sketch, exact
+    cosine re-rank within the bucket.  Recall < 1 by design (single-probe);
+    the oracle recomputes the same buckets so results still value-match."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(vec_col).alias("cv"),
+        hyperplane_sketch(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(vec_col).alias("qv"),
+        hyperplane_sketch(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries
+# ---------------------------------------------------------------------------
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+_DUCK_COS = (
+    "round(list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev))"
+    " * sqrt(list_dot_product(b.ev, b.ev))), 4)"
+)
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY {_DUCK_COS} DESC, a.vec_id ASC) AS rank
+  FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+) WHERE rank <= 5
+"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket assignment for every vector — pins the sketch function."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", hyperplane_sketch(F.col("embedding")).alias("bucket"))
+
+
+def _sql_lsh_buckets() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        arr = ", ".join(str(float(w)) for w in _PLANES[p])
+        terms.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{arr}]) > 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return f"SELECT vec_id, {' + '.join(terms)} AS bucket FROM embeddings"
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_lsh() -> str:
+    buckets = _sql_lsh_buckets()
+    return f"""
+WITH bk AS ({buckets}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS ev, bk.bucket
+      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY {_DUCK_COS} DESC, a.vec_id ASC) AS rank
+  FROM e a JOIN e b ON b.vec_id < 10 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+) WHERE rank <= 5
+"""
+
+
+QUERIES = {
+    "embedding_knn": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "embedding_lsh_buckets": (q_lsh_buckets, _sql_lsh_buckets()),
+    "embedding_knn_lsh": (q_knn_lsh, _sql_knn_lsh()),
+}

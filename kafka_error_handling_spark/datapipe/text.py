@@ -1,0 +1,219 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All functions are pure Spark column expressions (JVM-side, whole-stage
+codegen, no Python UDFs in the hot path) so they run at 100 TB without
+Python worker overhead: language-ID (marker n-gram heuristic), quality
+scoring (length / stopword / token-shape ratios), token counting
+(whitespace + BPE-ish regex), and document fingerprinting (polynomial
+rolling hash via higher-order array functions).
+
+These are the "flaky user function" workloads the error-handling engine
+exists to wrap — each can also be run under ``capture_errors`` — but their
+reference implementations here are UDF-free on purpose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+__all__ = [
+    "token_count",
+    "bpe_ish_token_count",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+]
+
+# rolling-hash modulus (fits products in int64: acc < P, char < 2^7,
+# 31*P + 127 < 2^63)
+_FP_PRIME = 1_000_000_007
+
+# small English-function-word marker set for the heuristic language scorer
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# marker tables: language → characteristic tokens.  Deterministic heuristic:
+# score = number of marker hits per language, argmax with fixed precedence.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "la", "et"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(text, " "))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish upper-bound token estimate: split on word/non-word boundaries
+    then count ≤4-char chunks (a cheap, deterministic stand-in for a real
+    tokenizer; counts sub-word chunks the way byte-pair merges roughly do).
+    """
+    # ceil(len/4) summed over whitespace tokens, all JVM-side
+    return F.aggregate(
+        F.split(text, " "),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English function words."""
+    toks = F.split(text, " ")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return stop / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]: rewards mid-length docs,
+    penalizes extreme stopword ratios and very short tokens.  A composition
+    of the published Gopher/C4-style length+ratio rules, expressed as one
+    arithmetic column."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    avg_tok = (n_chars - n_tok + 1) / n_tok
+    sw = stopword_ratio(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    tok_score = F.when((avg_tok >= 3) & (avg_tok <= 10), 1.0).otherwise(0.5)
+    sw_score = F.when((sw >= 0.05) & (sw <= 0.5), 1.0).otherwise(0.6)
+    return F.round(len_score * 0.4 + tok_score * 0.3 + sw_score * 0.3, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token language heuristic: per-language hit counts over the
+    token array, argmax with deterministic precedence (en>de>es>fr>zh>unk).
+    """
+    toks = F.split(text, " ")
+
+    def _marker_count(markers):
+        # NB: pyspark binds a Column to every lambda parameter, so capture
+        # the marker list via closure, never via a default argument.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    # iterate in reversed precedence so earlier langs win ties via >
+    for lang in reversed(list(_LANG_MARKERS)):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the whole document (mod 1e9+7) — a
+    content fingerprint computable identically in any engine; JVM-side fold
+    over the character array (no UDF)."""
+    chars = F.split(text, "")
+    return F.aggregate(
+        F.transform(chars, F.ascii),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c.cast("long")) % _FP_PRIME,
+    )
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(t), 4).alias("stop_ratio"),
+        F.length(t).alias("n_chars_actual"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS INT))) AS n_bpe_tokens,
+       round(len(list_filter(string_split(text, ' '),
+                t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))::DOUBLE
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))::DOUBLE
+           / len(string_split(text, ' ')) AS sw
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n_tok / 50.0, 1.0) * 0.4
+             + (CASE WHEN (n_chars - n_tok + 1.0)/n_tok BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3
+             + (CASE WHEN sw BETWEEN 0.05 AND 0.5 THEN 1.0 ELSE 0.6 END) * 0.3, 4) AS quality
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _sql_lang_id() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), t -> list_contains(["
+            + ",".join(f"'{m}'" for m in ms)
+            + "], t)))"
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    # same reversed-precedence fold as the Spark side
+    expr_best = "'unk'"
+    expr_score = "0"
+    for lang in reversed(list(_LANG_MARKERS)):
+        s = score[lang]
+        expr_best = f"CASE WHEN {s} > ({expr_score}) THEN '{lang}' ELSE {expr_best} END"
+        expr_score = f"CASE WHEN {s} > ({expr_score}) THEN {s} ELSE {expr_score} END"
+    return f"SELECT doc_id, lang, {expr_best} AS lang_guess FROM documents"
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_lang_id, _sql_lang_id()),
+    "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+}

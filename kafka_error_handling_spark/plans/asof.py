@@ -1,0 +1,134 @@
+"""As-of join — a custom operator Spark lacks, built shuffle-minimal.
+
+``asof_join(left, right)``: for every left row, attach the most recent
+right row with ``right_ts <= left_ts`` (or ``<`` in strict mode) within the
+same key.  The classic implementations (per-key loops, range joins) don't
+scale; this one is the **union + last_value(ignoreNulls) window** pattern:
+
+1. tag and union both sides (cheap, no join);
+2. one window over (key, time, side-tiebreak) per partitioned sort —
+   a single shuffle on the join key, linear scan within partitions;
+3. keep left rows, each carrying the forward-filled right payload.
+
+At 100 TB this is one shuffle + one sort — the same cost as any keyed
+window — versus a range-join's quadratic bucket blowup.  Skewed keys
+follow the same remedies as any keyed op (AQE skew split / salting).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join.  ``right_cols`` are the right-side payload columns to
+    forward-fill onto left rows (default: all non-key, non-ts columns).
+
+    ``strict=True`` means ``right_ts < left_ts`` (exclude simultaneous rows)
+    — ties at equal timestamps are resolved by sorting right rows first
+    (non-strict) or last (strict) at the same instant.
+    """
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lcols = left.columns
+
+    # side marker: in non-strict mode right rows sort BEFORE left rows at the
+    # same timestamp (<=); in strict mode AFTER (<)
+    r_side = 0 if not strict else 1
+    l_side = 1 - r_side
+
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(r_side).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(l_side).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, -1 if strict and r_side == 1 else 0)
+    )
+    # forward-fill every right payload column
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__ff_{c}")
+            for c in rcols
+        ],
+    )
+    is_left = F.col("__side") == l_side
+    return filled.filter(is_left).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col(f"__ff_{c}").alias(f"asof_{c}") for c in rcols],
+    )
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate query: last previous purchase per user (self as-of)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        e,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        F.round("asof_purchase_value", 4).alias("last_purchase_value"),
+    )
+
+
+# Oracle: the strictly-most-recent purchase before each event for the same
+# user; among simultaneous purchases (impossible at µs resolution here) the
+# max ts wins in both engines.  NULL when no prior purchase.
+SQL_ASOF_LAST_PURCHASE = """
+SELECT e.event_id,
+       round((
+         SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts < e.ts
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+       ), 4) AS last_purchase_value
+FROM events e
+"""
+
+
+QUERIES = {
+    "asof_join_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+}
