@@ -1,0 +1,181 @@
+"""Streaming runtime tests: single-pass dual-sink runner, exactly-once-per-
+record UDF execution, and the FilteringExceptionHandler analog (SURVEY.md
+§2.5, §3.3, §4).
+
+Uses in-memory rate/file streams — no broker needed; the Kafka wiring is
+covered by sink-frame shape tests.
+"""
+
+import os
+import tempfile
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+import kafka_error_handling_spark as keh
+from kafka_error_handling_spark.sources.kafka import to_sink_frame
+from kafka_error_handling_spark.streaming.runner import (
+    FilteringExceptionHandler,
+    run_captured,
+)
+
+
+
+def test_run_captured_dual_sink(spark, tmp_path):
+    # file stream of json rows
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"key": 1, "value": "10"}\n{"key": 2, "value": "oops"}\n{"key": 3, "value": "7"}\n'
+    )
+    stream = (
+        spark.readStream.schema("key int, value string")
+        .json(str(src))
+    )
+    got = {"values": [], "errors": []}
+
+    def transform(df):
+        return keh.capture_map_values(df, lambda v: int(v) * 2, IntegerType())
+
+    q = run_captured(
+        stream,
+        transform,
+        write_values=lambda df, bid: got["values"].extend(df.collect()),
+        write_errors=lambda df, bid: got["errors"].extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted((r.key, r.result) for r in got["values"]) == [(1, 20), (3, 14)]
+    assert [(r.key, r.error.error_class) for r in got["errors"]] == [(2, "ValueError")]
+
+
+def test_wrapped_fn_runs_exactly_once_per_record(spark, tmp_path):
+    """The §4 invariant: one UDF execution per record even with two sinks
+    consuming the captured frame (persist inside run_captured)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"key": 1, "value": "5"}\n{"key": 2, "value": "6"}\n')
+    stream = spark.readStream.schema("key int, value string").json(str(src))
+
+    call_log = str(tmp_path / "calls.txt")  # closure-captured fixed path
+
+    def _counting_fn(v, _path=call_log):
+        # executor-side side-effect file: one line per invocation
+        with open(_path, "a") as f:
+            f.write(f"{v}\n")
+        return int(v)
+
+    def transform(df):
+        return keh.capture_map_values(df, _counting_fn, IntegerType())
+
+    q = run_captured(
+        stream,
+        transform,
+        write_values=lambda df, bid: df.collect(),
+        write_errors=lambda df, bid: df.collect(),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    with open(call_log) as f:
+        calls = f.read().splitlines()
+    assert sorted(calls) == ["5", "6"]  # exactly once each, not once per sink
+
+
+def test_filtering_exception_handler_resume_and_fail(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"key": 1, "value": "x"}\n')
+    raw_dlq = []
+
+    handler = FilteringExceptionHandler(
+        write_raw_dlq=lambda df, bid, exc: raw_dlq.extend(df.collect())
+    )
+
+    def broken_transform(df):
+        raise RuntimeError("whole-batch failure")
+
+    stream = spark.readStream.schema("key int, value string").json(str(src))
+    q = run_captured(
+        stream,
+        broken_transform,
+        write_values=lambda df, bid: None,
+        write_errors=lambda df, bid: None,
+        checkpoint=str(tmp_path / "ckpt1"),
+        handler=handler,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # resume path: batch routed to raw DLQ with context headers, query alive
+    assert len(raw_dlq) == 1
+    hdrs = {h.key for h in raw_dlq[0].headers}
+    assert "__streams.errors.processor.node.id" in hdrs
+    assert "__streams.errors.task.id" in hdrs
+    assert handler.handled and handler.handled[0][1] == "RuntimeError"
+
+    # fail path: recoverable → query must die
+    handler2 = FilteringExceptionHandler(
+        write_raw_dlq=lambda df, bid, exc: None,
+        error_filter=lambda exc: True,
+    )
+    stream2 = spark.readStream.schema("key int, value string").json(str(src))
+    q2 = run_captured(
+        stream2,
+        broken_transform,
+        write_values=lambda df, bid: None,
+        write_errors=lambda df, bid: None,
+        checkpoint=str(tmp_path / "ckpt2"),
+        handler=handler2,
+    )
+    with pytest.raises(Exception):
+        q2.processAllAvailable()
+        q2.awaitTermination(10)
+    q2.stop()
+
+
+def test_kafka_sink_frame_shape(spark):
+    df = spark.createDataFrame([(1, "v")], "key int, value string")
+    out = to_sink_frame(
+        df, key=F.col("key").cast("string"), value=F.col("value"), topic="out"
+    )
+    assert [f.dataType.simpleString() for f in out.schema.fields[:2]] == [
+        "binary",
+        "binary",
+    ]
+    assert out.collect()[0].topic == "out"
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Stock streaming op under our runner: watermark + tumbling window."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"ts": "2024-01-01T00:00:10", "v": 1.0}\n'
+        '{"ts": "2024-01-01T00:00:50", "v": 2.0}\n'
+        '{"ts": "2024-01-01T00:01:10", "v": 3.0}\n'
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, v double").json(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {r.window.start.isoformat(): r.total for r in spark.sql("select * from win_test").collect()}
+    q.stop()
+    assert rows["2024-01-01T00:00:00"] == 3.0
+    assert rows["2024-01-01T00:01:00"] == 3.0
