@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,9 +38,56 @@ HEADLINE = [
 EXTENDED = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality",
+    "text_fingerprint",
     "embedding_knn",
+    "asof_join_last_purchase",
+    "q14_promo_revenue",
+    "session_windows",
+    "salted_join_agg",
 ]
+
+
+def _overhead_pair(spark, timings):
+    """BASELINE.md metric: capture-wrapped transform vs identical unwrapped
+    transform on events (the reference's whole perf story is 'decorator
+    overhead ≈ 0'; ours is this ratio)."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from kafka_error_handling_spark import capture_map_values, values
+    from kafka_error_handling_spark.sources.files import load_table
+
+    def rate(v):
+        return 100.0 / _json.loads(v)["k"]
+
+    events = load_table(spark, SF_DIR, "events")
+
+    @pandas_udf(DoubleType())
+    def plain_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            try:
+                out.append(rate(v))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    t0 = _time.time()
+    events.select(plain_udf(F.col("props")).alias("r")).filter(
+        F.col("r").isNotNull()
+    ).count()
+    timings["events_transform_unwrapped"] = round(_time.time() - t0, 3)
+
+    t0 = _time.time()
+    p = capture_map_values(events, rate, DoubleType(), value_col="props")
+    values(p).count()
+    timings["events_transform_capture_wrapped"] = round(_time.time() - t0, 3)
 
 
 def main() -> None:
@@ -68,6 +117,11 @@ def main() -> None:
         n = df.count()  # full materialization without driver collect cost
         timings[name] = round(time.time() - t0, 3)
         _ = n
+        # queries may persist() intermediates (e.g. LSH shingle frames);
+        # drop them so one query's cache never skews the next one's timing
+        spark.catalog.clearCache()
+
+    _overhead_pair(spark, timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)

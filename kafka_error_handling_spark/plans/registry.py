@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import error_queries, relational
+    from . import advanced, error_queries, relational
 
-    mods = [error_queries, relational]
+    mods = [error_queries, relational, advanced]
     try:
         from ..datapipe import dedup, similarity, text
 
