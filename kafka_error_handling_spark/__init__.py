@@ -56,6 +56,8 @@ from .operators import (  # noqa: F401
     log_flat_map_values_with_key,
     log_process,
     log_process_values,
+    log_flat_transform_values,
+    log_flat_transform_values_with_key,
     values,
     errors,
 )

@@ -33,4 +33,6 @@ from .logging import (  # noqa: F401
     log_flat_map_values_with_key,
     log_process,
     log_process_values,
+    log_flat_transform_values,
+    log_flat_transform_values_with_key,
 )

@@ -84,6 +84,7 @@ def _run_one(
     args: Sequence[Any],
     rendered_input: Any,
     error_filter: ErrorFilter,
+    full_payload: bool = True,
 ):
     """One record through the wrapped fn → (result, error_dict)."""
     try:
@@ -91,6 +92,15 @@ def _run_one(
     except Exception as exc:  # noqa: BLE001 — Throwables pass through untouched
         if error_filter(exc):
             raise
+        if not full_payload:
+            # log-and-drop path: the error row is filtered out immediately,
+            # so skip the (expensive) traceback rendering
+            return None, {
+                "input_value": None,
+                "error_class": type(exc).__name__,
+                "message": None,
+                "stack_trace": None,
+            }
         return None, error_payload(rendered_input, exc)
 
 
@@ -99,6 +109,7 @@ def capture_udf(
     result_type: Union[DataType, str],
     error_filter: Optional[ErrorFilter] = None,
     n_args: int = 1,
+    full_payload: bool = True,
 ):
     """Column-level capture primitive.
 
@@ -121,7 +132,7 @@ def capture_udf(
         rows = zip(*[c.tolist() for c in cols])
         for i, raw in enumerate(rows):
             args = tuple(_norm(a) for a in raw)
-            results[i], errs[i] = _run_one(fn, args, args[-1], flt)
+            results[i], errs[i] = _run_one(fn, args, args[-1], flt, full_payload)
         return pd.DataFrame({RESULT_COL: results, ERROR_COL: errs})
 
     return _capture.asNondeterministic()
@@ -134,8 +145,9 @@ def _apply_capture(
     in_cols: Sequence[Union[str, Column]],
     error_filter: Optional[ErrorFilter],
     processed_col: str,
+    full_payload: bool = True,
 ) -> DataFrame:
-    udf = capture_udf(fn, result_type, error_filter, n_args=len(in_cols))
+    udf = capture_udf(fn, result_type, error_filter, n_args=len(in_cols), full_payload=full_payload)
     cols = [F.col(c) if isinstance(c, str) else c for c in in_cols]
     return df.withColumn(processed_col, udf(*cols))
 
@@ -159,13 +171,16 @@ def capture_map_values(
     value_col: str = "value",
     error_filter: Optional[ErrorFilter] = None,
     processed_col: str = "r",
+    full_payload: bool = True,
 ) -> DataFrame:
     """``ErrorCapturingValueMapper.captureErrors`` (``ErrorCapturingValueMapper.java:57,86-95``).
 
     Adds ``processed_col = struct<result, error>``; the key (all other
     columns) is untouched.  Split with :func:`values` / :func:`errors`.
     """
-    return _apply_capture(df, fn, result_type, [value_col], error_filter, processed_col)
+    return _apply_capture(
+        df, fn, result_type, [value_col], error_filter, processed_col, full_payload
+    )
 
 
 def capture_map_values_with_key(
@@ -176,6 +191,7 @@ def capture_map_values_with_key(
     value_col: str = "value",
     error_filter: Optional[ErrorFilter] = None,
     processed_col: str = "r",
+    full_payload: bool = True,
 ) -> DataFrame:
     """``ErrorCapturingValueMapperWithKey`` (``ErrorCapturingValueMapperWithKey.java:60,90-99``).
 
@@ -183,7 +199,7 @@ def capture_map_values_with_key(
     the output.
     """
     return _apply_capture(
-        df, fn, result_type, [key_col, value_col], error_filter, processed_col
+        df, fn, result_type, [key_col, value_col], error_filter, processed_col, full_payload
     )
 
 
@@ -196,6 +212,7 @@ def capture_map(
     value_col: str = "value",
     error_filter: Optional[ErrorFilter] = None,
     processed_col: str = "r",
+    full_payload: bool = True,
 ) -> DataFrame:
     """``ErrorCapturingKeyValueMapper.captureErrors`` (``ErrorCapturingKeyValueMapper.java:63,94-107``).
 
@@ -219,6 +236,7 @@ def capture_map(
         [key_col, value_col],
         error_filter,
         processed_col,
+        full_payload,
     )
 
 
@@ -229,6 +247,7 @@ def capture_flat_map_values(
     value_col: str = "value",
     error_filter: Optional[ErrorFilter] = None,
     processed_col: str = "r",
+    full_payload: bool = True,
 ) -> DataFrame:
     """``ErrorCapturingFlatValueMapper`` (``ErrorCapturingFlatValueMapper.java:60,89-98``).
 
@@ -242,7 +261,8 @@ def capture_flat_map_values(
         return None if out is None else list(out)
 
     return _apply_capture(
-        df, _flat, ArrayType(element_type), [value_col], error_filter, processed_col
+        df, _flat, ArrayType(element_type), [value_col], error_filter, processed_col,
+        full_payload,
     )
 
 
@@ -254,6 +274,7 @@ def capture_flat_map_values_with_key(
     value_col: str = "value",
     error_filter: Optional[ErrorFilter] = None,
     processed_col: str = "r",
+    full_payload: bool = True,
 ) -> DataFrame:
     """``ErrorCapturingFlatValueMapperWithKey`` (``...WithKey.java:62,92-101``)."""
 
@@ -268,6 +289,7 @@ def capture_flat_map_values_with_key(
         [key_col, value_col],
         error_filter,
         processed_col,
+        full_payload,
     )
 
 
@@ -280,6 +302,7 @@ def capture_flat_map(
     value_col: str = "value",
     error_filter: Optional[ErrorFilter] = None,
     processed_col: str = "r",
+    full_payload: bool = True,
 ) -> DataFrame:
     """``ErrorCapturingFlatKeyValueMapper`` (``ErrorCapturingFlatKeyValueMapper.java:67,102-115``).
 
@@ -300,6 +323,7 @@ def capture_flat_map(
         [key_col, value_col],
         error_filter,
         processed_col,
+        full_payload,
     )
 
 

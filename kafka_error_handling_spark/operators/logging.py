@@ -39,6 +39,8 @@ __all__ = [
     "log_flat_map",
     "log_process",
     "log_process_values",
+    "log_flat_transform_values",
+    "log_flat_transform_values_with_key",
 ]
 
 logger = logging.getLogger("kafka_error_handling_spark")
@@ -132,7 +134,9 @@ def log_map_values(
 ) -> DataFrame:
     """``ErrorLoggingValueMapper.logErrors`` (``ErrorLoggingValueMapper.java:62,89-100``)."""
     flt = error_filter or is_recoverable
-    p = C.capture_map_values(df, _logging_fn(fn, False, flt), result_type, value_col, flt)
+    p = C.capture_map_values(
+        df, _logging_fn(fn, False, flt), result_type, value_col, flt, full_payload=False
+    )
     return _drop_errors(p, "r", observe)
 
 
@@ -148,7 +152,8 @@ def log_map_values_with_key(
     """``ErrorLoggingValueMapperWithKey`` (``ErrorLoggingValueMapperWithKey.java:64,92-103``)."""
     flt = error_filter or is_recoverable
     p = C.capture_map_values_with_key(
-        df, _logging_fn(fn, True, flt), result_type, key_col, value_col, flt
+        df, _logging_fn(fn, True, flt), result_type, key_col, value_col, flt,
+        full_payload=False,
     )
     return _drop_errors(p, "r", observe)
 
@@ -166,7 +171,8 @@ def log_map(
     """``ErrorLoggingKeyValueMapper`` (``ErrorLoggingKeyValueMapper.java:64,92-103``)."""
     flt = error_filter or is_recoverable
     p = C.capture_map(
-        df, _logging_fn(fn, True, flt), key_type, value_type, key_col, value_col, flt
+        df, _logging_fn(fn, True, flt), key_type, value_type, key_col, value_col, flt,
+        full_payload=False,
     )
     return _drop_errors(p, "r", observe)
 
@@ -182,7 +188,8 @@ def log_flat_map_values(
     """``ErrorLoggingFlatValueMapper`` (``ErrorLoggingFlatValueMapper.java:61,88-98``)."""
     flt = error_filter or is_recoverable
     p = C.capture_flat_map_values(
-        df, _logging_fn(fn, False, flt), element_type, value_col, flt
+        df, _logging_fn(fn, False, flt), element_type, value_col, flt,
+        full_payload=False,
     )
     return _drop_errors(p, "r", observe)
 
@@ -199,7 +206,8 @@ def log_flat_map_values_with_key(
     """``ErrorLoggingFlatValueMapperWithKey`` (``...WithKey.java:63,91-101``)."""
     flt = error_filter or is_recoverable
     p = C.capture_flat_map_values_with_key(
-        df, _logging_fn(fn, True, flt), element_type, key_col, value_col, flt
+        df, _logging_fn(fn, True, flt), element_type, key_col, value_col, flt,
+        full_payload=False,
     )
     return _drop_errors(p, "r", observe)
 
@@ -217,7 +225,8 @@ def log_flat_map(
     """``ErrorLoggingFlatKeyValueMapper`` (``ErrorLoggingFlatKeyValueMapper.java:63,91-101``)."""
     flt = error_filter or is_recoverable
     p = C.capture_flat_map(
-        df, _logging_fn(fn, True, flt), key_type, value_type, key_col, value_col, flt
+        df, _logging_fn(fn, True, flt), key_type, value_type, key_col, value_col, flt,
+        full_payload=False,
     )
     return _drop_errors(p, "r", observe)
 
@@ -273,3 +282,15 @@ def log_process_values(
         df, _proc, result_type, flt, pass_through, input_value_col
     )
     return p.filter(F.col(C.ERROR_COL).isNull()).drop(C.ERROR_COL)
+
+
+# ---------------------------------------------------------------------------
+# Legacy transformer API surface (SURVEY.md §2.2 last rows): the reference
+# keeps deprecated transformValues-shaped decorators whose semantics are
+# identical to the processor shapes — expose the same names for API parity.
+# ---------------------------------------------------------------------------
+
+#: ``ErrorLoggingFlatValueTransformer`` (``ErrorLoggingFlatValueTransformer.java:65,148-158``)
+log_flat_transform_values = log_process_values
+#: ``ErrorLoggingFlatValueTransformerWithKey`` (``...WithKey.java:68,154-164``)
+log_flat_transform_values_with_key = log_process_values

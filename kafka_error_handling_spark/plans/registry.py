@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import advanced, error_queries, relational
+    from . import advanced, error_queries, relational, stats
 
-    mods = [error_queries, relational, advanced]
+    mods = [error_queries, relational, advanced, stats]
     try:
         from ..datapipe import dedup, similarity, text
 

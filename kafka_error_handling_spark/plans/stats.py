@@ -1,0 +1,131 @@
+"""Statistical aggregates, outer joins, and range window frames — rounding
+out the SURVEY.md §2.7 inventory (joins: left/full outer; window frames:
+RANGE BETWEEN; aggregates: stddev/percentile/correlation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table as _t
+
+
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact statistical aggregates per group (sample stddev/variance,
+    exact median via percentile, Pearson correlation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_discount), 6) AS var_disc,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of per-customer order counts against the customer dim
+    (customers without orders AND orders outside the dim both survive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+SQL_OUTER_JOINS = """
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_mktsegment AS segment,
+       coalesce(n_orders, 0) AS n_orders
+FROM customer
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: per-customer count of orders within ±5000 of each
+    order's totalprice (value-based frame, not row-based).  The range key is
+    integer dollars — float range boundaries are engine-arithmetic-sensitive
+    (x−5000 ≤ y vs y−x ≤ 5000 can disagree by 1 ULP)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_d", F.round("o_totalprice").cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("price_d").rangeBetween(-5000, 5000)
+    return o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+        # sum, not avg: avg of n 2-decimal values lands on exact .xx5 ties
+        # that HALF_UP (Spark) and HALF_EVEN-ish (C libs) round apart
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_similar_price"),
+    )
+
+
+SQL_WINDOW_RANGE = """
+SELECT o_orderkey,
+       count(*) OVER w AS n_similar_priced,
+       round(sum(o_totalprice) OVER w, 2) AS sum_similar_price
+FROM (SELECT *, CAST(round(o_totalprice) AS BIGINT) AS price_d FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY price_d
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+"""
+
+
+def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (conditional aggregation over a known category domain)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("view").alias("n_view"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+        )
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stats_aggs": (stats_aggs, SQL_STATS),
+    "outer_joins": (outer_joins, SQL_OUTER_JOINS),
+    "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE),
+    "conditional_pivot": (conditional_pivot, SQL_PIVOT),
+}
