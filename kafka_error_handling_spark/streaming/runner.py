@@ -32,6 +32,7 @@ __all__ = [
     "run_captured",
     "FilteringExceptionHandler",
     "NOTHING_IS_RECOVERABLE",
+    "handler_from_config",
 ]
 
 
@@ -153,3 +154,30 @@ class FilteringExceptionHandler:
             )
             self._write_raw_dlq(tagged, batch_id, exc)
             # Response.resume(): swallow, next batch proceeds
+
+
+def handler_from_config(
+    config: dict,
+    write_raw_dlq: Callable[["DataFrame", int, BaseException], None],
+) -> FilteringExceptionHandler:
+    """Config-dict construction mirroring
+    ``FilteringProcessingExceptionHandlerConfig.java:40-45,56-64``:
+
+    - ``"error.handling.filter"``: dotted path ``pkg.module:callable`` to an
+      ErrorFilter (default: nothing-is-recoverable, like the reference's
+      ``NothingIsRecoverableErrorFilter``);
+    - ``"errors.dead.letter.queue.node.id"``: node id stamped into the
+      ``__streams.errors.processor.node.id`` header.
+    """
+    flt = NOTHING_IS_RECOVERABLE
+    spec = config.get("error.handling.filter")
+    if spec:
+        import importlib
+
+        mod_name, _, attr = spec.partition(":")
+        flt = getattr(importlib.import_module(mod_name), attr or "error_filter")
+    return FilteringExceptionHandler(
+        write_raw_dlq=write_raw_dlq,
+        error_filter=flt,
+        node_id=config.get("errors.dead.letter.queue.node.id", "foreachBatch"),
+    )

@@ -179,3 +179,21 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     q.stop()
     assert rows["2024-01-01T00:00:00"] == 3.0
     assert rows["2024-01-01T00:01:00"] == 3.0
+
+
+def test_handler_from_config_loads_filter():
+    from kafka_error_handling_spark.streaming.runner import handler_from_config
+
+    h = handler_from_config(
+        {
+            "error.handling.filter": "kafka_error_handling_spark.model:is_recoverable",
+            "errors.dead.letter.queue.node.id": "my-node",
+        },
+        write_raw_dlq=lambda df, bid, exc: None,
+    )
+    assert h._error_filter(ConnectionError()) is True  # loaded the real filter
+    assert h._error_filter(ValueError()) is False
+    assert h._node_id == "my-node"
+
+    default = handler_from_config({}, write_raw_dlq=lambda df, bid, exc: None)
+    assert default._error_filter(ConnectionError()) is False  # nothing recoverable
