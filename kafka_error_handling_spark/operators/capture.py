@@ -71,10 +71,15 @@ ERROR_COL = "error"
 
 
 def _norm(v: Any) -> Any:
-    """Normalize pandas null sentinels (NaT / NA) to None for the user fn."""
+    """Normalize pandas null sentinels (NaN / NaT / NA) to None for the user
+    fn — Arrow hands nullable numeric columns to pandas as float NaN, which
+    must read as the reference's Java null.  (Genuine NaN doubles are also
+    mapped to None; Spark itself blurs this at the Arrow boundary.)"""
     if v is None:
         return None
     if v is pd.NaT or v is pd.NA:
+        return None
+    if isinstance(v, float) and v != v:
         return None
     return v
 
@@ -119,6 +124,10 @@ def capture_udf(
     key-value shapes pass ``(key, value)``), matching the reference where
     ``ProcessingError`` carries the input value (``ProcessingError.java:43-47``).
     """
+    if not callable(fn):
+        # build-time contract: the reference throws NPE from the factory on
+        # null args (ErrorCapturingKeyValueMapperTopologyTest.java:79-91)
+        raise TypeError(f"wrapped function must be callable, got {type(fn).__name__}")
     flt = error_filter or is_recoverable
     if isinstance(result_type, str):
         result_type = DataType.fromDDL(result_type)

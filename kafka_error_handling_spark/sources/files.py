@@ -31,3 +31,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (hash-partitioned-on-disk) table.
+
+    Bucketing is the 100 TB co-location tool: two tables bucketed on the
+    same key with the same bucket count join WITHOUT a shuffle exchange —
+    the join becomes a per-bucket zip.  Use for fact tables that join
+    repeatedly on the same key (orders ⨝ lineitem on orderkey)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
