@@ -42,6 +42,8 @@ from .operators import (  # noqa: F401
     capture_process_values,
     describe_errors,
     describe_errors_with_key,
+    describe_flat_map,
+    describe_flat_map_values,
     describe_map,
     describe_map_values,
     describe_map_values_with_key,

@@ -17,6 +17,8 @@ from .capture import (  # noqa: F401
 from .describe import (  # noqa: F401
     describe_errors,
     describe_errors_with_key,
+    describe_flat_map,
+    describe_flat_map_values,
     describe_udf,
     describe_map,
     describe_map_values,

@@ -33,6 +33,8 @@ from pyspark.sql.types import DataType, StructType
 from ..model import ProcessingException
 
 __all__ = [
+    "describe_flat_map_values",
+    "describe_flat_map",
     "describe_errors",
     "describe_errors_with_key",
     "describe_udf",
@@ -174,3 +176,10 @@ def describe_process(
             yield pd.DataFrame(out_rows, columns=keep + ["result"])
 
     return df.mapInPandas(_map, out_schema)
+
+
+# Type-transparent flat aliases — the reference reuses the same describing
+# mapper classes for flatMap shapes (ErrorDescribingFlatKeyValueMapperTopologyTest.java:68);
+# pass an ArrayType result_type and explode downstream.
+describe_flat_map_values = describe_map_values
+describe_flat_map = describe_map

@@ -22,7 +22,14 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table, normalizing nano-timestamps."""
+    """Read one driver testdata table, normalizing nano-timestamps.
+
+    Also pins the session timezone to UTC: the testdata parquet carries
+    naive timestamps, and every timestamp the engine formats/compares must
+    render identically to a timezone-less engine (the DuckDB oracle)
+    regardless of the host TZ.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _NANO_TS_COLS.get(name, [])
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,3 +57,15 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list, mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet layout (hive-style).
+
+    The at-scale read pattern: queries filtering on ``partition_cols`` scan
+    only matching directories (partition pruning — check ``PartitionFilters``
+    in ``.explain``), so a date-partitioned 100 TB table charges per day
+    touched, not per table."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
