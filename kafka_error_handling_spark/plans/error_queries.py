@@ -181,3 +181,83 @@ QUERIES = {
     "capture_flat_map_errors": (q_capture_flat_errors, SQL_CAPTURE_FLAT_ERRORS),
     "log_errors_drop": (q_log_and_drop, SQL_LOG_AND_DROP),
 }
+
+
+def _rekey(user_id: int, value: float):
+    # key-changing mapper: fails on negative-ish values (deterministic)
+    if value < 1.0:
+        raise ValueError("value too small")
+    return (user_id % 10, value * 2.0)
+
+
+def q_capture_map_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """captureErrors over the key-changing map shape
+    (ErrorCapturingKeyValueMapper): success rows carry the new key, error
+    rows keep the old key with a NULL new key."""
+    from pyspark.sql.types import DoubleType, IntegerType
+
+    from ..operators import capture_map
+
+    e = _events(spark, sf_dir)
+    p = capture_map(
+        e, _rekey, IntegerType(), DoubleType(), key_col="user_id", value_col="value"
+    )
+    ok = values(p).select(
+        "event_id",
+        F.col("result.key").alias("new_key"),
+        F.round("result.value", 4).alias("new_value"),
+    )
+    errs = errors(p).select(
+        "event_id",
+        F.lit(None).cast("int").alias("new_key"),
+        F.lit(None).cast("double").alias("new_value"),
+    )
+    return ok.unionByName(errs)
+
+
+SQL_CAPTURE_MAP_REKEY = """
+SELECT event_id,
+       CASE WHEN value >= 1.0 THEN CAST(user_id % 10 AS INT) END AS new_key,
+       CASE WHEN value >= 1.0 THEN round(value * 2.0, 4) END AS new_value
+FROM events
+"""
+
+
+def _fanout_processor(rec: dict):
+    # one forward per started 100-unit chunk of value (>=1), each numbered
+    n = max(1, int(rec["value"] // 100) + 1)
+    return [{"chunk": i, "event_id2": rec["event_id"]} for i in range(n)]
+
+
+def q_capture_process_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """captureErrors over the multi-forward process shape
+    (ErrorCapturingProcessor via mapInPandas): 1..n forwards per record."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..operators import capture_process
+
+    e = _events(spark, sf_dir).select("event_id", "value")
+    p = capture_process(
+        e,
+        _fanout_processor,
+        StructType(
+            [
+                StructField("chunk", IntegerType()),
+                StructField("event_id2", LongType()),
+            ]
+        ),
+    )
+    return (
+        p.filter(F.col("error").isNull())
+        .select("event_id", F.col("result.chunk").alias("chunk"))
+    )
+
+
+SQL_CAPTURE_PROCESS_FANOUT = """
+SELECT event_id, CAST(unnest(range(greatest(1, CAST(floor(value / 100) AS BIGINT) + 1))) AS INT) AS chunk
+FROM events
+"""
+
+
+QUERIES["capture_map_rekey"] = (q_capture_map_rekey, SQL_CAPTURE_MAP_REKEY)
+QUERIES["capture_process_fanout"] = (q_capture_process_fanout, SQL_CAPTURE_PROCESS_FANOUT)

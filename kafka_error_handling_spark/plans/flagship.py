@@ -35,8 +35,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver smoke check sees both branches of the split in one stable
     schema.
     """
+    from ..conf import configure_for_scale
     from ..sources.files import load_table
 
+    configure_for_scale(spark)
     events = load_table(spark, sf_dir, "events")
     p = capture_map_values(events, parse_and_rate, DoubleType(), value_col="props")
 
