@@ -75,11 +75,23 @@ def shingle_hash(sh: Column) -> Column:
 
 
 def _shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, h) exploded shingle hashes — the fan-out stage of the pipeline."""
-    return docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col))).alias("sh"),
-    ).select(id_col, shingle_hash(F.col("sh")).alias("h"))
+    """(id, h) exploded shingle hashes — the fan-out stage of the pipeline.
+
+    Hash-repartition on the doc id *before* the explode: the shuffle moves
+    narrow document rows (one per doc) instead of the ~60× exploded hash
+    rows, the md5 fan-out parallelizes across all cores even when the
+    source is a single parquet file, and every downstream
+    ``groupBy(id_col)`` (signature mins, shingle sets) reuses the exchange
+    and aggregates locally with no further shuffle.
+    """
+    return (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col))).alias("sh"),
+        )
+        .select(id_col, shingle_hash(F.col("sh")).alias("h"))
+    )
 
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
