@@ -267,39 +267,88 @@ def _sql_minhash_sample() -> str:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified with exact shingle-set Jaccard ≥ 0.7 —
-    the full near-dup pipeline, value-checked end-to-end."""
-    d = load_table(spark, sf_dir, "documents")
-    # one explode+md5 pass feeds both the signature agg and the verify sets
-    sh = _shingle_df(d, "doc_id", "text").persist()
-    # signature consumed three times (banding + both sides of the estimate)
-    sig = minhash_signature_from_hashes(sh).persist()
-    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
-    pairs = lsh_candidate_pairs(sig)
+    the full near-dup pipeline, value-checked end-to-end.
 
-    # cheap signature-similarity prefilter: agreeing minhash components / 64
-    # estimate Jaccard; only pairs with est ≥ 0.5 reach the exact set
-    # verification (cuts the candidate blowup from dup-clusters ~100×; the
-    # SQL oracle applies the identical filter, so results match exactly)
-    sig_a = sig.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)]
+    Plan shape (one narrow state per doc, minimal passes):
+
+    1. one explode+md5 pass → ONE local aggregation (exchange reused from
+       the pre-explode repartition) producing per doc BOTH the 64-slot
+       signature array and the distinct shingle set;
+    2. band the signature array → bucket self-join on (band, key) — the
+       shuffle carries (band, bkey, id) only;
+    3. candidate pairs join the per-doc state ONCE per side: the
+       signature-agreement prefilter (est ≥ 32/64, kills the dup-cluster
+       blowup ~100×) and the exact Jaccard verification read the same two
+       joined rows.  The persisted state is one row per doc, not the
+       exploded hash frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingle_df(d, "doc_id", "text")
+    base = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MH_PRIME).alias(
+                    f"mh{i}"
+                )
+                for i in range(NUM_PERM)
+            ],
+        )
+        .select(
+            "doc_id",
+            "hs",
+            F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)]).alias("mh"),
+        )
+        .persist()
     )
-    sig_b = sig.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)]
+
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at("mh", b * ROWS_PER_BAND + r + 1).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
     )
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(NUM_PERM)
+    banded = base.select(F.col("doc_id"), F.posexplode(band_keys).alias("band", "bkey"))
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
-    strong = (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est64", est)
-        .filter(F.col("est64") >= NUM_PERM // 2)
-        .select("id_a", "id_b")
+
+    est = F.size(
+        F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t)
     )
     return (
-        strong.join(sets.withColumnRenamed("doc_id", "id_a").withColumnRenamed("hs", "ha"), "id_a")
-        .join(sets.withColumnRenamed("doc_id", "id_b").withColumnRenamed("hs", "hb"), "id_b")
+        pairs.join(
+            base.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("hs").alias("ha"),
+                F.col("mh").alias("ma"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("hs").alias("hb"),
+                F.col("mh").alias("mb"),
+            ),
+            "id_b",
+        )
+        .filter(est >= NUM_PERM // 2)
         .select(
             "id_a",
             "id_b",
