@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import advanced, error_queries, relational, stats
+    from . import advanced, error_queries, relational, stats, subqueries
 
-    mods = [error_queries, relational, advanced, stats]
+    mods = [error_queries, relational, advanced, stats, subqueries]
     try:
         from ..datapipe import dedup, similarity, text
 
