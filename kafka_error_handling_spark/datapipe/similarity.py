@@ -282,3 +282,137 @@ WHERE {_DUCK_COS} >= 0.9
 
 
 QUERIES["embedding_neardup"] = (q_embedding_neardup, _sql_embedding_neardup())
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer cells + multi-probe search
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """Rank every vector against the coarse centroids (cosine, ties by
+    centroid id).  Deterministic centroids = the ``n_centroids`` lowest-id
+    corpus vectors — a stand-in for a trained k-means codebook that both
+    engines can reproduce; swap in real centroids without changing the
+    plan.  The assignment is one broadcast nested-loop over n_centroids
+    rows (the standard IVF coarse-quantization cost, n_centroids ×
+    corpus dot products, fully partition-parallel)."""
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
+    )
+    v = corpus.select(F.col(id_col), _dvec(vec_col).alias("vv"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "cid",
+            F.round(cosine(F.col("vv"), F.col("cv")), 6).alias("c_sim"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest-centroid cell;
+    each query probes its ``n_probe`` nearest cells and re-ranks exactly
+    inside them.  The cell join keys on a small int, so the shuffle moves
+    (cell, vector) rows once — at 100 TB the probed fraction
+    (n_probe/n_centroids) bounds the scanned corpus share, which is the
+    entire point of IVF vs brute force."""
+    cells = (
+        ivf_assignments(corpus, id_col, vec_col)
+        .filter(F.col("crank") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "cid")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    corpus_cells = c.join(cells, "neighbor_id")
+    probes = (
+        ivf_assignments(queries, id_col, vec_col)
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    probe_q = probes.join(q, "query_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probe_q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("cn")), 4).alias("cos_sim"),
+        )
+        .distinct()  # a neighbor reachable via several probed cells counts once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_ivf() -> str:
+    cos_ac = (
+        "round(list_dot_product(a.ev, c.cv) / (sqrt(list_dot_product(a.ev, a.ev))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT a.vec_id, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {cos_ac} DESC, c.cid ASC) AS crank
+  FROM e a CROSS JOIN cent c
+),
+cells AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM assign
+           WHERE vec_id < 10 AND crank <= {N_PROBE}),
+scored AS (
+  SELECT DISTINCT p.query_id, cc.neighbor_id, {_DUCK_COS} AS cos_sim
+  FROM cells cc
+  JOIN probes p ON cc.cid = p.cid
+  JOIN e a ON a.vec_id = cc.neighbor_id
+  JOIN e b ON b.vec_id = p.query_id
+  WHERE cc.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES["embedding_knn_ivf"] = (q_knn_ivf, _sql_knn_ivf())

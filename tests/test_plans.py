@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the scale properties the engine relies
+on must be visible in ``explain`` output, not just assumed.
+
+Each assertion pins a plan shape that a 1000-executor/100 TB deployment
+depends on: small dims broadcast (no giant shuffle), predicates and
+projections reach the parquet scan, and pre-partitioned pipelines reuse
+their exchange instead of shuffling twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_error_handling_spark.sources.files import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_q14_broadcasts_dim(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q14_promo_revenue
+
+    plan = _plan(q14_promo_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    df = l.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    df = l.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _plan(df)
+    # the scan must read the 2 referenced columns, not all 11
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in plan
+
+
+def test_minhash_agg_reuses_repartition_exchange(spark, sf_dir):
+    """The pre-explode repartition on doc_id must be the ONLY exchange
+    feeding the signature aggregate — the groupBy(doc_id) aggregates
+    locally on the already-hash-partitioned stream."""
+    from kafka_error_handling_spark.datapipe.dedup import minhash_signature
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_signature(d))
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    # and the aggregate is not split into partial+final across a shuffle
+    assert "Exchange" in plan  # the one repartition
+
+
+def test_capture_udf_not_duplicated_across_branches(spark, sf_dir):
+    """Success and DLQ branches project the same capture result; marking
+    the UDF nondeterministic must stop Catalyst from inlining it twice
+    (SURVEY.md §4 'the one place stock Catalyst behavior is actively
+    wrong for us')."""
+    from pyspark.sql.types import DoubleType
+
+    from kafka_error_handling_spark.operators import capture_map_values
+
+    e = load_table(spark, sf_dir, "events")
+    p = capture_map_values(e, lambda v: 1.0, DoubleType(), value_col="props")
+    # one combined frame referencing the result twice
+    both = p.select(
+        F.col("r.result").alias("ok"), F.col("r.error.error_class").alias("err")
+    )
+    plan = _plan(both)
+    # the pandas UDF evaluates once in the physical plan, not per reference
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_sort_limit_uses_takeordered(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    df = o.orderBy(F.desc("o_totalprice")).limit(10)
+    plan = _plan(df)
+    # global sort of everything would be 'Sort' + 'Exchange rangepartitioning';
+    # top-k must run as TakeOrderedAndProject (per-partition heap + merge)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_semi_join_for_exists_shape(spark, sf_dir):
+    from kafka_error_handling_spark.plans.subqueries import q4_priority_exists
+
+    plan = _plan(q4_priority_exists(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    df = l.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    df.collect()  # AQE finalizes (and codegen-annotates) the plan on execution
+    plan = _plan(df)
+    # '*(n) ' prefixes mark whole-stage-codegen spans in the final plan —
+    # both the partial and final aggregate must sit inside one
+    assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
