@@ -42,8 +42,14 @@ EXTENDED = [
     "text_quality",
     "text_fingerprint",
     "embedding_knn",
+    "embedding_knn_ivf",
     "asof_join_last_purchase",
     "q14_promo_revenue",
+    "q4_priority_exists",
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
+    "min_per_group_joinback",
+    "range_join_followups",
     "session_windows",
     "salted_join_agg",
 ]

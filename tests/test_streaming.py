@@ -197,3 +197,44 @@ def test_handler_from_config_loads_filter():
 
     default = handler_from_config({}, write_raw_dlq=lambda df, bid, exc: None)
     assert default._error_filter(ConnectionError()) is False  # nothing recoverable
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (SURVEY.md §2.7 joins row): two file
+    streams, both watermarked, joined on key + event-time range — the
+    state-bounded shape that survives unbounded streams at scale (state
+    eviction is driven by the watermark + range condition)."""
+    left = tmp_path / "left"
+    right = tmp_path / "right"
+    left.mkdir(); right.mkdir()
+    (left / "a.json").write_text(
+        '{"k": 1, "lts": "2024-01-01T00:00:10", "lv": "a"}\n'
+        '{"k": 2, "lts": "2024-01-01T00:00:20", "lv": "b"}\n'
+    )
+    (right / "a.json").write_text(
+        '{"k": 1, "rts": "2024-01-01T00:00:15", "rv": "x"}\n'
+        '{"k": 2, "rts": "2024-01-01T00:09:00", "rv": "y"}\n'  # outside range
+    )
+    ls = (
+        spark.readStream.schema("k int, lts timestamp, lv string")
+        .json(str(left)).withWatermark("lts", "1 minute")
+    )
+    rs = (
+        spark.readStream.schema("k int, rts timestamp, rv string")
+        .json(str(right)).withWatermark("rts", "1 minute")
+    )
+    j = ls.join(
+        rs,
+        (ls.k == rs.k)
+        & (rs.rts >= ls.lts)
+        & (rs.rts <= ls.lts + F.expr("INTERVAL 5 MINUTES")),
+    ).select(ls.k, "lv", "rv")
+    q = (
+        j.writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = [(r.k, r.lv, r.rv) for r in spark.sql("select * from ss_join").collect()]
+    q.stop()
+    assert rows == [(1, "a", "x")]  # k=2 pair is outside the 5-minute range
