@@ -261,3 +261,71 @@ FROM events
 
 QUERIES["capture_map_rekey"] = (q_capture_map_rekey, SQL_CAPTURE_MAP_REKEY)
 QUERIES["capture_process_fanout"] = (q_capture_process_fanout, SQL_CAPTURE_PROCESS_FANOUT)
+
+
+def _sqrt_value(v: float) -> float:
+    return abs(v) ** 0.5
+
+
+def q_describe_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describeErrors is type-transparent (SURVEY.md §2.3): on the success
+    path the wrapped mapper's results flow through IDENTICALLY to an
+    unwrapped map — this query pins that contract (the enriched-rethrow
+    path is asserted in pytest; a crash cannot be oracle-hashed)."""
+    from ..operators import describe_map_values
+
+    e = _events(spark, sf_dir)
+    out = describe_map_values(e, _sqrt_value, DoubleType(), value_col="value")
+    return out.select("event_id", F.round("result", 4).alias("sqrt_value"))
+
+
+SQL_DESCRIBE_PASSTHROUGH = """
+SELECT event_id, round(sqrt(abs(value)), 4) AS sqrt_value
+FROM events
+"""
+
+
+def _gated_forwarder(rec: dict):
+    # processValues shape: 0..n value forwards per record; fails on 'error'
+    if rec["event_type"] == "error":
+        raise RuntimeError("bad event")
+    if rec["value"] > 100.0:
+        return [rec["value"] * 2.0, rec["value"] * 3.0]
+    return []
+
+
+def q_capture_process_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """captureErrors over the fixed-key processValues shape
+    (ErrorCapturingValueProcessor): multi-forward successes + error rows
+    with NULL result, key columns passed through unchanged."""
+    from ..operators import capture_process_values
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    p = capture_process_values(
+        e,
+        _gated_forwarder,
+        DoubleType(),
+        pass_through=["event_id"],
+        input_value_col="value",
+    )
+    return p.select(
+        "event_id",
+        F.round(F.col("result"), 4).alias("forwarded"),
+        F.col("error.error_class").alias("error_class"),
+    )
+
+
+SQL_CAPTURE_PROCESS_VALUES = """
+SELECT event_id, round(f, 4) AS forwarded, NULL AS error_class
+FROM (
+  SELECT event_id, unnest([value * 2.0, value * 3.0]) AS f
+  FROM events WHERE event_type <> 'error' AND value > 100.0
+)
+UNION ALL
+SELECT event_id, NULL AS forwarded, 'RuntimeError' AS error_class
+FROM events WHERE event_type = 'error'
+"""
+
+
+QUERIES["describe_passthrough"] = (q_describe_passthrough, SQL_DESCRIBE_PASSTHROUGH)
+QUERIES["capture_process_values"] = (q_capture_process_values, SQL_CAPTURE_PROCESS_VALUES)
