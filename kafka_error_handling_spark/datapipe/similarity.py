@@ -305,17 +305,28 @@ def ivf_assignments(
     plan.  The assignment is one broadcast nested-loop over n_centroids
     rows (the standard IVF coarse-quantization cost, n_centroids ×
     corpus dot products, fully partition-parallel)."""
-    cent = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv")
+    cent = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"))
+        .withColumn("cn", _norm(F.col("cv")))
     )
-    v = corpus.select(F.col(id_col), _dvec(vec_col).alias("vv"))
+    # hoist the vector norm: computing it inside the pair expression would
+    # redo it once per centroid (n_centroids× the whole corpus)
+    v = corpus.select(F.col(id_col), _dvec(vec_col).alias("vv")).withColumn(
+        "vn", _norm(F.col("vv"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
     return (
         v.crossJoin(F.broadcast(cent))
         .select(
             id_col,
             "cid",
-            F.round(cosine(F.col("vv"), F.col("cv")), 6).alias("c_sim"),
+            F.round(dot / (F.col("vn") * F.col("cn")), 6).alias("c_sim"),
         )
         .withColumn("crank", F.row_number().over(w))
     )
