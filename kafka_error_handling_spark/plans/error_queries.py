@@ -329,3 +329,37 @@ FROM events WHERE event_type = 'error'
 
 QUERIES["describe_passthrough"] = (q_describe_passthrough, SQL_DESCRIBE_PASSTHROUGH)
 QUERIES["capture_process_values"] = (q_capture_process_values, SQL_CAPTURE_PROCESS_VALUES)
+
+
+def q_serde_json_captured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level deserialization capture (SURVEY.md §3.3): every 7th
+    props payload is truncated into invalid JSON; the PERMISSIVE parse
+    routes those to the error branch while good rows parse — all inside
+    whole-stage codegen (test_serde_capture.py pins the no-Python plan)."""
+    from ..sources.serde import from_json_captured
+
+    e = _events(spark, sf_dir).withColumn(
+        "payload",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    p = from_json_captured(e, "payload", "k int")
+    return p.select(
+        "event_id",
+        F.col("r.result.k").alias("k"),
+        F.col("r.error.error_class").alias("error_class"),
+    )
+
+
+SQL_SERDE_JSON = """
+SELECT event_id,
+       CASE WHEN event_id % 7 <> 0
+            THEN CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) END AS k,
+       CASE WHEN event_id % 7 = 0 THEN 'JsonParseError' END AS error_class
+FROM events
+"""
+
+
+QUERIES["serde_json_captured"] = (q_serde_json_captured, SQL_SERDE_JSON)

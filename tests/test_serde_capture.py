@@ -1,0 +1,66 @@
+"""Serde-edge capture: PERMISSIVE parse failures as standard error rows."""
+
+from pyspark.sql import functions as F
+
+from kafka_error_handling_spark.operators import errors, values
+from kafka_error_handling_spark.sources.serde import (
+    from_csv_captured,
+    from_json_captured,
+)
+
+
+def test_from_json_captured_splits_good_bad_null(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "s": "ok"}'),
+            (2, '{"k": oops'),          # malformed
+            (3, None),                   # null input: null through, no error
+            (4, '{"k": 7}'),             # missing field -> null field, success
+        ],
+        "id int, payload string",
+    )
+    p = from_json_captured(df, "payload", "k int, s string")
+    ok = {r.id: r.result for r in values(p, result_alias="result").collect()}
+    errs = {r.id: r.error for r in errors(p).collect()}
+
+    assert ok[1].k == 5 and ok[1].s == "ok"
+    assert ok[4].k == 7 and ok[4].s is None
+    assert ok[3] is None  # null stays null on the success branch
+    assert set(errs) == {2}
+    assert errs[2].error_class == "JsonParseError"
+    assert errs[2].input_value == '{"k": oops'
+    assert errs[2].message.startswith("malformed record: ")
+
+
+def test_from_json_captured_feeds_dead_letters(spark):
+    from kafka_error_handling_spark.functions.dead_letter import dead_letters
+
+    df = spark.createDataFrame([(1, "not json")], "id int, payload string")
+    p = from_json_captured(df, "payload", "k int")
+    dlq = dead_letters(errors(p), "serde edge", key_cols=["id"]).collect()
+    assert len(dlq) == 1
+    assert dlq[0].dead_letter.description == "serde edge"
+    assert dlq[0].dead_letter.input_value == "not json"
+    assert dlq[0].dead_letter.cause.error_class == "JsonParseError"
+
+
+def test_from_csv_captured(spark):
+    df = spark.createDataFrame(
+        [(1, "5,1.5"), (2, "x,y"), (3, "7,2.5")],
+        "id int, line string",
+    )
+    p = from_csv_captured(df, "line", "a int, b double")
+    ok = {r.id: r.result for r in values(p, result_alias="result").collect()}
+    errs = [r.id for r in errors(p).collect()]
+    assert ok[1].a == 5 and ok[1].b == 1.5
+    assert ok[3].a == 7
+    assert errs == [2]
+
+
+def test_serde_capture_stays_jvm_side(spark):
+    """No Python stage: the serde capture plan must contain no
+    ArrowEvalPython / BatchEvalPython node."""
+    df = spark.createDataFrame([(1, '{"k": 1}')], "id int, payload string")
+    p = from_json_captured(df, "payload", "k int")
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
