@@ -476,3 +476,83 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard_neighbors, _sql_ngram_jaccard()),
 }
+
+
+# ---------------------------------------------------------------------------
+# near-dup keep/drop: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+CC_ROUNDS = 5
+
+
+def neardup_components(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = CC_ROUNDS,
+) -> DataFrame:
+    """Cluster verified near-dup pairs into components by ``rounds`` of
+    min-label propagation; returns (id, keep_id) with keep_id = the
+    component's minimum doc id.
+
+    This is the scale-correct CONSUMER of the pair stream: pair output
+    grows quadratically in cluster size, but the keep/drop decision is
+    linear — one label per doc.  Bounded label propagation (each round =
+    one join + one min-aggregate on (edge, label)) converges for any
+    component whose diameter ≤ ``rounds``; near-dup clusters are dense
+    (diameter ~1-2 in practice), so 5 rounds has huge slack while keeping
+    the plan static — no driver-side convergence loop, deterministic cost
+    at 100 TB.  (An exact unbounded variant would wrap this in an
+    iterate-until-fixpoint driver loop; same per-round plan.)
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    self_loop = docs.select(
+        F.col(id_col).alias("src"), F.col(id_col).alias("dst")
+    )
+    edges = fwd.unionByName(rev).unionByName(self_loop)
+    lab = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(rounds):
+        lab = (
+            edges.join(lab, edges.dst == lab.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("id"), "label")
+        )
+    return lab.select(F.col("id").alias(id_col), F.col("label").alias("keep_id"))
+
+
+def q_dedup_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash-LSH verified pairs →
+    connected components → one keep_id per doc (docs in no cluster keep
+    themselves).  Output is one row per duplicated doc only (keep_id <>
+    doc_id ∪ cluster representatives), keeping the result small."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    comp = neardup_components(pairs, d)
+    return comp.filter(F.col("keep_id") != F.col("doc_id")).select(
+        "doc_id", "keep_id"
+    )
+
+
+def _sql_neardup_keep() -> str:
+    lsh = _sql_minhash_lsh()
+    prop = "SELECT doc_id AS id, doc_id AS label FROM documents"
+    for i in range(CC_ROUNDS):
+        prop = (
+            f"SELECT src AS id, min(label) AS label FROM edges "
+            f"JOIN ({prop}) l ON edges.dst = l.id GROUP BY src"
+        )
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({lsh})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+  UNION ALL SELECT doc_id, doc_id FROM documents
+)
+SELECT id AS doc_id, label AS keep_id FROM ({prop})
+WHERE label <> id
+"""
+
+
+QUERIES["dedup_neardup_keep"] = (q_dedup_neardup_keep, _sql_neardup_keep())
