@@ -1,0 +1,90 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, capture integration,
+and the real-codec seam."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_error_handling_spark.datapipe.multimodal import (
+    DECODED_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_image,
+    decode_stub,
+    frame_sample_stub,
+    with_payload,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 200), (3, "")],
+        "doc_id long, text string",
+    )
+
+
+def test_payload_schema_binary_and_typed_metadata(spark):
+    d = with_payload(_docs(spark))
+    assert dict(d.dtypes)["payload"] == "binary"
+    got = d.schema["media"].dataType
+    # same field names and types; nullability is derived from the column
+    # expressions, so compare it loosely
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in MEDIA_SCHEMA.fields
+    ]
+    row = d.filter("doc_id = 1").first()
+    assert bytes(row.payload) == b"hello world"
+    assert row.media.media_type == "image"
+    assert row.media.n_bytes == 11
+
+
+def test_decode_stub_schema_and_determinism(spark):
+    d = with_payload(_docs(spark))
+    out = decode_stub(d)
+    assert out.schema["decoded"].dataType == DECODED_SCHEMA
+    a = {r.doc_id: r.decoded for r in out.collect()}
+    b = {r.doc_id: r.decoded for r in decode_stub(d).collect()}
+    assert a == b  # deterministic fake features
+    assert a[1].n_bytes == 11
+    assert 1 <= a[1].fake_width <= 640 and 1 <= a[1].fake_height <= 480
+
+
+def test_frame_sampling_explode_shape(spark):
+    d = with_payload(_docs(spark))
+    fr = frame_sample_stub(d, every_n_bytes=64)
+    per_doc = {
+        r.doc_id: r.n
+        for r in fr.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_doc[1] == 1      # 11 bytes -> 1 frame
+    assert per_doc[2] == 4      # 200 bytes -> ceil(200/64) = 4 frames
+    assert 3 not in per_doc     # empty payload -> no frames
+    offsets = [r.offset for r in fr.filter("doc_id = 2").orderBy("frame_no").collect()]
+    assert offsets == [0, 64, 128, 192]
+
+
+def test_decode_under_capture_routes_codec_failures(spark):
+    """The decode step is exactly the flaky user function the capture layer
+    exists for: a payload the codec rejects routes to the error branch,
+    the rest decode."""
+    from pyspark.sql.types import LongType
+
+    from kafka_error_handling_spark.operators import capture_map_values, errors, values
+
+    d = with_payload(_docs(spark))
+
+    def risky_decode(payload: bytes) -> int:
+        if len(payload) == 0:
+            raise ValueError("empty media payload")
+        return len(bytes(payload))
+
+    p = capture_map_values(d, risky_decode, LongType(), value_col="payload")
+    ok = {r.doc_id: r.result for r in values(p).collect()}
+    errs = [r.doc_id for r in errors(p).collect()]
+    assert ok == {1: 11, 2: 200}
+    assert errs == [3]
+
+
+def test_real_codec_seam_raises_not_implemented(spark):
+    d = with_payload(_docs(spark))
+    with pytest.raises(NotImplementedError, match="decode_stub"):
+        decode_image(d)
