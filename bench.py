@@ -43,6 +43,7 @@ EXTENDED = [
     "text_fingerprint",
     "embedding_knn",
     "embedding_knn_ivf",
+    "serde_json_captured",
     "asof_join_last_purchase",
     "q14_promo_revenue",
     "q4_priority_exists",
