@@ -64,3 +64,31 @@ def test_serde_capture_stays_jvm_side(spark):
     p = from_json_captured(df, "payload", "k int")
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_from_json_captured_streaming_dual_sink(spark, tmp_path):
+    """The serde edge composes with the streaming runner: corrupt payloads
+    reach the DLQ sink, good ones the value sink, in one pass."""
+    from kafka_error_handling_spark.streaming.runner import run_captured
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text('{"k": 5}\n{"k": broken\n{"k": 9}\n')
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .withColumnRenamed("value", "payload")
+    )
+    got = {"values": [], "errors": []}
+    q = run_captured(
+        stream,
+        lambda df: from_json_captured(df, "payload", "k int"),
+        write_values=lambda df, bid: got["values"].extend(df.collect()),
+        write_errors=lambda df, bid: got["errors"].extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.result.k for r in got["values"]) == [5, 9]
+    assert len(got["errors"]) == 1
+    assert got["errors"][0].error.error_class == "JsonParseError"
