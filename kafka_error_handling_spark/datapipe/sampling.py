@@ -1,0 +1,124 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+``df.sample()`` / ``sampleBy()`` draw from Spark's per-partition RNG: the
+selected rows change with partitioning, retries, and engine version — all
+three change constantly on a real cluster, which is how training sets
+silently drift.  These operators derive the decision from a **content
+hash of a key column** instead:
+
+- fully reproducible across runs, engines, partitionings, and retries;
+- no coordination, no shuffle — a pure projection/filter that fuses into
+  the scan stage (predicate evaluated before anything wide happens);
+- consistent across tables: every table sharing the key column samples
+  the SAME entities, so joins between sampled tables stay complete
+  (the property RNG sampling fundamentally cannot give you).
+
+Hash = md5-derived 60-bit int mod ``DENOM`` (engine-portable, same trick
+as dedup.py; uniform to ~2^-40 — far below any statistical noise floor at
+training scale).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+__all__ = ["hash_bucket", "hash_sample", "assign_split"]
+
+DENOM = 1_000_000  # ppm resolution for rates/weights
+
+
+def hash_bucket(key: Column, denom: int = DENOM) -> Column:
+    """Uniform bucket in [0, denom) from a key column's md5."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % denom
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash."""
+    return df.filter(hash_bucket(F.col(key_col)) < int(rate * DENOM))
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test (any names) by hash-bucket ranges.
+
+    ``weights`` maps split name → fraction; fractions must sum to ≤ 1
+    (any remainder is labeled NULL — an explicit holdout).  Iteration
+    order of ``weights`` fixes the bucket layout, so pass an ordered
+    mapping.
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    b = hash_bucket(F.col(key_col))
+    expr = F.lit(None).cast("string")
+    hi = 0
+    cases = []
+    for name, w in weights.items():
+        lo, hi = hi, hi + int(w * DENOM)
+        cases.append((name, lo, hi))
+    for name, lo, hi in reversed(cases):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries
+# ---------------------------------------------------------------------------
+
+_DUCK_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {DENOM}"
+)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of events by event_id — same rows in any
+    engine, any partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    return hash_sample(e, "event_id", 0.10).select("event_id", "event_type")
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT event_id, event_type
+FROM events
+WHERE {_DUCK_BUCKET.format(k='event_id')} < {int(0.10 * DENOM)}
+"""
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/5 train/val/test split of documents (5% holdout) — the gate
+    checks the exact per-split membership counts."""
+    d = load_table(spark, sf_dir, "documents")
+    s = assign_split(
+        d, "doc_id", {"train": 0.80, "val": 0.10, "test": 0.05}
+    )
+    return s.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _sql_split_counts() -> str:
+    b = _DUCK_BUCKET.format(k="doc_id")
+    t, v, te = int(0.80 * DENOM), int(0.90 * DENOM), int(0.95 * DENOM)
+    return f"""
+SELECT CASE WHEN {b} < {t} THEN 'train'
+            WHEN {b} < {v} THEN 'val'
+            WHEN {b} < {te} THEN 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "sample_hash_10pct": (q_hash_sample, SQL_HASH_SAMPLE),
+    "sample_split_assignment": (q_split_counts, _sql_split_counts()),
+}

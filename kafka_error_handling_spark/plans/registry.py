@@ -17,9 +17,9 @@ def _modules():
 
     mods = [error_queries, relational, advanced, stats, subqueries]
     try:
-        from ..datapipe import dedup, similarity, text
+        from ..datapipe import dedup, sampling, similarity, text
 
-        mods += [text, dedup, similarity]
+        mods += [text, dedup, similarity, sampling]
     except ImportError:
         pass
     try:

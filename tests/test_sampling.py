@@ -1,0 +1,50 @@
+"""Deterministic sampling: reproducibility and cross-table consistency."""
+
+from pyspark.sql import functions as F
+
+from kafka_error_handling_spark.datapipe.sampling import (
+    assign_split,
+    hash_sample,
+)
+from kafka_error_handling_spark.sources.files import load_table
+
+
+def test_sample_reproducible_across_partitionings(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    a = {r.event_id for r in hash_sample(e, "event_id", 0.2).select("event_id").collect()}
+    b = {
+        r.event_id
+        for r in hash_sample(e.repartition(17), "event_id", 0.2)
+        .select("event_id")
+        .collect()
+    }
+    assert a == b and 0.1 < len(a) / e.count() < 0.3
+
+
+def test_sample_consistent_across_tables(spark, sf_dir):
+    """Sampling two tables by the SAME key keeps their join complete —
+    the property RNG sampling cannot provide."""
+    c = hash_sample(load_table(spark, sf_dir, "customer"), "c_custkey", 0.2)
+    o = hash_sample(load_table(spark, sf_dir, "orders"), "o_custkey", 0.2)
+    dangling = o.join(c, o.o_custkey == c.c_custkey, "left_anti").count()
+    assert dangling == 0
+
+
+def test_split_assignment_partition_and_exclusivity(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    s = assign_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05})
+    n = d.count()
+    counts = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # every row labeled (incl. NULL holdout)
+    assert counts.get("train", 0) > counts.get("val", 0) > 0
+    # deterministic: same assignment on recompute
+    again = {r.split: r.n for r in assign_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.05}).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_split_weights_validated(spark, sf_dir):
+    import pytest
+
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="> 1"):
+        assign_split(d, "doc_id", {"a": 0.7, "b": 0.6})
