@@ -122,3 +122,84 @@ QUERIES = {
     "sample_hash_10pct": (q_hash_sample, SQL_HASH_SAMPLE),
     "sample_split_assignment": (q_split_counts, _sql_split_counts()),
 }
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: documents → fixed token-budget training sequences
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a training sequence of ≤ ``budget`` tokens
+    (whitespace tokens here; swap in any token-count column).
+
+    Greedy in-id-order budget bucketing via one window cumulative sum —
+    ``seq_id = floor((cumsum - tokens) / budget)`` puts a doc in the
+    sequence its *predecessors* filled up to, which matches greedy
+    first-fit in order except that a doc straddling a boundary starts
+    inside the previous bucket (bounded overflow ≤ one doc; exact
+    first-fit needs per-row recursion — not a window function).
+
+    Scale: the window partitions by ``group_col`` (shard/source), so no
+    global sort and no single-reducer bottleneck; packing is only ever
+    meaningful within a shard anyway.  Docs longer than ``budget`` span
+    ceil(tokens/budget) sequences' worth of budget and simply consume it.
+    """
+    from .text import token_count
+
+    t = docs.select(
+        F.col(group_col), F.col(id_col), token_count(F.col(text_col)).alias("n_tok")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return t.select(
+        group_col,
+        id_col,
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / budget).cast("long").alias("seq_id"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token sequences per source; the gate checks
+    every doc's sequence assignment plus per-sequence fill levels."""
+    d = load_table(spark, sf_dir, "documents")
+    p = pack_sequences(d, budget=512)
+    return p.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / 512) AS BIGINT) AS seq_id
+  FROM t
+)
+SELECT source, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       min(doc_id) AS first_doc
+FROM c GROUP BY source, seq_id
+"""
+
+
+QUERIES["sample_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
