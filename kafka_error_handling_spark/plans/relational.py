@@ -451,3 +451,40 @@ QUERIES = {
     "scalar_functions": (scalar_functions, SQL_SCALAR),
     "event_time_windows": (event_time_windows, SQL_EVENT_WINDOWS),
 }
+
+
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / map / JSON scalar-function coverage (SURVEY.md §2.7 scalar
+    row): the Spark side exercises the real collection builders and
+    accessors; the oracle predicts each closed-form result, so any
+    semantic drift in the functions themselves fails the hash."""
+    e = _t(spark, sf_dir, "events")
+    n = F.col("event_id") % 5 + 1
+    arr = F.sequence(F.lit(1), n)
+    m = F.map_from_arrays(F.array(F.lit("a"), F.lit("b")), F.array("value", n.cast("double")))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("json_k"),
+        F.size(arr).alias("arr_len"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda s, x: s + x).alias("arr_sum"),
+        F.array_contains(arr, 3).cast("int").alias("has_3"),
+        F.element_at(F.reverse(arr), 1).alias("arr_max"),
+        F.round(F.element_at(m, "a"), 4).alias("map_a"),
+        F.size(m).alias("map_len"),
+    )
+
+
+SQL_COLLECTION = """
+SELECT event_id,
+       CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) AS json_k,
+       event_id % 5 + 1 AS arr_len,
+       (event_id % 5 + 1) * (event_id % 5 + 2) / 2 AS arr_sum,
+       CASE WHEN event_id % 5 + 1 >= 3 THEN 1 ELSE 0 END AS has_3,
+       event_id % 5 + 1 AS arr_max,
+       round(value, 4) AS map_a,
+       2 AS map_len
+FROM events
+"""
+
+
+QUERIES["collection_functions"] = (collection_functions, SQL_COLLECTION)
