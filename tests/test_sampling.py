@@ -48,3 +48,20 @@ def test_split_weights_validated(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="> 1"):
         assign_split(d, "doc_id", {"a": 0.7, "b": 0.6})
+
+
+def test_knn_arrow_matches_jvm_fold(spark, sf_dir):
+    """The BLAS scale path returns the same neighbors and scores as the
+    oracle-checked JVM fold."""
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_arrow,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    a = {(r.query_id, r.neighbor_id, r.cos_sim) for r in knn_bruteforce(e, q).collect()}
+    b = {(r.query_id, r.neighbor_id, r.cos_sim) for r in knn_bruteforce_arrow(e, q).collect()}
+    assert a == b
