@@ -34,10 +34,12 @@ __all__ = [
     "content_hash",
     "shingles",
     "shingle_hash",
+    "shingle_sets",
     "minhash_signature",
     "lsh_candidate_pairs",
     "exact_dedup",
     "simhash",
+    "neardup_components",
 ]
 
 # modulus chosen so a*h+b stays < 2^62 (no int64 overflow in any engine)

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-__all__ = ["hash_bucket", "hash_sample", "assign_split"]
+__all__ = ["hash_bucket", "hash_sample", "assign_split", "pack_sequences"]
 
 DENOM = 1_000_000  # ppm resolution for rates/weights
 

@@ -25,7 +25,15 @@ from pyspark.sql.window import Window
 
 from ..sources.files import load_table
 
-__all__ = ["cosine", "knn_bruteforce", "hyperplane_sketch", "knn_lsh"]
+__all__ = [
+    "cosine",
+    "knn_bruteforce",
+    "knn_bruteforce_arrow",
+    "hyperplane_sketch",
+    "knn_lsh",
+    "ivf_assignments",
+    "knn_ivf",
+]
 
 DIM = 64
 N_PLANES = 8
