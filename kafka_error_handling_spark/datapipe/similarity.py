@@ -31,6 +31,7 @@ __all__ = [
     "knn_bruteforce_arrow",
     "hyperplane_sketch",
     "knn_lsh",
+    "knn_lsh_multiprobe",
     "ivf_assignments",
     "knn_ivf",
 ]
@@ -514,3 +515,97 @@ def knn_bruteforce_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def knn_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus every
+    hamming-1 neighbor bucket (flip one sketch bit → ``n_planes`` extra
+    probes).  Recall rises steeply — a near-neighbor differing in one
+    hyperplane sign is recovered — for (n_planes+1)× the *query-side*
+    join fan-out only; the corpus side is untouched, so at 100 TB the
+    added cost is proportional to the (tiny) query set, not the corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(vec_col).alias("cv"),
+        hyperplane_sketch(F.col(vec_col)).alias("bucket"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    base = queries.select(
+        F.col(id_col).alias("query_id"),
+        _dvec(vec_col).alias("qv"),
+        hyperplane_sketch(F.col(vec_col)).alias("b0"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    probes = F.array_distinct(
+        F.array(
+            F.col("b0"),
+            *[F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+        )
+    )
+    q = base.select(
+        "query_id", "qv", "qn", F.explode(probes).alias("bucket")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("cn")), 4).alias("cos_sim"),
+        )
+        .distinct()  # a neighbor can surface via several probed buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh_multiprobe(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_lsh_multiprobe() -> str:
+    buckets = _sql_lsh_buckets()
+    flips = ", ".join(f"xor(b0, {1 << p})" for p in range(N_PLANES))
+    return f"""
+WITH bk AS ({buckets}),
+e AS (SELECT e.vec_id, embedding::DOUBLE[] AS ev, bk.bucket
+      FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+probes AS (
+  SELECT vec_id AS query_id,
+         unnest(list_distinct([CAST(b0 AS BIGINT), {flips}])) AS bucket
+  FROM (SELECT vec_id, bucket AS b0 FROM bk WHERE vec_id < 10)
+),
+scored AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, {_DUCK_COS} AS cos_sim
+  FROM probes p
+  JOIN e a ON a.bucket = p.bucket
+  JOIN e b ON b.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES["embedding_knn_lsh_multiprobe"] = (
+    q_knn_lsh_multiprobe,
+    _sql_knn_lsh_multiprobe(),
+)

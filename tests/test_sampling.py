@@ -65,3 +65,23 @@ def test_knn_arrow_matches_jvm_fold(spark, sf_dir):
     a = {(r.query_id, r.neighbor_id, r.cos_sim) for r in knn_bruteforce(e, q).collect()}
     b = {(r.query_id, r.neighbor_id, r.cos_sim) for r in knn_bruteforce_arrow(e, q).collect()}
     assert a == b
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe must recover at least as many true
+    brute-force neighbors as single-probe LSH."""
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        knn_lsh_multiprobe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in knn_lsh(e, q).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in knn_lsh_multiprobe(e, q).collect()}
+    assert len(multi & truth) >= len(single & truth)
+    assert single & truth <= multi & truth or len(multi & truth) > len(single & truth)
