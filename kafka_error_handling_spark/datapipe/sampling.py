@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-__all__ = ["hash_bucket", "hash_sample", "assign_split", "pack_sequences"]
+__all__ = ["hash_bucket", "hash_sample", "assign_split", "pack_sequences", "mix_sources"]
 
 DENOM = 1_000_000  # ppm resolution for rates/weights
 
@@ -203,3 +203,44 @@ FROM c GROUP BY source, seq_id
 
 
 QUERIES["sample_pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted source mixing: keep a per-group deterministic fraction —
+    the standard training-mixture op ("2 epochs of wiki, 0.3 of crawl")
+    expressed as one scan-fused filter.  Groups absent from ``rates``
+    are dropped; rates > 1 mean up-sampling is needed upstream (this op
+    only down-samples, deterministically)."""
+    b = hash_bucket(F.col(key_col))
+    keep = F.lit(False)
+    for name, rate in rates.items():
+        keep = keep | (
+            (F.col(group_col) == name) & (b < int(min(rate, 1.0) * DENOM))
+        )
+    return df.filter(keep)
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = mix_sources(d, {"src0": 0.5, "src1": 1.0, "src2": 0.25})
+    return m.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _sql_mix_sources() -> str:
+    b = _DUCK_BUCKET.format(k="doc_id")
+    return f"""
+SELECT source, count(*) AS n_docs
+FROM documents
+WHERE (source = 'src0' AND {b} < {int(0.5 * DENOM)})
+   OR (source = 'src1')
+   OR (source = 'src2' AND {b} < {int(0.25 * DENOM)})
+GROUP BY source
+"""
+
+
+QUERIES["sample_mix_sources"] = (q_mix_sources, _sql_mix_sources())
