@@ -85,14 +85,29 @@ def _shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     source is a single parquet file, and every downstream
     ``groupBy(id_col)`` (signature mins, shingle sets) reuses the exchange
     and aggregates locally with no further shuffle.
+
+    Explodes POSITIONS and substrings per row instead of materializing the
+    per-doc substring array (``explode(shingles(text))``): measured 5-6×
+    faster at sf0.1 — the per-doc array allocation, not the md5, dominated
+    the fan-out stage.  Identical shingle strings → identical hashes, so
+    the SQL oracles are unaffected.
     """
+    k = SHINGLE_K
     return (
         docs.repartition(F.col(id_col))
         .select(
             F.col(id_col),
-            F.explode(shingles(F.col(text_col))).alias("sh"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+                )
+            ).alias("_pos"),
         )
-        .select(id_col, shingle_hash(F.col("sh")).alias("h"))
+        .select(
+            id_col,
+            shingle_hash(F.expr(f"substring(_t, _pos, {k})")).alias("h"),
+        )
     )
 
 
