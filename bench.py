@@ -42,6 +42,7 @@ EXTENDED = [
     "text_quality",
     "text_fingerprint",
     "embedding_knn",
+    "embedding_knn_arrow",
     "embedding_knn_ivf",
     "serde_json_captured",
     "asof_join_last_purchase",

@@ -609,3 +609,15 @@ QUERIES["embedding_knn_lsh_multiprobe"] = (
     q_knn_lsh_multiprobe,
     _sql_knn_lsh_multiprobe(),
 )
+
+
+def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS scale path of the brute-force knn — rows-only check (numpy's
+    pairwise summation can differ from a sequential SQL fold in the last
+    ulp, so the value hash is pinned instead by the pytest equivalence
+    test against the oracle-checked JVM fold)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce_arrow(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+QUERIES["embedding_knn_arrow"] = (q_knn_bruteforce_arrow, None)
