@@ -238,3 +238,36 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     rows = [(r.k, r.lv, r.rv) for r in spark.sql("select * from ss_join").collect()]
     q.stop()
     assert rows == [(1, "a", "x")]  # k=2 pair is outside the 5-minute range
+
+
+def test_restart_from_checkpoint_skips_committed_batches(spark, tmp_path):
+    """Stop/restart with the same checkpoint resumes from committed
+    offsets: records processed before the stop are NOT re-emitted (the
+    engine analog of Kafka Streams' committed-offset restart,
+    SURVEY.md §3.1 step 2 / §4 at-least-once row)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text('{"key": 1, "value": "10"}\n')
+    got = []
+
+    def transform(df):
+        return keh.capture_map_values(df, lambda v: int(v) * 2, IntegerType())
+
+    def run_once():
+        stream = spark.readStream.schema("key int, value string").json(str(src))
+        q = run_captured(
+            stream,
+            transform,
+            write_values=lambda df, bid: got.extend(df.collect()),
+            write_errors=lambda df, bid: None,
+            checkpoint=str(tmp_path / "ckpt_restart"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert [(r.key, r.result) for r in got] == [(1, 20)]
+
+    (src / "b.json").write_text('{"key": 2, "value": "21"}\n')
+    run_once()  # same checkpoint: only the new file is processed
+    assert sorted((r.key, r.result) for r in got) == [(1, 20), (2, 42)]
