@@ -488,3 +488,38 @@ FROM events
 
 
 QUERIES["collection_functions"] = (collection_functions, SQL_COLLECTION)
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of the pivot query): three lineitem
+    measure columns stacked into (metric, value) rows — ``DataFrame
+    .unpivot`` is a narrow projection (no shuffle), so it scales as a
+    pure map over the scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, round(l_quantity, 4) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 4) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 4) FROM lineitem
+"""
+
+
+QUERIES["unpivot_metrics"] = (unpivot_metrics, SQL_UNPIVOT)
