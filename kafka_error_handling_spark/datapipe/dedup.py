@@ -39,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "exact_dedup",
     "simhash",
+    "simhash_neardup_pairs",
     "neardup_components",
 ]
 
@@ -573,3 +574,78 @@ WHERE label <> id
 
 
 QUERIES["dedup_neardup_keep"] = (q_dedup_neardup_keep, _sql_neardup_keep())
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming near-dup: pigeonhole byte-banding + bit_count verify
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands; hamming <= 3 flips leave >= 1 band intact
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_neardup_pairs(
+    sig: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash"
+) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ ``SIMHASH_MAX_HAMMING``.
+
+    Pigeonhole banding: split the 32-bit signature into 4 byte bands —
+    any pair within hamming 3 agrees EXACTLY on at least one band, so a
+    per-band equi-join finds every such pair (no recall loss, unlike
+    minhash banding) while candidate volume stays ~corpus/2^8 per band.
+    The shuffle key is (band, byte); the verify is one xor+bit_count on
+    the joined longs.  This is the standard web-scale simhash dedup plan
+    (Manku et al.'s scheme expressed as two DataFrame ops).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * 8).bitwiseAND(F.lit(0xFF)).alias("bkey"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col(sig_col), F.explode(bands).alias("bb")
+    ).select(id_col, sig_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "bkey"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(simhash(d))
+
+
+def _sql_simhash_neardup() -> str:
+    base = _sql_simhash()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * 8}) & 255 AS bkey FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({base}),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES["dedup_simhash_neardup"] = (q_simhash_neardup, _sql_simhash_neardup())
