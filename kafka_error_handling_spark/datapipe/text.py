@@ -217,3 +217,67 @@ QUERIES = {
     "text_lang_id": (q_lang_id, _sql_lang_id()),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation decision — the composed pipeline a
+    training-data run actually executes: exact-dup keep/drop (groupBy on
+    the digest, join back) + language gate + quality gate, emitting one
+    keep/reject row per doc with the first failing rule as the reason.
+    Everything is one declarative plan: a broadcast-able digest join plus
+    pure projections; Catalyst fuses the gates into the scan."""
+    from .dedup import content_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    keepers = (
+        d.select("doc_id", content_hash(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    scored = (
+        d.select(
+            "doc_id",
+            content_hash(F.col("text")).alias("h"),
+            quality_score(F.col("text")).alias("q"),
+            lang_id(F.col("text")).alias("lg"),
+        )
+        .join(keepers, "h")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(F.col("lg") != "en", "language")
+        .when(F.col("q") < 0.8, "quality")
+    )
+    return scored.select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().cast("int").alias("keep"),
+    )
+
+
+def _sql_corpus_curation() -> str:
+    lang_best = _sql_lang_id().split(", lang, ")[1].rsplit(" AS lang_guess", 1)[0]
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+lg AS (SELECT doc_id, {lang_best} AS lang_guess FROM documents),
+keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+),
+s AS (
+  SELECT d.doc_id, k.keep_id, q.quality, lg.lang_guess
+  FROM documents d
+  JOIN keepers k ON md5(d.text) = k.h
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN lg ON lg.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id <> keep_id THEN 'duplicate'
+            WHEN lang_guess <> 'en' THEN 'language'
+            WHEN quality < 0.8 THEN 'quality' END AS reject_reason,
+       CASE WHEN doc_id = keep_id AND lang_guess = 'en' AND quality >= 0.8
+            THEN 1 ELSE 0 END AS keep
+FROM s
+"""
+
+
+QUERIES["corpus_curation"] = (q_corpus_curation, _sql_corpus_curation())
