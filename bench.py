@@ -39,6 +39,8 @@ EXTENDED = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_neardup",
+    "corpus_curation",
     "text_quality",
     "text_fingerprint",
     "embedding_knn",
