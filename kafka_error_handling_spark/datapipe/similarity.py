@@ -301,23 +301,41 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def ivf_assignments(
+def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = N_CENTROIDS,
 ) -> DataFrame:
-    """Rank every vector against the coarse centroids (cosine, ties by
-    centroid id).  Deterministic centroids = the ``n_centroids`` lowest-id
-    corpus vectors — a stand-in for a trained k-means codebook that both
-    engines can reproduce; swap in real centroids without changing the
-    plan.  The assignment is one broadcast nested-loop over n_centroids
-    rows (the standard IVF coarse-quantization cost, n_centroids ×
-    corpus dot products, fully partition-parallel)."""
-    cent = (
+    """Deterministic coarse codebook: the ``n_centroids`` lowest-id corpus
+    vectors — a stand-in for a trained k-means codebook that both engines
+    can reproduce; swap in real centroids without changing the plan."""
+    return (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), _dvec(vec_col).alias("cv"))
         .withColumn("cn", _norm(F.col("cv")))
+    )
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = N_CENTROIDS,
+    centroids: DataFrame = None,
+) -> DataFrame:
+    """Rank every vector against the coarse centroids (cosine, ties by
+    centroid id).  ``centroids`` defaults to :func:`ivf_centroids` of the
+    input frame — callers assigning a DIFFERENT frame (e.g. queries
+    probing corpus cells) MUST pass the corpus codebook explicitly, or
+    the two sides rank against different centroid sets.  The assignment
+    is one broadcast nested-loop over n_centroids rows (the standard IVF
+    coarse-quantization cost, n_centroids × corpus dot products, fully
+    partition-parallel)."""
+    cent = (
+        ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        if centroids is None
+        else centroids
     )
     # hoist the vector norm: computing it inside the pair expression would
     # redo it once per centroid (n_centroids× the whole corpus)
@@ -355,8 +373,9 @@ def knn_ivf(
     (cell, vector) rows once — at 100 TB the probed fraction
     (n_probe/n_centroids) bounds the scanned corpus share, which is the
     entire point of IVF vs brute force."""
+    codebook = ivf_centroids(corpus, id_col, vec_col)
     cells = (
-        ivf_assignments(corpus, id_col, vec_col)
+        ivf_assignments(corpus, id_col, vec_col, centroids=codebook)
         .filter(F.col("crank") == 1)
         .select(F.col(id_col).alias("neighbor_id"), "cid")
     )
@@ -365,7 +384,9 @@ def knn_ivf(
     ).withColumn("cn", _norm(F.col("cv")))
     corpus_cells = c.join(cells, "neighbor_id")
     probes = (
-        ivf_assignments(queries, id_col, vec_col)
+        # queries rank against the CORPUS codebook — assigning them against
+        # their own low-id vectors silently probes the wrong cells
+        ivf_assignments(queries, id_col, vec_col, centroids=codebook)
         .filter(F.col("crank") <= n_probe)
         .select(F.col(id_col).alias("query_id"), "cid")
     )

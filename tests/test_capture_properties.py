@@ -101,3 +101,44 @@ def test_log_drop_equals_success_subset(spark, rows):
     )
     dropped_ok = {(r.idx, r.result) for r in logged.collect()}
     assert captured_ok == dropped_ok
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_neardup_components_match_union_find(spark, edges):
+    """Label propagation agrees with exact union-find for any pair set
+    over 25 docs, given rounds ≥ graph diameter (25 here covers every
+    possible 25-node graph; the production default of 5 assumes the dense
+    clusters near-dup pairs actually form — a chain needs one round per
+    hop, which is exactly why the round count is a parameter)."""
+    from kafka_error_handling_spark.datapipe.dedup import neardup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    ).filter("id_a <> id_b")
+
+    # exact union-find on the driver
+    parent = list(range(25))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(25)}
+
+    got = {
+        r.doc_id: r.keep_id
+        for r in neardup_components(pairs, docs, rounds=25).collect()
+    }
+    assert got == expect
