@@ -85,3 +85,23 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     multi = {(r.query_id, r.neighbor_id) for r in knn_lsh_multiprobe(e, q).collect()}
     assert len(multi & truth) >= len(single & truth)
     assert single & truth <= multi & truth or len(multi & truth) > len(single & truth)
+
+
+def test_ivf_probes_use_corpus_codebook(spark, sf_dir):
+    """Regression: query probes must rank against the CORPUS codebook —
+    with 4/16 probes the IVF result should recover a solid share of the
+    true brute-force neighbors (the original bug ranked queries against
+    their own low-id vectors and silently probed wrong cells)."""
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in knn_ivf(e, q).collect()}
+    recall = len(ivf & truth) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} — probe assignment broken?"
