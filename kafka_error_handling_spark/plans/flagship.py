@@ -40,7 +40,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_scale(spark)
     events = load_table(spark, sf_dir, "events")
-    p = capture_map_values(events, parse_and_rate, DoubleType(), value_col="props")
+    # persist the captured frame before fanning out into two branches —
+    # the same move the streaming runner makes (SURVEY.md §4): without it
+    # the union re-evaluates the capture UDF once per branch (2 scans,
+    # 2 ArrowEvalPython nodes in the plan; verified by .explain)
+    p = capture_map_values(
+        events, parse_and_rate, DoubleType(), value_col="props"
+    ).persist()
 
     ok = values(p).select(
         "event_id",
