@@ -363,3 +363,41 @@ FROM events
 
 
 QUERIES["serde_json_captured"] = (q_serde_json_captured, SQL_SERDE_JSON)
+
+
+def q_error_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ErrorHeaderProcessor semantics (__streams.errors.* headers): the
+    error branch gets the header array attached and exploded to
+    (key, value) pairs — deterministic headers only (stack trace is
+    asserted in pytest)."""
+    from ..functions.headers import with_error_headers
+
+    p = capture_map_values(
+        _events(spark, sf_dir), _parse_rate, DoubleType(), value_col="props"
+    )
+    errs = errors(p)
+    h = with_error_headers(errs, "rate pipeline")
+    return (
+        h.select("event_id", F.explode("headers").alias("hh"))
+        .select(
+            "event_id",
+            F.col("hh.key").alias("header_key"),
+            F.decode("hh.value", "UTF-8").alias("header_value"),
+        )
+        .filter(F.col("header_key") != "__streams.errors.exception.stack_trace")
+    )
+
+
+SQL_ERROR_HEADERS = """
+SELECT event_id, h.k AS header_key, h.v AS header_value
+FROM events,
+     (SELECT * FROM (VALUES
+        ('__streams.errors.description', 'rate pipeline'),
+        ('__streams.errors.exception.class.name', 'ZeroDivisionError'),
+        ('__streams.errors.exception.message', 'float division by zero')
+     ) AS t(k, v)) h
+WHERE CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) = 0
+"""
+
+
+QUERIES["error_headers"] = (q_error_headers, SQL_ERROR_HEADERS)
