@@ -523,3 +523,32 @@ SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 4) FROM lineite
 
 
 QUERIES["unpivot_metrics"] = (unpivot_metrics, SQL_UNPIVOT)
+
+
+def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist (the remaining analytic trio) —
+    deterministic because the window orders by the unique o_orderkey."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_ANALYTIC = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+"""
+
+
+QUERIES["window_analytic_suite"] = (window_analytic_suite, SQL_WINDOW_ANALYTIC)
