@@ -552,3 +552,31 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
 
 
 QUERIES["window_analytic_suite"] = (window_analytic_suite, SQL_WINDOW_ANALYTIC)
+
+
+def temporal_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / add_months / dayofweek / regexp_extract / regexp_replace
+    coverage (scalar-function families not in scalar_functions)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).cast("int").alias("prio_num"),
+        F.regexp_replace("o_orderpriority", r"^\d+-", "").alias("prio_word"),
+    )
+
+
+SQL_TEMPORAL_REGEX = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+       dayofweek(o_orderdate) + 1 AS dow,
+       CAST(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT) AS prio_num,
+       regexp_replace(o_orderpriority, '^\\d+-', '') AS prio_word
+FROM orders
+"""
+
+
+QUERIES["temporal_regex_functions"] = (temporal_regex_functions, SQL_TEMPORAL_REGEX)
