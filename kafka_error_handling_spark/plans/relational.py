@@ -580,3 +580,38 @@ FROM orders
 
 
 QUERIES["temporal_regex_functions"] = (temporal_regex_functions, SQL_TEMPORAL_REGEX)
+
+
+def window_value_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over explicit ROWS frames —
+    the frame-boundary semantics the lag/lead query doesn't touch."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    trail3 = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        F.first("event_type").over(whole).alias("first_type"),
+        F.last("event_type").over(whole).alias("last_type"),
+        F.nth_value("event_type", 2).over(whole).alias("second_type"),
+        F.round(F.max("value").over(trail3), 4).alias("trailing3_max"),
+    )
+
+
+SQL_WINDOW_VALUE_FRAMES = """
+SELECT event_id,
+       first_value(event_type) OVER whole AS first_type,
+       last_value(event_type) OVER whole AS last_type,
+       nth_value(event_type, 2) OVER whole AS second_type,
+       round(max(value) OVER trail3, 4) AS trailing3_max
+FROM events
+WINDOW whole AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       trail3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["window_value_frames"] = (window_value_frames, SQL_WINDOW_VALUE_FRAMES)
