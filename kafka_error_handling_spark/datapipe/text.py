@@ -56,11 +56,12 @@ def bpe_ish_token_count(text: Column) -> Column:
     then count ≤4-char chunks (a cheap, deterministic stand-in for a real
     tokenizer; counts sub-word chunks the way byte-pair merges roughly do).
     """
-    # ceil(len/4) summed over whitespace tokens, all JVM-side
+    # ceil(len/4) summed over whitespace tokens, all JVM-side; BIGINT on
+    # both sides (DuckDB list_sum widens) so the gate hash is type-stable
     return F.aggregate(
         F.split(text, " "),
-        F.lit(0),
-        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
     )
 
 
@@ -141,8 +142,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_STATS = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
-       list_sum(list_transform(string_split(text, ' '),
-                t -> CAST(ceil(length(t) / 4.0) AS INT))) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                t -> CAST(ceil(length(t) / 4.0) AS INT))) AS BIGINT) AS n_bpe_tokens,
        round(len(list_filter(string_split(text, ' '),
                 t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))::DOUBLE
              / len(string_split(text, ' ')), 4) AS stop_ratio,

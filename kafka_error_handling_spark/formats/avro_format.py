@@ -2,13 +2,24 @@
 reference's generated ``DeadLetter`` class
 (``error-handling-avro/src/main/avro/DeadLetter.avsc``).
 
-The spark-avro SQL module is not bundled in this environment, so the
-encoder is a minimal, self-contained implementation of the *public* Avro
-binary encoding spec (zig-zag varint longs, length-prefixed UTF-8 strings,
-union branch indices) specialized to the DeadLetter schema — ~60 lines,
-deterministic, round-trip tested by our own decoder.  On a cluster with
-spark-avro available, ``to_avro(struct, DEAD_LETTER_AVSC)`` is a drop-in
-replacement; field order below matches the .avsc exactly:
+Two encode paths, dispatched at runtime (``to_avro_dead_letter``):
+
+1. **JVM** — ``pyspark.sql.avro.functions.to_avro(struct, DEAD_LETTER_AVSC)``
+   whenever the spark-avro module is actually loaded (probed once per
+   session with an eager analysis; the import alone succeeds even without
+   the jar).  Fully JVM-side, matching the reference's
+   ``AvroDeadLetterConverter.java:34-49`` cost profile — no Python in the
+   encode hot path on DLQ-heavy runs.
+2. **Spec fallback** — spark-avro is not bundled in this container, so the
+   fallback is a minimal, self-contained implementation of the *public*
+   Avro binary encoding spec (zig-zag varint longs, length-prefixed UTF-8
+   strings, union branch indices) specialized to the DeadLetter schema —
+   ~60 lines, deterministic, round-trip tested by our own decoder, running
+   as an Arrow-batched pandas UDF.
+
+Both paths write the same bytes: Avro binary encoding is fully determined
+by (schema, value) — no framing, no field tags — and the JVM path receives
+the struct re-projected into exact .avsc field order.  Field order:
 
     input_value?, topic?, partition?, offset?, description,
     cause{error_class?, message?, stack_trace?}, input_timestamp?(millis)
@@ -28,7 +39,13 @@ from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
-__all__ = ["DEAD_LETTER_AVSC", "encode_dead_letter", "decode_dead_letter", "to_avro_dead_letter"]
+__all__ = [
+    "DEAD_LETTER_AVSC",
+    "encode_dead_letter",
+    "decode_dead_letter",
+    "to_avro_dead_letter",
+    "jvm_avro_available",
+]
 
 # The reference schema, reproduced for interop (schema-registry-less writers
 # embed nothing; readers need this JSON).
@@ -169,9 +186,77 @@ def decode_dead_letter(buf: bytes) -> dict:
     return out
 
 
-def to_avro_dead_letter(dead_letter: Column) -> Column:
+_JVM_AVRO = {"checked": False, "ok": False}
+
+
+def jvm_avro_available(spark=None) -> bool:
+    """True iff the spark-avro module is loaded in this session.
+
+    ``from pyspark.sql.avro.functions import to_avro`` succeeds even
+    without the jar (the column builds lazily and only analysis raises
+    ``AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE``), so the probe forces a
+    one-row analysis once and caches the answer."""
+    if _JVM_AVRO["checked"]:
+        return _JVM_AVRO["ok"]
+    _JVM_AVRO["checked"] = True
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import to_avro as _probe_to_avro
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        probe = spark.range(1).select(
+            _probe_to_avro(F.struct(F.lit("x").alias("a")))
+        )
+        probe.schema  # eager analysis; raises if the avro source is absent
+        _JVM_AVRO["ok"] = True
+    except Exception:  # noqa: BLE001 - any failure means "use the fallback"
+        _JVM_AVRO["ok"] = False
+    return _JVM_AVRO["ok"]
+
+
+def _avsc_ordered(dead_letter: Column) -> Column:
+    """Re-project the engine's dead-letter struct into exact .avsc field
+    order (the engine struct leads with description/cause for readability;
+    Avro binary encoding is positional)."""
+    from pyspark.sql import functions as F
+
+    d = dead_letter
+    return F.struct(
+        d["input_value"].alias("input_value"),
+        d["topic"].alias("topic"),
+        d["partition"].alias("partition"),
+        d["offset"].alias("offset"),
+        d["description"].alias("description"),
+        F.struct(
+            d["cause"]["error_class"].alias("error_class"),
+            d["cause"]["message"].alias("message"),
+            d["cause"]["stack_trace"].alias("stack_trace"),
+        ).alias("cause"),
+        d["input_timestamp"].alias("input_timestamp"),
+    )
+
+
+def to_avro_dead_letter(dead_letter: Column, use_jvm: object = "auto") -> Column:
     """Column converter: dead-letter struct → Avro binary bytes
-    (the ``AvroDeadLetterConverter`` analog, ``AvroDeadLetterConverter.java:34-49``)."""
+    (the ``AvroDeadLetterConverter`` analog, ``AvroDeadLetterConverter.java:34-49``).
+
+    ``use_jvm``: ``"auto"`` (default) uses the built-in JVM ``to_avro``
+    when the spark-avro module is loaded and the spec-encoder pandas UDF
+    otherwise; ``True`` requires the JVM path (raises if unavailable);
+    ``False`` forces the spec encoder (used by the cross-check test)."""
+    if use_jvm is True or use_jvm == "auto":
+        if jvm_avro_available():
+            from pyspark.sql.avro.functions import to_avro as _jvm_to_avro
+
+            return _jvm_to_avro(_avsc_ordered(dead_letter), DEAD_LETTER_AVSC)
+        if use_jvm is True:
+            raise RuntimeError(
+                "use_jvm=True but the spark-avro module is not loaded "
+                "(add org.apache.spark:spark-avro to spark.jars.packages)"
+            )
 
     @pandas_udf(BinaryType())
     def _enc(s: pd.DataFrame) -> pd.Series:

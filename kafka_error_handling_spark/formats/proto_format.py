@@ -29,7 +29,12 @@ from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
-__all__ = ["encode_proto_dead_letter", "decode_proto_dead_letter", "to_proto_dead_letter"]
+__all__ = [
+    "encode_proto_dead_letter",
+    "decode_proto_dead_letter",
+    "to_proto_dead_letter",
+    "jvm_protobuf_available",
+]
 
 
 def _varint(n: int) -> bytes:
@@ -185,9 +190,54 @@ def decode_proto_dead_letter(buf: bytes) -> dict:
     return out
 
 
-def to_proto_dead_letter(dead_letter: Column) -> Column:
+_JVM_PROTO = {"checked": False, "ok": False}
+
+
+def jvm_protobuf_available(spark=None) -> bool:
+    """True iff the spark-protobuf module is loaded (probed once: the
+    import succeeds without the jar; only analysis raises)."""
+    if _JVM_PROTO["checked"]:
+        return _JVM_PROTO["ok"]
+    _JVM_PROTO["checked"] = True
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql.protobuf.functions import to_protobuf  # noqa: F401
+
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        # no descriptor-free probe exists for protobuf; reflect on the JVM
+        # class registry instead of building a throwaway descriptor file
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.CatalystDataToProtobuf"
+        )
+        _JVM_PROTO["ok"] = True
+    except Exception:  # noqa: BLE001 - any failure means "use the fallback"
+        _JVM_PROTO["ok"] = False
+    return _JVM_PROTO["ok"]
+
+
+def to_proto_dead_letter(
+    dead_letter: Column,
+    desc_file_path: Optional[str] = None,
+    message_name: str = "ProtoDeadLetter",
+) -> Column:
     """Column converter (the ``ProtoDeadLetterConverter`` analog,
-    ``ProtoDeadLetterConverter.java:40-78``)."""
+    ``ProtoDeadLetterConverter.java:40-78``).
+
+    JVM dispatch: when ``desc_file_path`` (a protoc ``FileDescriptorSet``
+    for the reference's ``deadletter.proto``) is supplied AND the
+    spark-protobuf module is loaded, encodes via the built-in
+    ``to_protobuf`` — no Python in the hot path.  Otherwise falls back to
+    the spec encoder below (proto3 wire bytes are deterministic for this
+    schema: fields ascend by number, wrappers suppress defaults — both
+    encoders emit identical bytes)."""
+    if desc_file_path is not None and jvm_protobuf_available():
+        from pyspark.sql.protobuf.functions import to_protobuf
+
+        return to_protobuf(dead_letter, message_name, desc_file_path)
 
     @pandas_udf(BinaryType())
     def _enc(s: pd.DataFrame) -> pd.Series:

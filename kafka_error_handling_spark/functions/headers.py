@@ -63,18 +63,27 @@ def error_headers(
 ) -> Column:
     """Build the ``__streams.errors.*`` header array for an error row.
 
-    NULL-valued metadata produces a header with NULL bytes (Kafka allows
-    null header values, matching the reference which always adds the keys —
-    ``ErrorHeaderProcessor.java:126-138`` guards only the metadata trio).
+    All seven keys are ALWAYS present, matching the reference exactly:
+    absent record metadata yields a header with a null byte value
+    (``ErrorHeaderProcessor.java:113-115``: ``addHeader(key, null, ...)``
+    via ``metadata.map(...).orElse(null)`` — Kafka allows null header
+    values).
     """
     e = F.col(error_col)
-    headers = []
-    if topic is not None:
-        headers.append(_hdr(HEADER_TOPIC, topic))
-    if partition is not None:
-        headers.append(_hdr(HEADER_PARTITION, partition))
-    if offset is not None:
-        headers.append(_hdr(HEADER_OFFSET, offset))
+    null_bytes = F.lit(None).cast("binary")
+
+    def _meta(name: str, col: Optional[Column]) -> Column:
+        if col is None:
+            return F.struct(
+                F.lit(name).alias("key"), null_bytes.alias("value")
+            )
+        return _hdr(name, col)
+
+    headers = [
+        _meta(HEADER_TOPIC, topic),
+        _meta(HEADER_PARTITION, partition),
+        _meta(HEADER_OFFSET, offset),
+    ]
     headers += [
         _hdr(HEADER_DESCRIPTION, F.lit(description)),
         _hdr(HEADER_EXCEPTION_CLASS_NAME, e["error_class"]),

@@ -86,17 +86,26 @@ DEAD_LETTER_SCHEMA = StructType(
 )
 
 
+def _render_for_message(value: Any) -> str:
+    """Message-template rendering only: Python ``None`` renders as ``null``
+    like Java's ``Objects.toString(null)`` (``ErrorUtil.java:102-169``) —
+    dead-letter *fields* keep SQL NULL via :func:`render_value`."""
+    rendered = render_value(value)
+    return "null" if rendered is None else rendered
+
+
 class ProcessingException(RuntimeError):
     """Enriched rethrow wrapper (reference ``ProcessingException.java:30-39``).
 
     Message contract matches the reference exactly:
     ``Cannot process <value>`` for value-only shapes and
-    ``Cannot process ('<key>', '<value>')`` for key-value shapes.
+    ``Cannot process ('<key>', '<value>')`` for key-value shapes;
+    null inputs render as ``null``, Java-style.
     """
 
     @classmethod
     def for_value(cls, value: Any, cause: BaseException) -> "ProcessingException":
-        exc = cls(f"Cannot process {render_value(value)}")
+        exc = cls(f"Cannot process {_render_for_message(value)}")
         exc.__cause__ = cause
         return exc
 
@@ -104,7 +113,10 @@ class ProcessingException(RuntimeError):
     def for_key_value(
         cls, key: Any, value: Any, cause: BaseException
     ) -> "ProcessingException":
-        exc = cls(f"Cannot process ('{render_value(key)}', '{render_value(value)}')")
+        exc = cls(
+            "Cannot process "
+            f"('{_render_for_message(key)}', '{_render_for_message(value)}')"
+        )
         exc.__cause__ = cause
         return exc
 

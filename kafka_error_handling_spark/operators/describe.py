@@ -80,8 +80,36 @@ def describe_udf(
 
     Per-row loop inside an Arrow batch; the first failing record aborts the
     task with a ``ProcessingException`` naming it (fail-fast is the point).
+
+    Struct ``result_type`` (the ``ErrorDescribingKeyValueMapper`` parity
+    shape, where results are ``struct<key, value>``) returns a
+    ``pd.DataFrame`` keyed by field name — pandas UDFs require a DataFrame,
+    not a Series, for struct returns (mirrors ``capture_udf``).
     """
     wrapped = describe_errors_with_key(fn) if with_key else describe_errors(fn)
+
+    if isinstance(result_type, StructType):
+        fields = [f.name for f in result_type.fields]
+
+        @pandas_udf(result_type)
+        def _describe_struct(*cols: pd.Series) -> pd.DataFrame:
+            rows = zip(*[c.tolist() for c in cols])
+            out = [wrapped(*row) for row in rows]
+            recs = [
+                None
+                if r is None
+                else (r if isinstance(r, dict) else dict(zip(fields, r)))
+                for r in out
+            ]
+            return pd.DataFrame(
+                [
+                    {f: None for f in fields} if r is None else r
+                    for r in recs
+                ],
+                columns=fields,
+            )
+
+        return _describe_struct.asNondeterministic()
 
     @pandas_udf(result_type)
     def _describe(*cols: pd.Series) -> pd.Series:

@@ -32,11 +32,11 @@ from __future__ import annotations
 import logging
 from typing import Any, Callable, Iterable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DataType
 
-from ..model import ErrorFilter, is_recoverable, render_value
+from ..model import ErrorFilter, _render_for_message, is_recoverable
 from . import capture as C
 
 __all__ = [
@@ -82,14 +82,14 @@ def log_errors(
                 # message contract: ``ErrorLoggingKeyValueMapper.java:100``
                 logger.error(
                     "Cannot process ('%s', '%s')",
-                    render_value(args[0]),
-                    render_value(args[-1]),
+                    _render_for_message(args[0]),
+                    _render_for_message(args[-1]),
                     exc_info=exc,
                 )
             else:
                 # ``ErrorLoggingValueMapper.java:98``
                 logger.error(
-                    "Cannot process %s", render_value(args[-1]), exc_info=exc
+                    "Cannot process %s", _render_for_message(args[-1]), exc_info=exc
                 )
             raise
 
@@ -131,13 +131,13 @@ def _logging_fn(
                 if with_key and len(args) >= 2:
                     logger.error(
                         "Cannot process ('%s', '%s')",
-                        render_value(args[0]),
-                        render_value(args[-1]),
+                        _render_for_message(args[0]),
+                        _render_for_message(args[-1]),
                         exc_info=exc,
                     )
                 else:
                     logger.error(
-                        "Cannot process %s", render_value(args[-1]), exc_info=exc
+                        "Cannot process %s", _render_for_message(args[-1]), exc_info=exc
                     )
             raise
 
@@ -146,16 +146,22 @@ def _logging_fn(
 
 def _drop_errors(processed: DataFrame, processed_col: str, observe: bool) -> DataFrame:
     if observe:
-        _obs_counter[0] += 1
-        name = f"{OBSERVATION_PREFIX}_{_obs_counter[0]}"
-        processed = processed.observe(
-            name,
-            F.count(F.when(F.col(processed_col)[C.ERROR_COL].isNotNull(), 1)).alias(
-                "dropped"
-            ),
-            F.count(F.lit(1)).alias("total"),
+        processed = _observe_drops(
+            processed, F.col(processed_col)[C.ERROR_COL].isNotNull()
         )
     return C.values(processed, processed_col)
+
+
+def _observe_drops(df: DataFrame, is_error: Column) -> DataFrame:
+    """Attach the named drop/total observe metric used by every ``log_*``
+    transform — per-worker ``max_logs`` suppression never hides the count."""
+    _obs_counter[0] += 1
+    name = f"{OBSERVATION_PREFIX}_{_obs_counter[0]}"
+    return df.observe(
+        name,
+        F.count(F.when(is_error, 1)).alias("dropped"),
+        F.count(F.lit(1)).alias("total"),
+    )
 
 
 def log_map_values(
@@ -298,6 +304,10 @@ def log_process(
             raise
 
     p = C.capture_process(df, _proc, result_type, flt, pass_through, input_value_col)
+    # processor shapes emit a top-level error column, so the drop metric is
+    # the flat-column variant of _drop_errors (ADVICE r1: drops must stay
+    # counted once per-worker max_logs suppression kicks in)
+    p = _observe_drops(p, F.col(C.ERROR_COL).isNotNull())
     return p.filter(F.col(C.ERROR_COL).isNull()).drop(C.ERROR_COL)
 
 
@@ -325,6 +335,7 @@ def log_process_values(
     p = C.capture_process_values(
         df, _proc, result_type, flt, pass_through, input_value_col
     )
+    p = _observe_drops(p, F.col(C.ERROR_COL).isNotNull())
     return p.filter(F.col(C.ERROR_COL).isNull()).drop(C.ERROR_COL)
 
 

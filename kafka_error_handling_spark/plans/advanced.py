@@ -121,18 +121,38 @@ GROUP BY o_orderpriority
 
 
 def approx_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch aggregate — approximate by design, so the driver records
-    a rows-only check (no oracle); the pytest suite bounds the error vs the
-    exact count instead."""
+    """HLL sketch aggregate, made oracle-hashable: the raw sketch estimate is
+    approximate by design, so instead of emitting it we emit the exact
+    distinct count plus a ``within_5pct`` boolean (|approx − exact|/exact ≤
+    0.05).  Both sides are deterministic on fixed data — HLL on the same
+    input always yields the same estimate — so the oracle simply predicts
+    the exact count and ``true`` (VERDICT r1 "what's wrong" #3)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.count_distinct("l_partkey")
+            )
+            / F.count_distinct("l_partkey")
+            <= 0.05
+        ).alias("within_5pct"),
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 QUERIES = {
     "q14_promo_revenue": (q14_promo_revenue, SQL_Q14),
     "session_windows": (session_windows, SQL_SESSION_WINDOWS),
     "salted_join_agg": (salted_join_agg, SQL_SALTED_JOIN),
-    "approx_distinct": (approx_distinct_suppliers, None),
+    "approx_distinct": (approx_distinct_suppliers, SQL_APPROX_DISTINCT),
 }

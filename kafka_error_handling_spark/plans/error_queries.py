@@ -392,6 +392,9 @@ SQL_ERROR_HEADERS = """
 SELECT event_id, h.k AS header_key, h.v AS header_value
 FROM events,
      (SELECT * FROM (VALUES
+        ('__streams.errors.topic', NULL),
+        ('__streams.errors.partition', NULL),
+        ('__streams.errors.offset', NULL),
         ('__streams.errors.description', 'rate pipeline'),
         ('__streams.errors.exception.class.name', 'ZeroDivisionError'),
         ('__streams.errors.exception.message', 'float division by zero')

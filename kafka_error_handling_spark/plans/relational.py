@@ -478,7 +478,7 @@ SQL_COLLECTION = """
 SELECT event_id,
        CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) AS json_k,
        event_id % 5 + 1 AS arr_len,
-       (event_id % 5 + 1) * (event_id % 5 + 2) / 2 AS arr_sum,
+       CAST((event_id % 5 + 1) * (event_id % 5 + 2) / 2 AS BIGINT) AS arr_sum,
        CASE WHEN event_id % 5 + 1 >= 3 THEN 1 ELSE 0 END AS has_3,
        event_id % 5 + 1 AS arr_max,
        round(value, 4) AS map_a,

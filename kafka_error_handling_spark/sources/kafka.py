@@ -71,17 +71,25 @@ def read_stream(
     starting_offsets: str = "latest",
     include_headers: bool = True,
     max_offsets_per_trigger: Optional[int] = None,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """``spark.readStream.format("kafka")`` with the options the engine
     standardizes on.  ``maxOffsetsPerTrigger`` bounds micro-batch size —
-    the backpressure knob that keeps batch memory flat at any topic scale."""
+    the backpressure knob that keeps batch memory flat at any topic scale.
+
+    ``fail_on_data_loss`` defaults to **True** (reference-faithful
+    fail-fast): offsets lost to retention/topic deletion abort the query
+    instead of being silently skipped, matching the at-least-once
+    crash-and-retry contract in ``streaming/runner.py`` — nothing is
+    silently eaten.  Pass ``False`` explicitly to opt into skip-and-continue
+    on long-retention catch-up reads (documented divergence knob)."""
     r = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
         .option("includeHeaders", str(include_headers).lower())
-        .option("failOnDataLoss", "false")
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
     )
     if max_offsets_per_trigger:
         r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))

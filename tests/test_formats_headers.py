@@ -132,3 +132,79 @@ def test_error_headers_attached_and_replaced(spark):
     assert n_desc == 1
     # original value forwarded unchanged (ErrorHeaderProcessor contract)
     assert out.value == "x"
+
+
+# --- round-2 additions ----------------------------------------------------
+
+
+def test_error_headers_always_all_seven(spark):
+    """The reference always writes all seven __streams.errors.* keys, null
+    metadata included (``ErrorHeaderProcessor.java:113-115`` via
+    ``metadata.map(...).orElse(null)``) — so must we (ADVICE r1)."""
+    df = spark.createDataFrame([(1, "x")], "key int, value string")
+    p = keh.capture_map_values(df, lambda v: int(v), IntegerType())
+    out = H.with_error_headers(keh.errors(p), "hdr test").collect()[0]
+    hdrs = {h.key: (bytes(h.value).decode() if h.value is not None else None) for h in out.headers}
+    assert set(hdrs) == {
+        H.HEADER_TOPIC,
+        H.HEADER_PARTITION,
+        H.HEADER_OFFSET,
+        H.HEADER_DESCRIPTION,
+        H.HEADER_EXCEPTION_CLASS_NAME,
+        H.HEADER_EXCEPTION_MESSAGE,
+        H.HEADER_EXCEPTION_STACK_TRACE,
+    }
+    # metadata absent → null header values, exactly like the reference
+    assert hdrs[H.HEADER_TOPIC] is None
+    assert hdrs[H.HEADER_PARTITION] is None
+    assert hdrs[H.HEADER_OFFSET] is None
+
+
+def test_avro_jvm_dispatch(spark):
+    """to_avro_dead_letter dispatches to the JVM to_avro when spark-avro is
+    loaded, and to the spec encoder otherwise (VERDICT r1 #5).  In either
+    mode the wire bytes must decode identically."""
+    from kafka_error_handling_spark.formats import avro_format as AF
+
+    df = spark.createDataFrame([(1, "bad")], "key int, value string")
+    p = keh.capture_map_values(df, lambda v: int(v), IntegerType())
+    dlq = keh.dead_letters(keh.errors(p), "jvm test", key_cols=["key"])
+
+    spec = dlq.select(
+        to_avro_dead_letter(F.col("dead_letter"), use_jvm=False).alias("b")
+    ).collect()[0]
+    auto = dlq.select(
+        to_avro_dead_letter(F.col("dead_letter"), use_jvm="auto").alias("b")
+    ).collect()[0]
+
+    if AF.jvm_avro_available(spark):
+        # both paths must emit IDENTICAL bytes (Avro binary is fully
+        # determined by schema+value; the struct is re-projected to .avsc
+        # field order for the JVM path)
+        assert bytes(auto.b) == bytes(spec.b)
+    else:
+        # container has no spark-avro jar: auto == fallback
+        assert bytes(auto.b) == bytes(spec.b)
+    decoded = decode_dead_letter(bytes(auto.b))
+    assert decoded["description"] == "jvm test"
+    assert decoded["cause"]["error_class"] == "ValueError"
+
+
+def test_jvm_probe_harmless(spark):
+    """Availability probes never raise, whatever is (not) on the classpath."""
+    from kafka_error_handling_spark.formats.avro_format import jvm_avro_available
+    from kafka_error_handling_spark.formats.proto_format import (
+        jvm_protobuf_available,
+    )
+
+    assert jvm_avro_available(spark) in (True, False)
+    assert jvm_protobuf_available(spark) in (True, False)
+
+
+def test_avro_jvm_requires_flag_raises_without_jar(spark):
+    from kafka_error_handling_spark.formats import avro_format as AF
+
+    if AF.jvm_avro_available(spark):
+        pytest.skip("spark-avro present: use_jvm=True is legitimate here")
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        to_avro_dead_letter(F.col("dead_letter"), use_jvm=True)

@@ -31,8 +31,8 @@ def _canon(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "<NULL>"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # type-faithful: a whole float stays float-rendered (the driver's
+        # hash is type-sensitive — 3 vs 3.0 must NOT collapse, VERDICT r1 #2)
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
