@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -34,7 +35,15 @@ from pyspark.sql.types import (
 
 from ..sources.files import load_table
 
-__all__ = ["MEDIA_SCHEMA", "with_payload", "decode_stub", "decode_image", "frame_sample_stub"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "with_payload",
+    "decode_stub",
+    "decode_image",
+    "frame_sample_stub",
+    "resize_stub",
+    "feature_extract_stub",
+]
 
 # typed metadata carried next to every opaque payload
 MEDIA_SCHEMA = StructType(
@@ -152,6 +161,73 @@ def frame_sample_stub(
     return df.mapInPandas(_sample, out_schema)
 
 
+def resize_stub(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "doc_id",
+    width_col: str = "fake_width",
+    height_col: str = "fake_height",
+) -> DataFrame:
+    """Aspect-preserving fit-in-box resize plumbing (``mapInPandas``).
+
+    Real resize is per-pixel Python/PIL work — exactly the batch shape
+    exercised here; the stub computes the output geometry (never upscale,
+    floor to ≥1 px) so the result is value-checkable.  Payload bytes are
+    deliberately NOT an input: at scale the resize stage consumes the
+    decoded tensor within the same partition, no shuffle.
+    """
+    tw, th = target
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("out_width", IntegerType(), False),
+            StructField("out_height", IntegerType(), False),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, w, h in zip(pdf[id_col], pdf[width_col], pdf[height_col]):
+                scale = min(tw / w, th / h, 1.0)
+                rows.append(
+                    {
+                        id_col: rid,
+                        "out_width": max(int(w * scale), 1),
+                        "out_height": max(int(h * scale), 1),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "out_width", "out_height"])
+
+    return df.mapInPandas(_resize, out_schema)
+
+
+def feature_extract_stub(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", dim: int = 4
+) -> DataFrame:
+    """Feature-extraction plumbing: one fixed-width numeric feature row per
+    payload from an Arrow-batched ``mapInPandas`` — the shape of a real
+    embedding model scoring media batches.  Features are deterministic
+    digest-derived pseudo-activations in [0, 1)."""
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f"f{i}", DoubleType(), False) for i in range(dim)]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                row = {id_col: rid}
+                for i in range(dim):
+                    row[f"f{i}"] = (int(digest[4 * i : 4 * i + 4], 16) % 1000) / 1000.0
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[id_col] + [f"f{i}" for i in range(dim)])
+
+    return df.mapInPandas(_extract, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # correctness-gate queries
 # ---------------------------------------------------------------------------
@@ -196,7 +272,48 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize pipeline: two chained mapInPandas stages, payload
+    and tensor never leave their partition."""
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    dec = decode_stub(d).select(
+        "doc_id", "decoded.fake_width", "decoded.fake_height"
+    )
+    return resize_stub(dec)
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 640 + 1 AS w,
+         CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 480 + 1 AS h
+  FROM documents
+)
+SELECT doc_id,
+       greatest(CAST(floor(w * least(224.0 / w, 224.0 / h, 1.0)) AS INT), 1) AS out_width,
+       greatest(CAST(floor(h * least(224.0 / w, 224.0 / h, 1.0)) AS INT), 1) AS out_height
+FROM dims
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    return feature_extract_stub(d)
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       (CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 1000) / 1000.0 AS f0,
+       (CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 1000) / 1000.0 AS f1,
+       (CAST(concat('0x', substr(md5(text), 9, 4)) AS BIGINT) % 1000) / 1000.0 AS f2,
+       (CAST(concat('0x', substr(md5(text), 13, 4)) AS BIGINT) % 1000) / 1000.0 AS f3
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

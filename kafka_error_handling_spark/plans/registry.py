@@ -13,9 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import advanced, error_queries, relational, stats, subqueries
+    from . import advanced, error_queries, relational, stats, subqueries, tpch_more
 
-    mods = [error_queries, relational, advanced, stats, subqueries]
+    mods = [error_queries, relational, advanced, stats, subqueries, tpch_more]
     try:
         from ..datapipe import dedup, sampling, similarity, text
 
@@ -64,7 +64,16 @@ _PRIORITY = [
     "sample_mix_sources",
     "multimodal_decode",
     "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_features",
     "asof_join_last_purchase",
+    # new in round 2 (no driver row yet): wider TPC-H planner shapes
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q13_order_distribution",
+    "q19_or_predicates",
+    "q22_no_order_customers",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -88,3 +88,31 @@ def test_real_codec_seam_raises_not_implemented(spark):
     d = with_payload(_docs(spark))
     with pytest.raises(NotImplementedError, match="decode_stub"):
         decode_image(d)
+
+
+def test_resize_stub_geometry(spark):
+    dims = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 50), (3, 448, 224)],
+        "doc_id long, fake_width int, fake_height int",
+    )
+    from kafka_error_handling_spark.datapipe.multimodal import resize_stub
+
+    out = {r.doc_id: (r.out_width, r.out_height) for r in resize_stub(dims).collect()}
+    assert out[1] == (224, 168)   # downscale, aspect preserved (224/640)
+    assert out[2] == (100, 50)    # already fits: never upscale
+    assert out[3] == (224, 112)   # width-bound fit
+    assert dict(resize_stub(dims).dtypes) == {
+        "doc_id": "bigint", "out_width": "int", "out_height": "int"
+    }
+
+
+def test_feature_extract_stub_deterministic_and_bounded(spark):
+    d = with_payload(_docs(spark))
+    from kafka_error_handling_spark.datapipe.multimodal import feature_extract_stub
+
+    out = feature_extract_stub(d)
+    assert [f for f, _ in out.dtypes] == ["doc_id", "f0", "f1", "f2", "f3"]
+    a = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in out.collect()}
+    b = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in feature_extract_stub(d).collect()}
+    assert a == b
+    assert all(0.0 <= v < 1.0 for feats in a.values() for v in feats)
