@@ -56,6 +56,8 @@ EXTENDED = [
     "range_join_followups",
     "session_windows",
     "salted_join_agg",
+    "q7_volume_shipping",
+    "q13_order_distribution",
 ]
 
 
@@ -88,16 +90,28 @@ def _overhead_pair(spark, timings):
                 out.append(None)
         return pd.Series(out)
 
-    t0 = _time.time()
-    events.select(plain_udf(F.col("props")).alias("r")).filter(
-        F.col("r").isNotNull()
-    ).count()
-    timings["events_transform_unwrapped"] = round(_time.time() - t0, 3)
+    def _min2(fn):
+        # the wrapped/unwrapped ratio is the engine's headline overhead
+        # number — sub-second timings are noise-dominated single-shot, so
+        # take the min of two steady-state runs for BOTH sides
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            fn()
+            t = _time.time() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
 
-    t0 = _time.time()
-    p = capture_map_values(events, rate, DoubleType(), value_col="props")
-    values(p).count()
-    timings["events_transform_capture_wrapped"] = round(_time.time() - t0, 3)
+    timings["events_transform_unwrapped"] = _min2(
+        lambda: events.select(plain_udf(F.col("props")).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .count()
+    )
+    timings["events_transform_capture_wrapped"] = _min2(
+        lambda: values(
+            capture_map_values(events, rate, DoubleType(), value_col="props")
+        ).count()
+    )
 
 
 def main() -> None:

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "exact_dedup",
+    "exact_dedup_stream",
     "simhash",
     "simhash_neardup_pairs",
     "neardup_components",
@@ -203,6 +204,32 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+    )
+
+
+def exact_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content digest wins,
+    duplicates arriving within the watermark horizon are dropped.
+
+    The batch formulation (:func:`exact_dedup`) groups the whole corpus;
+    in a stream the state must be bounded, so this keys the built-in
+    ``dropDuplicatesWithinWatermark`` state store on the content digest —
+    state per key is evicted once the watermark passes, which bounds
+    memory by (dup-window x arrival rate) instead of corpus size.  At
+    100 TB-scale ingest this is the only formulation that works: the
+    digest key is 32 bytes regardless of document size, and the state
+    store shards across executors on the digest hash.
+    """
+    return (
+        docs.withColumn("_digest", content_hash(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
     )
 
 

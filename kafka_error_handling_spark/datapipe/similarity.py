@@ -246,10 +246,17 @@ QUERIES = {
 }
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.25
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket join (corpus vs
-    corpus), exact cosine inside buckets, threshold 0.9 — the embedding
-    flavor of near-dup detection (dedup.py has the lexical flavors)."""
+    corpus), exact cosine inside buckets — the embedding flavor of
+    near-dup detection (dedup.py has the lexical flavors).
+
+    Production near-dup runs at cosine ≥ ~0.9; the driver's synthetic
+    embeddings are near-orthogonal (max in-bucket cosine ≈ 0.42), so the
+    GATE pins the machinery at 0.25 where the result is non-trivial
+    (~40 pairs) instead of vacuously empty."""
     e = load_table(spark, sf_dir, "embeddings")
     c = e.select(
         F.col("vec_id").alias("id_a"),
@@ -274,11 +281,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.9)
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
-def _sql_embedding_neardup() -> str:
+def _sql_embedding_neardup(threshold: float = 0.25) -> str:
     buckets = _sql_lsh_buckets()
     return f"""
 WITH bk AS ({buckets}),
@@ -286,11 +293,54 @@ e AS (SELECT e.vec_id, embedding::DOUBLE[] AS ev, bk.bucket
       FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cos_sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_DUCK_COS} >= 0.9
+WHERE {_DUCK_COS} >= {threshold}
 """
 
 
 QUERIES["embedding_neardup"] = (q_embedding_neardup, _sql_embedding_neardup())
+
+
+def q_embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup keep/drop decision: cosine-verified pairs →
+    bounded-label-propagation connected components → one keep_id per
+    vector — the same linear consumer of a quadratic pair stream as the
+    lexical `dedup_neardup_keep` (see docs/SCALE.md)."""
+    from .dedup import CC_ROUNDS, neardup_components  # shared CC consumer
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = q_embedding_neardup(spark, sf_dir).select("id_a", "id_b").persist()
+    comp = neardup_components(pairs, e, id_col="vec_id", rounds=CC_ROUNDS)
+    return comp.filter(F.col("keep_id") != F.col("vec_id")).select(
+        "vec_id", "keep_id"
+    )
+
+
+def _sql_embedding_neardup_keep() -> str:
+    from .dedup import CC_ROUNDS
+
+    neardup = _sql_embedding_neardup()
+    prop = "SELECT vec_id AS id, vec_id AS label FROM embeddings"
+    for _ in range(CC_ROUNDS):
+        prop = (
+            f"SELECT src AS id, min(label) AS label FROM edges "
+            f"JOIN ({prop}) l ON edges.dst = l.id GROUP BY src"
+        )
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({neardup})),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+  UNION ALL SELECT vec_id, vec_id FROM embeddings
+)
+SELECT id AS vec_id, label AS keep_id FROM ({prop})
+WHERE label <> id
+"""
+
+
+QUERIES["embedding_neardup_keep"] = (
+    q_embedding_neardup_keep,
+    _sql_embedding_neardup_keep(),
+)
 
 
 # ---------------------------------------------------------------------------

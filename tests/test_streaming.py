@@ -271,3 +271,44 @@ def test_restart_from_checkpoint_skips_committed_batches(spark, tmp_path):
     (src / "b.json").write_text('{"key": 2, "value": "21"}\n')
     run_once()  # same checkpoint: only the new file is processed
     assert sorted((r.key, r.result) for r in got) == [(1, 20), (2, 42)]
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: the first occurrence of a content digest is
+    emitted, later duplicates inside the watermark horizon are dropped —
+    including duplicates arriving in a LATER micro-batch (cross-batch
+    state), which is what distinguishes dropDuplicatesWithinWatermark
+    from a per-batch distinct."""
+    from kafka_error_handling_spark.datapipe.dedup import exact_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        '{"doc_id": 1, "text": "alpha", "ts": "2026-01-01T00:00:00"}\n'
+        '{"doc_id": 2, "text": "alpha", "ts": "2026-01-01T00:00:30"}\n'
+        '{"doc_id": 3, "text": "beta",  "ts": "2026-01-01T00:01:00"}\n'
+    )
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").json(
+        str(src)
+    )
+    out = exact_dedup_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: one duplicate of 'alpha' (must be dropped via state),
+    # one new doc (must pass)
+    (src / "b1.json").write_text(
+        '{"doc_id": 4, "text": "alpha", "ts": "2026-01-01T00:02:00"}\n'
+        '{"doc_id": 5, "text": "gamma", "ts": "2026-01-01T00:03:00"}\n'
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT doc_id, text FROM dedup_stream_out").collect()
+    got = sorted((r.doc_id, r.text) for r in rows)
+    assert got == [(1, "alpha"), (3, "beta"), (5, "gamma")]
