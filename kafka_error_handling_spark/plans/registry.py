@@ -75,6 +75,7 @@ _PRIORITY = [
     "q19_or_predicates",
     "q22_no_order_customers",
     "embedding_neardup_keep",
+    "approx_quantiles",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

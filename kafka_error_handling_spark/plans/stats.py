@@ -123,8 +123,45 @@ GROUP BY user_id
 """
 
 
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna ``approx_percentile``), made
+    oracle-hashable the same way as ``approx_distinct``: emit the exact
+    quantiles plus within-1% booleans comparing sketch vs exact — both
+    deterministic on fixed data, so the oracle predicts the exact values
+    and ``true``.  At 100 TB the sketch is the only option (exact
+    percentile materializes the whole group per key); this query pins
+    that the sketch's error stays inside its contract."""
+    l = _t(spark, sf_dir, "lineitem")
+
+    def _within(p: float) -> F.Column:
+        approx = F.expr(f"approx_percentile(l_extendedprice, {p}, 10000)")
+        exact = F.expr(f"percentile(l_extendedprice, {p})")
+        return (F.abs(approx - exact) / exact <= 0.01).alias(
+            f"p{int(p * 100)}_within_1pct"
+        )
+
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("exact_p95"),
+        _within(0.5),
+        _within(0.95),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+       TRUE AS p50_within_1pct,
+       TRUE AS p95_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "stats_aggs": (stats_aggs, SQL_STATS),
+    "approx_quantiles": (approx_quantiles, SQL_APPROX_QUANTILES),
     "outer_joins": (outer_joins, SQL_OUTER_JOINS),
     "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE),
     "conditional_pivot": (conditional_pivot, SQL_PIVOT),
