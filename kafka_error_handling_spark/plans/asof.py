@@ -36,6 +36,7 @@ def asof_join(
     right_ts: str,
     right_cols: Optional[Sequence[str]] = None,
     strict: bool = False,
+    tolerance: Optional[str] = None,
 ) -> DataFrame:
     """Left as-of join.  ``right_cols`` are the right-side payload columns to
     forward-fill onto left rows (default: all non-key, non-ts columns).
@@ -43,6 +44,18 @@ def asof_join(
     ``strict=True`` means ``right_ts < left_ts`` (exclude simultaneous rows)
     — ties at equal timestamps are resolved by sorting right rows first
     (non-strict) or last (strict) at the same instant.
+
+    ``tolerance`` (interval string, e.g. ``"1 hour"``) bounds staleness the
+    way ``pandas.merge_asof(tolerance=...)`` does: a matched right row
+    older than ``left_ts - tolerance`` is treated as no match (NULL
+    payload).  Implemented as a post-fill mask on the forward-filled right
+    timestamp — same single shuffle + sort, no extra pass.  Caveat: each
+    payload column forward-fills past NULL values independently
+    (``last(..., ignorenulls)``), so with tolerance set, a right row whose
+    payload is NULL can yield an older column value while the freshness
+    check uses the newer row's timestamp — match pandas by coalescing
+    NULL right payloads to a sentinel upstream if that distinction
+    matters.
     """
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in (on, right_ts)
@@ -75,18 +88,39 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, -1 if strict and r_side == 1 else 0)
     )
-    # forward-fill every right payload column
+    # forward-fill every right payload column (+ the right timestamp when a
+    # staleness bound must be enforced)
+    ff_rt = (
+        [
+            F.last(
+                F.when(F.col("__side") == r_side, F.col("__t")), ignorenulls=True
+            )
+            .over(w)
+            .alias("__ff_rt")
+        ]
+        if tolerance is not None
+        else []
+    )
     filled = unioned.select(
         "*",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__ff_{c}")
             for c in rcols
         ],
+        *ff_rt,
     )
     is_left = F.col("__side") == l_side
+
+    def _payload(c: str):
+        col = F.col(f"__ff_{c}")
+        if tolerance is None:
+            return col.alias(f"asof_{c}")
+        fresh = F.col("__ff_rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        return F.when(fresh, col).alias(f"asof_{c}")
+
     return filled.filter(is_left).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__ff_{c}").alias(f"asof_{c}") for c in rcols],
+        *[_payload(c) for c in rcols],
     )
 
 
@@ -129,6 +163,42 @@ FROM events e
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 1-hour staleness bound: purchases older than an hour
+    before the event no longer forward-fill (merge_asof tolerance)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        e,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strict=True,
+        tolerance="1 hour",
+    )
+    return joined.select(
+        "event_id",
+        F.round("asof_purchase_value", 4).alias("recent_purchase_value"),
+    )
+
+
+SQL_ASOF_TOLERANCE = """
+SELECT e.event_id,
+       round((
+         SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts < e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+         ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+       ), 4) AS recent_purchase_value
+FROM events e
+"""
+
+
 QUERIES = {
     "asof_join_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "asof_join_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
 }

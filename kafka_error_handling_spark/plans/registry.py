@@ -76,6 +76,7 @@ _PRIORITY = [
     "q22_no_order_customers",
     "embedding_neardup_keep",
     "approx_quantiles",
+    "asof_join_tolerance",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",
