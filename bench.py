@@ -58,6 +58,7 @@ EXTENDED = [
     "salted_join_agg",
     "q7_volume_shipping",
     "q13_order_distribution",
+    "corpus_pipeline",
 ]
 
 

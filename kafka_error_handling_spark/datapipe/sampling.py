@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-__all__ = ["hash_bucket", "hash_sample", "assign_split", "pack_sequences", "mix_sources"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "assign_split",
+    "pack_sequences",
+    "mix_sources",
+    "take_per_group",
+]
 
 DENOM = 1_000_000  # ppm resolution for rates/weights
 
@@ -244,3 +251,45 @@ GROUP BY source
 
 
 QUERIES["sample_mix_sources"] = (q_mix_sources, _sql_mix_sources())
+
+
+def take_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic per-group cap: keep the ``k`` rows with the smallest
+    key hash per group (ties broken by the key itself) — the reproducible
+    replacement for per-group reservoir sampling.  One shuffle on the
+    group key; at scale this is the standard "at most K docs per domain"
+    curation step, and rerunning it on any partitioning selects the SAME
+    rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def q_take_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return take_per_group(d, "source", "doc_id", 50).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_take_per_group() -> str:
+    b = _DUCK_BUCKET.format(k="doc_id")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {b}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+
+
+QUERIES["sample_take_per_group"] = (q_take_per_group, _sql_take_per_group())

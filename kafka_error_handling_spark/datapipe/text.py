@@ -282,3 +282,46 @@ FROM s
 
 
 QUERIES["corpus_curation"] = (q_corpus_curation, _sql_corpus_curation())
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-set build a user of this engine actually
+    runs, as ONE declarative plan: curation (exact-dup keep/drop +
+    language + quality gates) → deterministic hash split assignment →
+    per-(source, split) counts.  Catalyst fuses the whole thing into the
+    digest aggregation plus two projections and one final groupBy — no
+    stage materializes an intermediate corpus."""
+    from .sampling import assign_split
+
+    d = load_table(spark, sf_dir, "documents")
+    cur = q_corpus_curation(spark, sf_dir)
+    kept = cur.filter(F.col("keep") == 1).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    s = assign_split(kept, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    return s.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _sql_corpus_pipeline() -> str:
+    # same ppm bucket macro as sampling.py (single source of truth there
+    # is format-string identical; duplicated here to avoid a circular
+    # import at module-load time)
+    b = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 1000000"
+    )
+    t, v = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
+    return f"""
+WITH cur AS ({_sql_corpus_curation()})
+SELECT d.source,
+       CASE WHEN {b} < {t} THEN 'train'
+            WHEN {b} < {v} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM cur JOIN documents d USING (doc_id)
+WHERE cur.keep = 1
+GROUP BY 1, 2
+"""
+
+
+QUERIES["corpus_pipeline"] = (q_corpus_pipeline, _sql_corpus_pipeline())

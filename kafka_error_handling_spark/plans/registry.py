@@ -77,6 +77,8 @@ _PRIORITY = [
     "embedding_neardup_keep",
     "approx_quantiles",
     "asof_join_tolerance",
+    "sample_take_per_group",
+    "corpus_pipeline",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -103,3 +103,33 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     # '*(n) ' prefixes mark whole-stage-codegen spans in the final plan —
     # both the partial and final aggregate must sit inside one
     assert "*(2) HashAggregate" in plan or "*(1) HashAggregate" in plan
+
+
+def test_q7_all_dims_broadcast_single_shuffle(spark, sf_dir):
+    """The six-table Q7 join tree must broadcast every dim leg and shuffle
+    only for the final group-by — at 100 TB a sort-merge on any dim leg
+    would move the fact table once per dim."""
+    from kafka_error_handling_spark.plans.tpch_more import q7_volume_shipping
+
+    plan = _plan(q7_volume_shipping(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q19_disjunctive_predicate_no_shuffle(spark, sf_dir):
+    """OR-of-ANDs over fact+dim collapses to broadcast join + scalar agg:
+    zero hash-partition exchanges in the whole plan."""
+    from kafka_error_handling_spark.plans.tpch_more import q19_or_predicates
+
+    plan = _plan(q19_or_predicates(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_tolerance_single_shuffle(spark, sf_dir):
+    """The staleness bound must not add a pass: as-of with tolerance is
+    still one shuffle (the keyed window) over the unioned frame."""
+    from kafka_error_handling_spark.plans.asof import q_asof_tolerance
+
+    plan = _plan(q_asof_tolerance(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
