@@ -312,3 +312,45 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT doc_id, text FROM dedup_stream_out").collect()
     got = sorted((r.doc_id, r.text) for r in rows)
     assert got == [(1, "alpha"), (3, "beta"), (5, "gamma")]
+
+
+def test_stream_static_enrichment_join_under_capture(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a batch dim
+    inside the same foreachBatch pass as capture — the standard streaming
+    enrichment topology (dim is re-read per micro-batch, no watermark
+    needed on the static side)."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "cust_id int, tier string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"cust_id": 1, "amount": "10"}\n'
+        '{"cust_id": 2, "amount": "bad"}\n'
+        '{"cust_id": 3, "amount": "5"}\n'
+    )
+    stream = spark.readStream.schema("cust_id int, amount string").json(str(src))
+
+    got = {"values": [], "errors": []}
+
+    def transform(df):
+        captured = keh.capture_map_values(
+            df, lambda v: int(v) * 2, IntegerType(), value_col="amount"
+        )
+        return captured.join(dim, "cust_id", "left")
+
+    q = run_captured(
+        stream,
+        transform,
+        write_values=lambda df, bid: got["values"].extend(df.collect()),
+        write_errors=lambda df, bid: got["errors"].extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    vals = sorted((r.cust_id, r.result, r.tier) for r in got["values"])
+    assert vals == [(1, 20, "gold"), (3, 10, None)]  # left join keeps dim-less rows
+    assert [(r.cust_id, r.error.error_class) for r in got["errors"]] == [
+        (2, "ValueError")
+    ]
