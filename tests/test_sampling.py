@@ -105,3 +105,23 @@ def test_ivf_probes_use_corpus_codebook(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id) for r in knn_ivf(e, q).collect()}
     recall = len(ivf & truth) / len(truth)
     assert recall >= 0.3, f"IVF recall {recall:.2f} — probe assignment broken?"
+
+
+def test_ivf_assignment_paths_agree(spark, sf_dir):
+    """The BLAS (arrow) and JVM-fold assignment paths must emit identical
+    (id, cid, c_sim, crank) rows — rounding to 6 absorbs summation-order
+    ULP differences; a disagreement here means the arrow path would
+    silently build different cells."""
+    from kafka_error_handling_spark.datapipe.similarity import (
+        ivf_assignments,
+        ivf_assignments_arrow,
+        ivf_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codebook = ivf_centroids(e)
+    jvm = ivf_assignments(e, centroids=codebook)
+    arrow = ivf_assignments_arrow(e, codebook.select("cid", "cv").collect())
+    a = {(r.vec_id, r.cid): (r.c_sim, r.crank) for r in jvm.collect()}
+    b = {(r.vec_id, r.cid): (r.c_sim, r.crank) for r in arrow.collect()}
+    assert a == b
