@@ -79,6 +79,8 @@ _PRIORITY = [
     "asof_join_tolerance",
     "sample_take_per_group",
     "corpus_pipeline",
+    "q9_product_profit",
+    "q16_supplier_cnt",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -326,8 +326,85 @@ GROUP BY n_name
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit from 'red' parts by supplier nation and
+    order year — LIKE-filtered broadcast dim + two dim legs + year
+    grouping.  (No partsupp table in this schema, so profit is revenue
+    rather than revenue − supplycost; the join tree is the point.)"""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(
+            broadcast(p.filter(F.col("p_name").like("%red%"))),
+            l.l_partkey == p.p_partkey,
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, size) for
+    non-PROMO small parts, excluding a NOT-IN supplier list — distinct
+    agg over a join with an anti-membership predicate."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    excluded = ["Supplier#000000001", "Supplier#000000002"]
+    s = _t(spark, sf_dir, "supplier").filter(~F.col("s_name").isin(excluded))
+    return (
+        l.join(
+            broadcast(
+                p.filter(
+                    (F.col("p_type") != "PROMO") & F.col("p_size").between(1, 15)
+                )
+            ),
+            l.l_partkey == p.p_partkey,
+        )
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey, "inner")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("s_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_size, count(DISTINCT s_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_type <> 'PROMO' AND p_size BETWEEN 1 AND 15
+  AND s_name NOT IN ('Supplier#000000001', 'Supplier#000000002')
+GROUP BY p_brand, p_size
+"""
+
+
 QUERIES = {
     "q7_volume_shipping": (q7_volume_shipping, SQL_Q7),
+    "q9_product_profit": (q9_product_profit, SQL_Q9),
+    "q16_supplier_cnt": (q16_supplier_cnt, SQL_Q16),
     "q8_market_share": (q8_market_share, SQL_Q8),
     "q10_returned_revenue": (q10_returned_revenue, SQL_Q10),
     "q13_order_distribution": (q13_order_distribution, SQL_Q13),
