@@ -327,7 +327,44 @@ FROM events WHERE event_type = 'error'
 """
 
 
+def _value_band(v: float):
+    # struct-result mapper: the ErrorDescribingKeyValueMapper parity shape
+    # whose pandas-UDF return path ADVICE r1 found broken (pd.DataFrame
+    # required for StructType returns) — gate-pinned here, not just pytest
+    return {"lo": round(v * 0.9, 4), "hi": round(v * 1.1, 4)}
+
+
+def q_describe_struct_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describeErrors with a struct<lo,hi> result type: the success path
+    must emit the struct fields exactly (type-transparent contract over a
+    composite result — `operators/describe.py` builds a pd.DataFrame for
+    StructType returns)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..operators import describe_map_values
+
+    e = _events(spark, sf_dir)
+    band = StructType(
+        [StructField("lo", DoubleType()), StructField("hi", DoubleType())]
+    )
+    out = describe_map_values(e, _value_band, band, value_col="value")
+    return out.select(
+        "event_id",
+        F.col("result.lo").alias("band_lo"),
+        F.col("result.hi").alias("band_hi"),
+    )
+
+
+SQL_DESCRIBE_STRUCT = """
+SELECT event_id,
+       round(value * 0.9, 4) AS band_lo,
+       round(value * 1.1, 4) AS band_hi
+FROM events
+"""
+
+
 QUERIES["describe_passthrough"] = (q_describe_passthrough, SQL_DESCRIBE_PASSTHROUGH)
+QUERIES["describe_struct_result"] = (q_describe_struct_result, SQL_DESCRIBE_STRUCT)
 QUERIES["capture_process_values"] = (q_capture_process_values, SQL_CAPTURE_PROCESS_VALUES)
 
 

@@ -81,6 +81,7 @@ _PRIORITY = [
     "corpus_pipeline",
     "q9_product_profit",
     "q16_supplier_cnt",
+    "describe_struct_result",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",
