@@ -13,9 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from . import advanced, error_queries, relational, stats, subqueries, tpch_more
+    from . import (
+        advanced,
+        error_queries,
+        relational,
+        stats,
+        subqueries,
+        tpch_more,
+        tpch_rest,
+    )
 
-    mods = [error_queries, relational, advanced, stats, subqueries, tpch_more]
+    mods = [error_queries, relational, advanced, stats, subqueries, tpch_more, tpch_rest]
     try:
         from ..datapipe import dedup, sampling, similarity, text
 
@@ -82,6 +90,14 @@ _PRIORITY = [
     "q9_product_profit",
     "q16_supplier_cnt",
     "describe_struct_result",
+    # round-2 continuation: the last seven TPC-H shapes (22/22 complete)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q15_top_supplier",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",
