@@ -1,0 +1,131 @@
+"""Sub-document (chunk-level) exact deduplication.
+
+Document-level dedup (datapipe/dedup.py) misses the dominant real-world
+duplication mode: boilerplate passages repeated *inside* otherwise
+distinct documents (headers, licenses, templated paragraphs).  Web-scale
+pipelines (C4, RefinedWeb) therefore dedup at line/paragraph granularity.
+The driver corpus has no paragraph separators, so the unit here is a
+fixed-width token chunk — the same granularity a sequence-packing
+pipeline emits anyway.
+
+Plan shape (scale-first):
+1. chunking is a pure array expression — ``sequence`` + ``slice`` +
+   ``concat_ws`` builds the chunk array per row, then ONE ``posexplode``
+   emits (doc_id, chunk_pos, chunk).  No per-token explode: the fan-out
+   is n_tokens/width, ~20× smaller.
+2. first-occurrence is a single ``groupBy(digest)`` with an integer
+   ``min(doc_id * 1e6 + pos)`` — one narrow shuffle keyed on the digest,
+   map-side combined; the 16-byte digest + one long is all that moves.
+3. per-doc stats re-aggregate on doc_id (the pre-explode partitioning
+   key, so with the repartition-before-explode pattern from
+   datapipe/dedup.py this agg is shuffle-free at scale).
+
+At 100 TB nothing here collects, broadcasts a large side, or carries text
+through a shuffle — duplicated chunks are detected via digests only.
+Counts are exact integers, so the gate hash is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+__all__ = ["chunk_tokens", "chunk_dedup_stats"]
+
+# encodes (doc_id, chunk_pos) as one orderable int64; safe while
+# chunk_pos < 1e6 (a 20M-token doc — far beyond any real document)
+_POS_BASE = 1_000_000
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    width: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into fixed-width token chunks:
+    (id, chunk_pos, chunk) with chunk = width consecutive tokens joined
+    by single spaces (the final chunk may be shorter)."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_pos", "chunk")
+    )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    width: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document chunk-dedup decision: how many of the doc's chunks are
+    corpus-wide first occurrences (kept) vs duplicates of an earlier
+    (doc_id, chunk_pos) (dropped).  Keep-first policy is the global
+    minimum of the integer-encoded occurrence key, exactly like
+    document-level ``dedup.py`` keep-first."""
+    ch = chunk_tokens(docs, width, text_col, id_col).select(
+        F.col(id_col),
+        F.col("chunk_pos"),
+        F.md5(F.col("chunk")).alias("h"),
+        (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
+    )
+    first = ch.groupBy("h").agg(F.min("occ_key").alias("keep_key"))
+    return (
+        ch.join(first, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("occ_key") != F.col("keep_key")).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate query
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(d, width=20)
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH ch AS (
+  SELECT doc_id, chunk_pos,
+         md5(chunk) AS h,
+         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)),
+             i -> array_to_string(
+                    list_slice(string_split(text, ' '), i * 20 + 1, i * 20 + 20),
+                    ' '))) AS chunk,
+           unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)))
+             AS chunk_pos
+    FROM documents
+  )
+), first AS (
+  SELECT h, min(occ_key) AS keep_key FROM ch GROUP BY h
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum(CASE WHEN occ_key <> keep_key THEN 1 ELSE 0 END) AS n_dup_chunks
+FROM ch JOIN first USING (h)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_chunks": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+}

@@ -1,0 +1,179 @@
+"""Lexical relevance ranking for training-data pipelines: BM25 scoring
+and corpus vocabulary / document-frequency statistics.
+
+Two plans, two scale regimes:
+
+- **Fixed query set** (``bm25_topk``): term-at-a-time scoring as pure
+  column expressions — per-document term frequencies via
+  ``size(filter(tokens, t == term))`` on the token array, corpus
+  statistics (N, avgdl, per-term document frequencies) as ONE global
+  aggregate broadcast back with ``crossJoin(broadcast(...))``.  No
+  explode, no per-token shuffle: at 100 TB this scans the corpus twice
+  (once for stats, once for scoring) with only a single-row exchange
+  between, and TakeOrderedAndProject caps the result.  The score is a
+  fixed-order arithmetic expression over exact integer term frequencies,
+  so the resulting double is bit-identical across engines (summation
+  order never varies — SURVEY.md §8 float discipline).
+
+- **Whole-vocabulary statistics** (``vocab_df``): the general path a real
+  indexer takes — ``explode`` the token array, ``groupBy(token)``, count
+  rows (collection frequency) and distinct docs (document frequency).
+  The shuffle key is the token; partial aggregation (map-side combine)
+  means the exchange carries one row per (partition, token), not one per
+  occurrence.  Skewed head tokens ("the") are exactly the AQE
+  skew-split case; counts stay exact integers.
+
+BM25 constants are the textbook k1=1.2, b=0.75 (Robertson/Sparck Jones);
+idf is the +1-smoothed variant ``ln((N - df + 0.5)/(df + 0.5) + 1)`` so
+it is never negative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..sources.files import load_table
+
+__all__ = ["bm25_topk", "vocab_df"]
+
+_K1 = 1.2
+_B = 0.75
+
+# deterministic demo query for the gate; any list of terms works
+_QUERY_TERMS = ["spark", "join", "window"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to ``query_terms``.
+
+    Plan shape: per-doc term frequencies and length are array expressions
+    fused into the scan; corpus stats are one broadcast single-row
+    aggregate; the ranking compiles to TakeOrderedAndProject.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _tf(term):
+        # NB: pyspark binds a Column to EVERY lambda parameter (a default
+        # arg would receive the element index) — capture via closure
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)]
+    base = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    scored = base.crossJoin(broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        score = score + idf * (tf * (_K1 + 1.0)) / norm
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("dl"),
+            # floor, not round: display-rounding must not sit on a tie
+            (F.floor(score * 10000) / 10000.0).alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def vocab_df(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and
+    collection frequency — the explode + groupBy(token) indexer path."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    return toks.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, _QUERY_TERMS, k=20)
+
+
+def _sql_bm25() -> str:
+    tf = {
+        i: f"len(list_filter(string_split(text, ' '), t -> t = '{term}'))"
+        for i, term in enumerate(_QUERY_TERMS)
+    }
+    score_terms = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_K1} + 1.0))"
+        f" / (tf_{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+        for i in range(len(_QUERY_TERMS))
+    )
+    tf_select = ", ".join(f"{e} AS tf_{i}" for i, e in tf.items())
+    df_select = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_QUERY_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_select}
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_select} FROM base
+)
+SELECT doc_id, dl, floor((0.0 + {score_terms}) * 10000) / 10000.0 AS bm25
+FROM base CROSS JOIN stats
+WHERE floor((0.0 + {score_terms}) * 10000) / 10000.0 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        vocab_df(d)
+        .orderBy(F.desc("df"), F.desc("cf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_VOCAB_DF = """
+SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY df DESC, cf DESC, token ASC
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "text_bm25_topk": (q_bm25_topk, _sql_bm25()),
+    "text_vocab_df": (q_vocab_df, SQL_VOCAB_DF),
+}

@@ -25,9 +25,9 @@ def _modules():
 
     mods = [error_queries, relational, advanced, stats, subqueries, tpch_more, tpch_rest]
     try:
-        from ..datapipe import dedup, sampling, similarity, text
+        from ..datapipe import chunks, dedup, ranking, sampling, similarity, text
 
-        mods += [text, dedup, similarity, sampling]
+        mods += [text, dedup, similarity, sampling, ranking, chunks]
     except ImportError:
         pass
     try:
@@ -98,6 +98,10 @@ _PRIORITY = [
     "q15_top_supplier",
     "q20_excess_shipments",
     "q21_waiting_supplier",
+    # round-2 continuation: ranking + sub-document dedup
+    "text_bm25_topk",
+    "text_vocab_df",
+    "dedup_chunks",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",
