@@ -34,6 +34,7 @@ __all__ = [
     "pack_sequences",
     "mix_sources",
     "take_per_group",
+    "stratified_exact",
 ]
 
 DENOM = 1_000_000  # ppm resolution for rates/weights
@@ -293,3 +294,58 @@ SELECT doc_id, source FROM (
 
 
 QUERIES["sample_take_per_group"] = (q_take_per_group, _sql_take_per_group())
+
+
+def stratified_exact(
+    df: DataFrame, group_col: str, key_col: str, frac: float
+) -> DataFrame:
+    """Exact-fraction stratified sample: EXACTLY ``ceil(frac * n_g)`` rows
+    from every stratum ``g``, chosen as the smallest key-hashes per group.
+
+    ``hash_sample``/``mix_sources`` threshold each row independently, so a
+    stratum's realized rate has binomial jitter (±sqrt(n) rows) — fine for
+    corpora, wrong for per-class evaluation sets where class balance IS
+    the contract.  Here the per-stratum count is exact by construction:
+    rank rows within the stratum by key hash (ties by key) and keep ranks
+    up to the quota computed from the same window's total count.
+
+    Scale: one shuffle on ``group_col`` (both window functions share the
+    single sort); selection stays deterministic under any partitioning,
+    retry, or engine — same contract as every op in this module.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col)), F.col(key_col)
+    )
+    wg = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_quota", F.ceil(F.count(F.lit(1)).over(wg) * frac))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% per (source) stratum of documents; the gate checks the
+    selected membership itself, not just counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_exact(d, "source", "doc_id", 0.10).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    b = _DUCK_BUCKET.format(k="doc_id")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {b}, doc_id) AS rn,
+         ceil(count(*) OVER (PARTITION BY source) * 0.10) AS quota
+  FROM documents
+) WHERE rn <= quota
+"""
+
+
+QUERIES["sample_stratified_exact"] = (q_stratified_sample, _sql_stratified_sample())

@@ -764,6 +764,167 @@ QUERIES["embedding_knn_lsh_multiprobe"] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8): 4× smaller vectors, integer-exact scoring
+# ---------------------------------------------------------------------------
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i/scale + .5)
+    with scale = max|x|/127 — the FAISS-SQ8-style compression that cuts
+    vector bytes 4× (the scan-dominant cost of a 100 TB ANN pass).
+
+    Returns ``struct<q: array<long>, scale: double>``.  The codes are
+    integer-valued, so downstream dot products and norms are EXACT integer
+    arithmetic — the quantized score is bit-identical in any engine (no
+    float-summation-order drift at all), which is why the gate can hash
+    the full quantized ranking rather than a recall boolean.
+    floor(x + 0.5), not round(): a code boundary tie must not depend on
+    the engine's rounding mode (same lesson as tpch_rest.q2).
+    """
+    v = _dvec(vec)
+    mx = F.aggregate(
+        F.transform(v, F.abs), F.lit(0.0), lambda s, x: F.greatest(s, x)
+    )
+    scale = F.when(mx > 0.0, mx / 127.0).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("long"))
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def knn_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k on int8-quantized vectors.
+
+    Same plan shape as :func:`knn_bruteforce` (broadcast query side, fold
+    scoring, per-query top-k window) but the score is integer arithmetic
+    over the codes; cosine is code-scale-invariant so the per-vector
+    scale cancels and never needs to ride along."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        int8_quantize(F.col(vec_col))["q"].alias("cq"),
+    ).withColumn(
+        "cn2",
+        F.aggregate(
+            F.transform(F.col("cq"), lambda x: x * x), F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        int8_quantize(F.col(vec_col))["q"].alias("qq"),
+    ).withColumn(
+        "qn2",
+        F.aggregate(
+            F.transform(F.col("qq"), lambda x: x * x), F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # exact-integer inputs → identical double in every engine;
+            # floored to 4 for display stability
+            (
+                F.floor(
+                    dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))) * 10000
+                )
+                / 10000.0
+            ).alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_q", "rank")
+    )
+
+
+def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_int8(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+_DUCK_Q8 = (
+    "list_transform(ev, x -> CAST(floor(x / (CASE WHEN mx > 0 THEN mx / 127.0"
+    " ELSE 1.0 END) + 0.5) AS BIGINT))"
+)
+
+SQL_KNN_INT8 = f"""
+WITH e AS (
+  SELECT vec_id, {_DUCK_Q8} AS q
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ev,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+        FROM embeddings)
+), n AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, x -> x * x)) AS n2
+  FROM e
+)
+SELECT query_id, neighbor_id, cos_q, rank FROM (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         floor(list_dot_product(b.q, a.q)
+               / (sqrt(b.n2) * sqrt(a.n2)) * 10000) / 10000.0 AS cos_q,
+         row_number() OVER (
+           PARTITION BY b.vec_id
+           ORDER BY floor(list_dot_product(b.q, a.q)
+                          / (sqrt(b.n2) * sqrt(a.n2)) * 10000) / 10000.0 DESC,
+                    a.vec_id ASC) AS rank
+  FROM n a JOIN n b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+) WHERE rank <= 5
+"""
+
+QUERIES["embedding_knn_int8"] = (q_knn_int8, SQL_KNN_INT8)
+
+
+def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the int8 ranking against the exact float
+    ranking — quantization loss measured, not guessed (the same
+    sketch-accuracy-gate pattern as approx_distinct/approx_quantiles)."""
+    exact = q_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_knn_int8(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg((F.count("an") / 5.0).alias("recall_at_5"))
+    )
+
+
+def _sql_int8_recall() -> str:
+    return f"""
+WITH exact AS ({SQL_KNN_BRUTEFORCE}),
+approx AS ({SQL_KNN_INT8})
+SELECT e.query_id, count(a.neighbor_id) / 5.0 AS recall_at_5
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES["embedding_int8_recall"] = (q_int8_recall, _sql_int8_recall())
+
+
 def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAS scale path of the brute-force knn — rows-only check (numpy's
     pairwise summation can differ from a sequential SQL fold in the last

@@ -102,6 +102,9 @@ _PRIORITY = [
     "text_bm25_topk",
     "text_vocab_df",
     "dedup_chunks",
+    "embedding_knn_int8",
+    "embedding_int8_recall",
+    "sample_stratified_exact",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

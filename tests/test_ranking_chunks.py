@@ -1,0 +1,163 @@
+"""BM25 ranking, vocabulary stats, chunk-level dedup, int8 quantization,
+and exact stratified sampling — the round-2 continuation operators."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_error_handling_spark.datapipe.chunks import (
+    chunk_dedup_stats,
+    chunk_tokens,
+)
+from kafka_error_handling_spark.datapipe.ranking import bm25_topk, vocab_df
+from kafka_error_handling_spark.datapipe.sampling import stratified_exact
+from kafka_error_handling_spark.datapipe.similarity import (
+    int8_quantize,
+    knn_bruteforce,
+    knn_int8,
+)
+from kafka_error_handling_spark.sources.files import load_table
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed(spark):
+    """Two tiny docs scored against a one-term query, checked against the
+    textbook formula computed by hand in Python."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat sat on the mat"),  # tf=1, dl=5
+            Row(doc_id=2, text="dog dog dog dog"),  # tf=0, dl=4
+            Row(doc_id=3, text="cat cat runs"),  # tf=2, dl=3
+        ]
+    )
+    out = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["cat"], k=10).collect()}
+    n, df, avgdl, k1, b = 3, 2, 4.0, 1.2, 0.75
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == math.floor(score(1, 5) * 10000) / 10000
+    assert out[3] == math.floor(score(2, 3) * 10000) / 10000
+    assert 2 not in out  # zero-score docs filtered
+
+
+def test_bm25_ranking_is_deterministic_topk(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = bm25_topk(d, ["spark", "join"], k=10).collect()
+    b = bm25_topk(d.repartition(13), ["spark", "join"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_plan_has_no_explode_and_broadcasts_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    plan = bm25_topk(d, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode: term-at-a-time array filter
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_df_counts(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="a c")]
+    )
+    out = {r.token: (r.df, r.cf) for r in vocab_df(docs).collect()}
+    assert out == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_tokens_widths_and_positions(spark):
+    docs = spark.createDataFrame([Row(doc_id=7, text=" ".join(f"t{i}" for i in range(45)))])
+    ch = chunk_tokens(docs, width=20).collect()
+    assert [r.chunk_pos for r in ch] == [0, 1, 2]
+    assert ch[0].chunk.split(" ") == [f"t{i}" for i in range(20)]
+    assert ch[2].chunk.split(" ") == [f"t{i}" for i in range(40, 45)]  # short tail
+
+
+def test_chunk_dedup_keep_first_across_docs(spark):
+    """A chunk repeated in a later doc counts as that doc's duplicate; the
+    first occurrence (lowest doc_id, then position) is the keeper."""
+    boiler = " ".join(["x"] * 20)
+    uniq1 = " ".join(f"a{i}" for i in range(20))
+    uniq2 = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{boiler} {uniq1}"),
+            Row(doc_id=2, text=f"{boiler} {uniq2}"),
+            Row(doc_id=3, text=boiler),
+        ]
+    )
+    out = {r.doc_id: (r.n_chunks, r.n_dup_chunks) for r in chunk_dedup_stats(docs, 20).collect()}
+    assert out == {1: (2, 0), 2: (2, 1), 3: (1, 1)}
+
+
+def test_chunk_dedup_intra_doc_repeat(spark):
+    boiler = " ".join(["y"] * 20)
+    docs = spark.createDataFrame([Row(doc_id=5, text=f"{boiler} {boiler}")])
+    out = chunk_dedup_stats(docs, 20).collect()[0]
+    assert (out.n_chunks, out.n_dup_chunks) == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_int8_quantize_codes_and_scale(spark):
+    df = spark.createDataFrame([Row(v=[1.0, -0.5, 0.25, 0.0])])
+    r = df.select(int8_quantize(F.col("v")).alias("s")).collect()[0].s
+    assert r.scale == pytest.approx(1.0 / 127)
+    assert list(r.q) == [127, -63, 32, 0]  # floor(x/scale + .5)
+    assert max(abs(c) for c in r.q) <= 127
+
+
+def test_int8_zero_vector_guard(spark):
+    df = spark.createDataFrame([Row(v=[0.0, 0.0])])
+    r = df.select(int8_quantize(F.col("v")).alias("s")).collect()[0].s
+    assert list(r.q) == [0, 0] and r.scale == 1.0
+
+
+def test_int8_recall_reasonable_on_testdata(spark, sf_dir):
+    """Quantization should barely perturb a 64-dim ranking: recall@5 of
+    the int8 top-k vs the exact float top-k stays high."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in knn_bruteforce(e, q, k=5).collect()
+    }
+    quant = {(r.query_id, r.neighbor_id) for r in knn_int8(e, q, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall {recall}"
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_exact_quota_per_group(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.n for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    s = stratified_exact(d, "source", "doc_id", 0.10)
+    got = {r.source: r.n for r in s.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {src: math.ceil(n * 0.10) for src, n in totals.items()}
+
+
+def test_stratified_exact_deterministic_membership(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in stratified_exact(d, "source", "doc_id", 0.25).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_exact(d.repartition(11), "source", "doc_id", 0.25).collect()
+    }
+    assert a == b
