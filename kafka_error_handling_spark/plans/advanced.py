@@ -156,3 +156,68 @@ QUERIES = {
     "salted_join_agg": (salted_join_agg, SQL_SALTED_JOIN),
     "approx_distinct": (approx_distinct_suppliers, SQL_APPROX_DISTINCT),
 }
+
+
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1-hour windows every 30
+    minutes, so each event lands in exactly two overlapping windows —
+    the shape `event_time_windows` (tumbling) does not exercise.  Spark's
+    ``window(ts, dur, slide)`` generates the window copies JVM-side; the
+    oracle reproduces the epoch-aligned starts with explicit arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOWS = """
+SELECT strftime(make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - k * 1800)
+                                    * 1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events, unnest([0, 1]) AS t(k)
+GROUP BY 1, 2
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p95) per group — the
+    sort-based exact path next to the `approx_quantiles` sketch gate.
+    Both engines linearly interpolate over the identical sorted doubles,
+    so the values match bit-for-bit; floored to 4 for display."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (F.floor(F.expr("percentile(l_extendedprice, 0.5)") * 10000) / 10000.0).alias(
+            "median_price"
+        ),
+        (F.floor(F.expr("percentile(l_extendedprice, 0.95)") * 10000) / 10000.0).alias(
+            "p95_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_EXACT_PERCENTILES = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000.0 AS median_price,
+       floor(quantile_cont(l_extendedprice, 0.95) * 10000) / 10000.0 AS p95_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["sliding_windows"] = (sliding_windows, SQL_SLIDING_WINDOWS)
+QUERIES["exact_percentiles"] = (exact_percentiles, SQL_EXACT_PERCENTILES)

@@ -105,6 +105,8 @@ _PRIORITY = [
     "embedding_knn_int8",
     "embedding_int8_recall",
     "sample_stratified_exact",
+    "sliding_windows",
+    "exact_percentiles",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",
