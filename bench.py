@@ -59,6 +59,14 @@ EXTENDED = [
     "q7_volume_shipping",
     "q13_order_distribution",
     "corpus_pipeline",
+    # round-2 continuation entries
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
+    "text_bm25_topk",
+    "text_vocab_df",
+    "dedup_chunks",
+    "embedding_knn_int8",
+    "sliding_windows",
 ]
 
 

@@ -325,3 +325,124 @@ GROUP BY 1, 2
 
 
 QUERIES["corpus_pipeline"] = (q_corpus_pipeline, _sql_corpus_pipeline())
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + n-gram statistics (curation steps)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset so Spark and
+# any RE2-based engine (DuckDB oracle) replace identical spans.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{3}-[0-9]{2,4}-?[0-9]{0,4}", "<PHONE>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace email / phone / URL spans with typed placeholder tokens —
+    the standard pre-training scrub pass, as chained ``regexp_replace``
+    column expressions (JVM regex, scan-fused, no UDF)."""
+    out = text
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the corpus is synthetic clean words, so PII is injected
+    deterministically per doc (an email + a phone tail) and then scrubbed;
+    the gate pins span detection + replacement behavior cross-engine, and
+    placeholder counts are exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +555-01"),
+        F.col("doc_id").cast("string"),
+    )
+    clean = scrub_pii(dirty)
+    n_ph = (
+        F.size(F.split(clean, "<EMAIL>", -1))
+        + F.size(F.split(clean, "<PHONE>", -1))
+        - 2
+    )
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("clean_len"),
+        n_ph.alias("n_scrubbed"),
+        F.substring(clean, -30, 30).alias("tail"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    email_pat = PII_PATTERNS[0][1]
+    phone_pat = PII_PATTERNS[1][1]
+    url_pat = PII_PATTERNS[2][1]
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +555-01' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+), clean AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '{email_pat}', '<EMAIL>', 'g'),
+           '{phone_pat}', '<PHONE>', 'g'),
+           '{url_pat}', '<URL>', 'g') AS c
+  FROM dirty
+)
+SELECT doc_id,
+       length(c) AS clean_len,
+       len(string_split_regex(c, '<EMAIL>')) + len(string_split_regex(c, '<PHONE>')) - 2
+         AS n_scrubbed,
+       substr(c, length(c) - 29, 30) AS tail
+FROM clean
+"""
+
+
+QUERIES["text_pii_scrub"] = (q_pii_scrub, _sql_pii_scrub())
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram statistics — the n-gram language-model counting pass.
+    Bigrams are built from the token array JVM-side (element_at over an
+    index sequence: no self-join, no per-token explode) and ONE explode
+    feeds a groupBy(bigram) with map-side combine; the shuffle carries
+    (bigram, partial count) only."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_counts(d).orderBy(F.desc("n"), F.asc("bigram")).limit(30)
+
+
+SQL_BIGRAM_COUNTS = """
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+         )) AS bigram
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 30
+"""
+
+
+QUERIES["text_bigram_counts"] = (q_bigram_counts, SQL_BIGRAM_COUNTS)

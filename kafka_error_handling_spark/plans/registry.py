@@ -107,6 +107,8 @@ _PRIORITY = [
     "sample_stratified_exact",
     "sliding_windows",
     "exact_percentiles",
+    "text_pii_scrub",
+    "text_bigram_counts",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -161,3 +161,28 @@ def test_stratified_exact_deterministic_membership(spark, sf_dir):
         for r in stratified_exact(d.repartition(11), "source", "doc_id", 0.25).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + bigrams
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_replaces_typed_spans(spark):
+    from kafka_error_handling_spark.datapipe.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [Row(t="mail me at bob.smith@corp.io or +555-12-3456 via https://x.io/a b")]
+    )
+    out = df.select(scrub_pii(F.col("t")).alias("c")).collect()[0].c
+    assert out == "mail me at <EMAIL> or <PHONE> via <URL> b"
+
+
+def test_bigram_counts_exact(spark):
+    from kafka_error_handling_spark.datapipe.text import bigram_counts
+
+    docs = spark.createDataFrame(
+        [Row(text="a b a b"), Row(text="b a")]
+    )
+    out = {r.bigram: r.n for r in bigram_counts(docs).collect()}
+    assert out == {"a b": 2, "b a": 2}
