@@ -446,3 +446,72 @@ LIMIT 30
 
 
 QUERIES["text_bigram_counts"] = (q_bigram_counts, SQL_BIGRAM_COUNTS)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the published
+    repetition filters (fraction of unique tokens, most-frequent-token
+    share, duplicate-bigram share) that gate low-quality/looping text out
+    of a pretraining corpus.
+
+    Unique-token and bigram ratios are pure array expressions (no
+    explode); the top-token share needs a per-(doc, token) count → ONE
+    explode + two-level aggregate keyed on doc_id, which reuses the same
+    shuffle key every per-doc op in this module uses."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    base = d.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("uniq_ratio"),
+        F.round(
+            1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4
+        ).alias("dup_bigram_frac"),
+        F.size(toks).alias("n_tok"),
+    )
+    top = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "uniq_ratio",
+        "dup_bigram_frac",
+        F.round(F.col("top_c") / F.col("n_tok"), 4).alias("top_tok_frac"),
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')), 4) AS uniq_ratio,
+         round(1.0 - len(list_distinct(list_transform(
+                 range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+               )))::DOUBLE
+               / len(list_transform(
+                 range(1, len(string_split(text, ' '))), i -> i)), 4)
+           AS dup_bigram_frac,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT base.doc_id, uniq_ratio, dup_bigram_frac,
+       round(top_c::DOUBLE / n_tok, 4) AS top_tok_frac
+FROM base JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+QUERIES["text_repetition"] = (q_text_repetition, SQL_TEXT_REPETITION)

@@ -109,6 +109,7 @@ _PRIORITY = [
     "exact_percentiles",
     "text_pii_scrub",
     "text_bigram_counts",
+    "text_repetition",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -354,3 +354,39 @@ def test_stream_static_enrichment_join_under_capture(spark, tmp_path):
     assert [(r.cust_id, r.error.error_class) for r in got["errors"]] == [
         (2, "ValueError")
     ]
+
+
+def test_streaming_sliding_window_agg(spark, tmp_path):
+    """Sliding (hopping) windows in streaming mode: 1-minute windows every
+    30s, so each event lands in two windows — the streaming twin of the
+    batch `sliding_windows` gate query."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"ts": "2024-01-01T00:00:10", "v": 1.0}\n'
+        '{"ts": "2024-01-01T00:00:40", "v": 2.0}\n'
+    )
+    stream = spark.readStream.schema("ts timestamp, v double").json(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute", "30 seconds"))
+        .agg(F.sum("v").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = {
+        r.window.start.isoformat(): r.total
+        for r in spark.sql("select * from slide_test").collect()
+    }
+    q.stop()
+    # event@10 -> windows starting 23:59:30 and 00:00:00
+    # event@40 -> windows starting 00:00:00 and 00:00:30
+    assert rows["2023-12-31T23:59:30"] == 1.0
+    assert rows["2024-01-01T00:00:00"] == 3.0
+    assert rows["2024-01-01T00:00:30"] == 2.0
