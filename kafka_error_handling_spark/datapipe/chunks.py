@@ -13,9 +13,10 @@ Plan shape (scale-first):
    ``concat_ws`` builds the chunk array per row, then ONE ``posexplode``
    emits (doc_id, chunk_pos, chunk).  No per-token explode: the fan-out
    is n_tokens/width, ~20× smaller.
-2. first-occurrence is a single ``groupBy(digest)`` with an integer
-   ``min(doc_id * 1e6 + pos)`` — one narrow shuffle keyed on the digest,
-   map-side combined; the 16-byte digest + one long is all that moves.
+2. first-occurrence is ``min(occ_key) OVER (PARTITION BY digest)`` — a
+   window, not a groupBy+self-join: one shuffle keyed on the digest and
+   the chunk explode runs ONCE (the join formulation recomputes it on
+   both branches — caught by ``test_chunk_dedup_single_posexplode``).
 3. per-doc stats re-aggregate on doc_id (the pre-explode partitioning
    key, so with the repartition-before-explode pattern from
    datapipe/dedup.py this agg is shuffle-free at scale).
@@ -70,15 +71,17 @@ def chunk_dedup_stats(
     (doc_id, chunk_pos) (dropped).  Keep-first policy is the global
     minimum of the integer-encoded occurrence key, exactly like
     document-level ``dedup.py`` keep-first."""
+    from pyspark.sql.window import Window
+
     ch = chunk_tokens(docs, width, text_col, id_col).select(
         F.col(id_col),
         F.col("chunk_pos"),
         F.md5(F.col("chunk")).alias("h"),
         (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
     )
-    first = ch.groupBy("h").agg(F.min("occ_key").alias("keep_key"))
+    keep = F.min("occ_key").over(Window.partitionBy("h"))
     return (
-        ch.join(first, "h")
+        ch.withColumn("keep_key", keep)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -86,6 +89,55 @@ def chunk_dedup_stats(
                 "n_dup_chunks"
             ),
         )
+    )
+
+
+def chunk_dedup_apply(
+    docs: DataFrame,
+    width: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The transform itself: rebuild every document keeping only its
+    corpus-wide first-occurrence chunks (duplicated boilerplate removed,
+    original chunk order preserved).
+
+    Reassembly sorts the per-doc (pos, chunk) pairs inside an array
+    aggregate — ``sort_array(collect_list(struct(pos, chunk)))`` is
+    deterministic where a bare ``collect_list`` is not — and the groupBy
+    key is the same doc id the chunk stage is partitioned on.  Documents
+    whose every chunk was boilerplate come back empty-string, not
+    dropped: the decision stays visible downstream."""
+    from pyspark.sql.window import Window
+
+    ch = chunk_tokens(docs, width, text_col, id_col).select(
+        F.col(id_col),
+        F.col("chunk_pos"),
+        F.col("chunk"),
+        F.md5(F.col("chunk")).alias("h"),
+        (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
+    )
+    keep = F.min("occ_key").over(Window.partitionBy("h"))
+    kept = ch.withColumn("keep_key", keep).filter(
+        F.col("occ_key") == F.col("keep_key")
+    )
+    assembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("chunk_pos", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+    # left join back so fully-duplicate docs surface with empty text
+    return docs.select(id_col).join(assembled, id_col, "left").select(
+        id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text")
     )
 
 
@@ -126,6 +178,49 @@ GROUP BY doc_id
 """
 
 
+def q_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = chunk_dedup_apply(d, width=20)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_digest"),
+        F.length("clean_text").alias("clean_len"),
+    )
+
+
+SQL_CHUNK_DEDUP_APPLY = f"""
+WITH ch AS (
+  SELECT doc_id, chunk_pos, chunk,
+         md5(chunk) AS h,
+         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)),
+             i -> array_to_string(
+                    list_slice(string_split(text, ' '), i * 20 + 1, i * 20 + 20),
+                    ' '))) AS chunk,
+           unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)))
+             AS chunk_pos
+    FROM documents
+  )
+), first AS (
+  SELECT h, min(occ_key) AS keep_key FROM ch GROUP BY h
+), kept AS (
+  SELECT doc_id, chunk_pos, chunk
+  FROM ch JOIN first USING (h)
+  WHERE occ_key = keep_key
+), assembled AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(clean_text, '')) AS clean_digest,
+       length(coalesce(clean_text, '')) AS clean_len
+FROM documents d LEFT JOIN assembled a ON d.doc_id = a.doc_id
+"""
+
+
 QUERIES = {
     "dedup_chunks": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "dedup_chunks_apply": (q_chunk_dedup_apply, SQL_CHUNK_DEDUP_APPLY),
 }

@@ -110,6 +110,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_bigram_counts",
     "text_repetition",
+    "dedup_chunks_apply",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

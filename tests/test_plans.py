@@ -133,3 +133,27 @@ def test_asof_tolerance_single_shuffle(spark, sf_dir):
 
     plan = _plan(q_asof_tolerance(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q21_semi_anti_self_joins_with_broadcast_dims(spark, sf_dir):
+    """Q21's exists/not-exists pair compiles to semi + anti joins, and the
+    supplier/nation dims ride broadcasts (no fact-side shuffle for them)."""
+    from kafka_error_handling_spark.plans.tpch_rest import q21_waiting_supplier
+
+    plan = (
+        q21_waiting_supplier(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_single_posexplode(spark, sf_dir):
+    """Chunking fans out once at chunk granularity — exactly one Generate
+    (posexplode) in the plan, never a per-token explode."""
+    from kafka_error_handling_spark.datapipe.chunks import q_chunk_dedup
+
+    plan = (
+        q_chunk_dedup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate") == 1
