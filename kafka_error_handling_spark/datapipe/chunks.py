@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-__all__ = ["chunk_tokens", "chunk_dedup_stats"]
+__all__ = ["chunk_tokens", "chunk_dedup_stats", "chunk_dedup_apply"]
 
 # encodes (doc_id, chunk_pos) as one orderable int64; safe while
 # chunk_pos < 1e6 (a 20M-token doc — far beyond any real document)
@@ -224,3 +224,82 @@ QUERIES = {
     "dedup_chunks": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "dedup_chunks_apply": (q_chunk_dedup_apply, SQL_CHUNK_DEDUP_APPLY),
 }
+
+
+def q_pipeline_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition over the chunk layer: boilerplate removal
+    (chunk_dedup_apply) → before/after token accounting → deterministic
+    hash split assignment → per-(source, split) corpus stats, as ONE
+    declarative plan.  This is the second flagship pipeline
+    (text.q_corpus_pipeline composes the doc-level gates); it proves the
+    chunk transform composes downstream without materialization."""
+    from .sampling import assign_split
+    from .text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = chunk_dedup_apply(d, width=20)
+    stats = (
+        d.select("doc_id", "source", token_count(F.col("text")).alias("tok_before"))
+        .join(cleaned, "doc_id")
+        .withColumn("tok_after", token_count(F.col("clean_text")))
+    )
+    s = assign_split(stats, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_before").alias("tokens_before"),
+        F.sum("tok_after").alias("tokens_after"),
+    )
+
+
+def _sql_pipeline_chunked_corpus() -> str:
+    # same ppm bucket macro as sampling.py
+    b = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 1000000"
+    )
+    t, v = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
+    return f"""
+WITH ch AS (
+  SELECT doc_id, chunk_pos, chunk,
+         md5(chunk) AS h,
+         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)),
+             i -> array_to_string(
+                    list_slice(string_split(text, ' '), i * 20 + 1, i * 20 + 20),
+                    ' '))) AS chunk,
+           unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS INT)))
+             AS chunk_pos
+    FROM documents
+  )
+), kept AS (
+  SELECT doc_id, chunk_pos, chunk
+  FROM (SELECT *, min(occ_key) OVER (PARTITION BY h) AS keep_key FROM ch)
+  WHERE occ_key = keep_key
+), assembled AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_pos) AS clean_text
+  FROM kept GROUP BY doc_id
+), stats AS (
+  SELECT d.doc_id, d.source,
+         len(string_split(d.text, ' ')) AS tok_before,
+         len(string_split(coalesce(a.clean_text, ''), ' ')) AS tok_after
+  FROM documents d LEFT JOIN assembled a ON d.doc_id = a.doc_id
+)
+SELECT source,
+       CASE WHEN {b} < {t} THEN 'train'
+            WHEN {b} < {v} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(tok_before) AS tokens_before,
+       sum(tok_after) AS tokens_after
+FROM stats
+GROUP BY 1, 2
+"""
+
+
+QUERIES["pipeline_chunked_corpus"] = (
+    q_pipeline_chunked_corpus,
+    _sql_pipeline_chunked_corpus(),
+)

@@ -111,6 +111,7 @@ _PRIORITY = [
     "text_bigram_counts",
     "text_repetition",
     "dedup_chunks_apply",
+    "pipeline_chunked_corpus",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -186,3 +186,36 @@ def test_bigram_counts_exact(spark):
     )
     out = {r.bigram: r.n for r in bigram_counts(docs).collect()}
     assert out == {"a b": 2, "b a": 2}
+
+
+def test_chunk_dedup_apply_identity_on_unique_corpus(spark):
+    """Invariant: with no duplicated chunks anywhere, apply() returns every
+    document byte-identical."""
+    from kafka_error_handling_spark.datapipe.chunks import chunk_dedup_apply
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"w{i}_{j}" for j in range(47)))
+            for i in range(5)
+        ]
+    )
+    out = {r.doc_id: r.clean_text for r in chunk_dedup_apply(docs, 20).collect()}
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert out == orig
+
+
+def test_chunk_dedup_apply_removes_boilerplate_in_order(spark):
+    from kafka_error_handling_spark.datapipe.chunks import chunk_dedup_apply
+
+    boiler = " ".join(["x"] * 20)
+    head = " ".join(f"h{i}" for i in range(20))
+    tail = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=boiler),
+            Row(doc_id=2, text=f"{head} {boiler} {tail}"),
+        ]
+    )
+    out = {r.doc_id: r.clean_text for r in chunk_dedup_apply(docs, 20).collect()}
+    assert out[1] == boiler          # first occurrence kept
+    assert out[2] == f"{head} {tail}"  # middle boilerplate removed, order kept
