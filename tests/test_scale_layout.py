@@ -62,3 +62,31 @@ def test_rate_source_smoke(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert rows and all(r.result == r.value * 2 for r in rows)
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running a partitioned batch write must not duplicate data: with
+    dynamic partitionOverwriteMode, a re-run (or a backfill of one day)
+    replaces exactly the partitions it produces and leaves the rest —
+    the idempotent-sink contract a checkpointed batch pipeline needs."""
+    from kafka_error_handling_spark.sources.files import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "part_out")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        e.write.partitionBy("day").mode("overwrite").parquet(out)
+        n1 = spark.read.parquet(out).count()
+        # re-run the identical job (simulates a retry after failure)
+        e.write.partitionBy("day").mode("overwrite").parquet(out)
+        n2 = spark.read.parquet(out).count()
+        assert n1 == n2 == e.count()
+        # backfill ONE day: only that partition is replaced, others intact
+        one_day = e.filter(F.col("day") == e.select(F.min("day")).collect()[0][0])
+        one_day.write.partitionBy("day").mode("overwrite").parquet(out)
+        assert spark.read.parquet(out).count() == n1
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
