@@ -37,6 +37,7 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     strict: bool = False,
     tolerance: Optional[str] = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join.  ``right_cols`` are the right-side payload columns to
     forward-fill onto left rows (default: all non-key, non-ts columns).
@@ -44,6 +45,12 @@ def asof_join(
     ``strict=True`` means ``right_ts < left_ts`` (exclude simultaneous rows)
     — ties at equal timestamps are resolved by sorting right rows first
     (non-strict) or last (strict) at the same instant.
+
+    ``direction`` mirrors ``pandas.merge_asof``: ``"backward"`` (default)
+    attaches the most recent right row at-or-before the left timestamp;
+    ``"forward"`` the earliest right row at-or-after it.  Forward is the
+    same single shuffle + sort with the window frame mirrored
+    (``first(ignorenulls)`` over [current, unbounded following]).
 
     ``tolerance`` (interval string, e.g. ``"1 hour"``) bounds staleness the
     way ``pandas.merge_asof(tolerance=...)`` does: a matched right row
@@ -57,14 +64,22 @@ def asof_join(
     NULL right payloads to a sentinel upstream if that distinction
     matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in (on, right_ts)
     ]
     lcols = left.columns
 
-    # side marker: in non-strict mode right rows sort BEFORE left rows at the
-    # same timestamp (<=); in strict mode AFTER (<)
-    r_side = 0 if not strict else 1
+    # side marker — backward: non-strict sorts right rows BEFORE left rows
+    # at the same timestamp (<=), strict AFTER (<); forward mirrors it
+    # (non-strict sorts right AFTER left so the [current, following) frame
+    # includes equal-ts rows, strict BEFORE so it excludes them)
+    if fwd:
+        r_side = 1 if not strict else 0
+    else:
+        r_side = 0 if not strict else 1
     l_side = 1 - r_side
 
     r_tagged = right.select(
@@ -83,18 +98,27 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side")
-        .rowsBetween(Window.unboundedPreceding, -1 if strict and r_side == 1 else 0)
-    )
-    # forward-fill every right payload column (+ the right timestamp when a
+    if fwd:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__side")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__t", "__side")
+            .rowsBetween(
+                Window.unboundedPreceding, -1 if strict and r_side == 1 else 0
+            )
+        )
+        fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    # fill every right payload column (+ the right timestamp when a
     # staleness bound must be enforced)
     ff_rt = (
         [
-            F.last(
-                F.when(F.col("__side") == r_side, F.col("__t")), ignorenulls=True
-            )
+            fill(F.when(F.col("__side") == r_side, F.col("__t")))
             .over(w)
             .alias("__ff_rt")
         ]
@@ -103,10 +127,7 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__ff_{c}")
-            for c in rcols
-        ],
+        *[fill(F.col(f"__r_{c}")).over(w).alias(f"__ff_{c}") for c in rcols],
         *ff_rt,
     )
     is_left = F.col("__side") == l_side
@@ -115,7 +136,10 @@ def asof_join(
         col = F.col(f"__ff_{c}")
         if tolerance is None:
             return col.alias(f"asof_{c}")
-        fresh = F.col("__ff_rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        if fwd:
+            fresh = F.col("__ff_rt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+        else:
+            fresh = F.col("__ff_rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
         return F.when(fresh, col).alias(f"asof_{c}")
 
     return filled.filter(is_left).select(
@@ -198,7 +222,42 @@ FROM events e
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward direction: the next purchase strictly after each event —
+    merge_asof(direction='forward') parity, same one-shuffle plan."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        e,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strict=True,
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.round("asof_purchase_value", 4).alias("next_purchase_value"),
+    )
+
+
+SQL_ASOF_FORWARD = """
+SELECT e.event_id,
+       round((
+         SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts > e.ts
+         ORDER BY p.ts ASC, p.event_id ASC LIMIT 1
+       ), 4) AS next_purchase_value
+FROM events e
+"""
+
+
 QUERIES = {
     "asof_join_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_join_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
+    "asof_join_forward": (q_asof_forward, SQL_ASOF_FORWARD),
 }

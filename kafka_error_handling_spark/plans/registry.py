@@ -112,6 +112,7 @@ _PRIORITY = [
     "text_repetition",
     "dedup_chunks_apply",
     "pipeline_chunked_corpus",
+    "asof_join_forward",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -68,3 +68,44 @@ def test_asof_tolerance_masks_stale_matches(spark):
     assert got[2] == 20.0   # simultaneous: fresh
     assert got[3] is None   # 2h-old match exceeds the 1h bound -> masked
     assert got[4] is None   # still no match at all
+
+
+def test_asof_forward_direction_matrix(spark):
+    """direction='forward': earliest right row after (strict) / at-or-after
+    (non-strict) each left row; NULL when nothing follows."""
+    left, right = _frames(spark)
+
+    fwd_strict = asof_join(
+        left, right, on="user", left_ts="ts", right_ts="ts",
+        right_cols=["px"], strict=True, direction="forward",
+    )
+    # event1@00:10 -> next right strictly after is 01:00 (20.0)
+    # event2@01:00 -> tie excluded under strict -> NULL (nothing later)
+    # event3@03:00 -> nothing follows -> NULL; v -> no rows -> NULL
+    assert _result(fwd_strict) == {1: 20.0, 2: None, 3: None, 4: None}
+
+    fwd = asof_join(
+        left, right, on="user", left_ts="ts", right_ts="ts",
+        right_cols=["px"], strict=False, direction="forward",
+    )
+    assert _result(fwd) == {1: 20.0, 2: 20.0, 3: None, 4: None}
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames(spark)
+    fwd = asof_join(
+        left, right, on="user", left_ts="ts", right_ts="ts",
+        right_cols=["px"], strict=True, direction="forward",
+        tolerance="30 minutes",
+    )
+    # event1@00:10: next right @01:00 is 50min ahead -> masked by tolerance
+    assert _result(fwd) == {1: None, 2: None, 3: None, 4: None}
+
+
+def test_asof_direction_validated(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="user", left_ts="ts", right_ts="ts",
+                  direction="sideways")
