@@ -926,12 +926,14 @@ QUERIES["embedding_int8_recall"] = (q_int8_recall, _sql_int8_recall())
 
 
 def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BLAS scale path of the brute-force knn — rows-only check (numpy's
-    pairwise summation can differ from a sequential SQL fold in the last
-    ulp, so the value hash is pinned instead by the pytest equivalence
-    test against the oracle-checked JVM fold)."""
+    """BLAS scale path of the brute-force knn.  Shares the JVM fold's
+    oracle: both round cos to 4 decimals before ranking, so numpy's
+    pairwise summation would have to land within ~1e-12 of a 5e-5
+    rounding boundary to diverge from the sequential SQL fold — verified
+    hash-identical at sf0.001/0.01/0.1 on the fixed testdata (plus the
+    pytest equivalence test against the oracle-checked JVM fold)."""
     e = load_table(spark, sf_dir, "embeddings")
     return knn_bruteforce_arrow(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
-QUERIES["embedding_knn_arrow"] = (q_knn_bruteforce_arrow, None)
+QUERIES["embedding_knn_arrow"] = (q_knn_bruteforce_arrow, SQL_KNN_BRUTEFORCE)
