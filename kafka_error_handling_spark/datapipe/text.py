@@ -414,10 +414,7 @@ def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     feeds a groupBy(bigram) with map-side combine; the shuffle carries
     (bigram, partial count) only."""
     toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    bigrams = ngram_array(F.col(text_col), 2)
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -460,10 +457,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key every per-doc op in this module uses."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    bigrams = ngram_array(F.col("text"), 2)
     base = d.select(
         "doc_id",
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("uniq_ratio"),
@@ -515,3 +509,194 @@ FROM base JOIN top ON base.doc_id = top.doc_id
 
 
 QUERIES["text_repetition"] = (q_text_repetition, SQL_TEXT_REPETITION)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training documents that share an n-gram
+# with an evaluation/benchmark set (the standard pretraining hygiene pass:
+# GPT-3 report §C used 13-gram overlap; 5-grams here because the synthetic
+# docs are 30–160 tokens of a small vocabulary).
+# ---------------------------------------------------------------------------
+
+
+def ngram_array(text: Column, n: int) -> Column:
+    """All word n-grams of ``text`` as an array — element_at over an index
+    sequence, no explode/self-join (same shape as ``bigram_counts``).
+
+    Guarded for docs shorter than ``n`` tokens: ``F.sequence(1, stop)``
+    DESCENDS when stop < 1 (it would emit bogus n-grams via negative
+    ``element_at`` wraparound) — short docs yield an empty array instead.
+    """
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document count of distinct n-grams also present in ``benchmark``.
+
+    Scale design: the benchmark side (eval sets — thousands of documents,
+    millions of n-grams even for every published benchmark combined) is
+    aggregated to DISTINCT n-grams and **broadcast**; the 100 TB corpus
+    side explodes its n-grams map-side and inner-joins the broadcast set,
+    so the only shuffle is the final per-doc count, keyed on the same
+    ``doc_id`` every per-doc op in this module shuffles on.  Corpus rows
+    with zero overlap never leave their scan stage.
+
+    Returns (id_col, n_overlap) for contaminated documents only — the
+    action on a hit is dropping the doc, so emitting the clean majority
+    would be 100 TB of no-ops.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngram_array(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_array(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: docs with doc_id % 97 == 0 act as the held-out benchmark; the
+    rest of the corpus is screened against their 5-grams."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    rest = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(rest, bench, n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH bench AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, len(string_split(text, ' ')) - 3),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                || ' ' || string_split(text, ' ')[i+4]
+         )) AS gram
+  FROM documents WHERE doc_id % 97 = 0
+), corp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(string_split(text, ' ')) - 3),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3]
+                || ' ' || string_split(text, ' ')[i+4]
+         ))) AS gram
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, count(*) AS n_overlap
+FROM corp JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring — the CCNet-style "perplexity filter": score
+# each document by the average log-probability its corpus bigram LM
+# (add-one smoothed) assigns to it; low scores mark out-of-distribution /
+# garbled text for dropping or down-sampling.
+# ---------------------------------------------------------------------------
+
+
+def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document avg ln P(w_i | w_{i-1}) under the corpus's own add-one
+    smoothed bigram model.
+
+    Scale design: three aggregation passes over the corpus (unigram
+    counts, bigram counts, vocab size) — each ONE explode feeding a
+    map-side-combined groupBy — then the per-doc bigram stream joins the
+    count tables.  Both join sides are corpus-sized at 100 TB, so these
+    are plain shuffle joins keyed on the n-gram (no broadcast: a web-scale
+    bigram table is tens of billions of rows); the final per-doc average
+    shuffles on ``doc_id`` like every per-doc op here.  Counts are exact
+    integers, so the only cross-engine float work is the ln/avg, rounded
+    to 4 decimals.
+    """
+    toks = F.split(F.col(text_col), " ")
+    bigrams = ngram_array(F.col(text_col), 2)
+
+    uni = (
+        docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    bi = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    doc_bi = docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+
+    return (
+        doc_bi.join(bi, "bigram")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log((F.col("c_bi") + 1) / (F.col("c_uni") + F.col("v")))
+                ),
+                4,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), doc_bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), uni AS (
+  SELECT w1, count(*) AS c_uni
+  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+), bi AS (
+  SELECT bigram, count(*) AS c_bi FROM doc_bi GROUP BY bigram
+), vocab AS (
+  SELECT count(*) AS v FROM uni
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(ln((c_bi + 1)::DOUBLE / (c_uni + v))), 4) AS avg_logp
+FROM doc_bi
+JOIN bi USING (bigram)
+JOIN uni ON string_split(bigram, ' ')[1] = uni.w1
+CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_lm_score"] = (q_lm_score, SQL_LM_SCORE)

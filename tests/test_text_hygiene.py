@@ -1,0 +1,100 @@
+"""Decontamination, bigram-LM scoring, and k-means clustering — the
+training-data hygiene operators added in the round-2 continuation."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_error_handling_spark.datapipe.text import (
+    decontaminate,
+    lm_score,
+    ngram_array,
+)
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_array_short_doc_guard(spark):
+    """Docs shorter than n yield [] — F.sequence would otherwise descend
+    and fabricate n-grams from negative element_at wraparound."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", ngram_array(F.col("text"), 5).alias("g")
+        ).collect()
+    }
+    assert rows[1] == ["a b c d e", "b c d e f"]
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_decontaminate_counts_distinct_overlaps(spark):
+    """Overlap counts distinct shared n-grams per doc; clean docs emit no
+    row (at scale the clean majority must never leave the scan stage)."""
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 3-grams with the benchmark
+            (1, "q1 q2 q3 q4 z z"),
+            # repeats ONE contaminated 3-gram twice — still counts once
+            (2, "q1 q2 q3 x q1 q2 q3"),
+            (3, "clean words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "q1 q2 q3 q4")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_overlap
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram side must ride a broadcast join — a shuffle
+    join keyed on n-grams would move the 100 TB corpus explode."""
+    from kafka_error_handling_spark.sources.files import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_hand_computed(spark):
+    """Two-doc corpus scored by hand.
+
+    Corpus: d1 = "a b a b", d2 = "a b".  Vocab V = {a, b} → 2.
+    Unigrams: a→3, b→3.  Bigrams: "a b"→3, "b a"→1.
+    d2's single bigram "a b": ln((3+1)/(3+2)) = ln(4/5).
+    """
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].avg_logp - round(math.log(4 / 5), 4)) < 1e-9
+    # d1: bigrams [a b, b a, a b] → (2*ln(4/5) + ln(2/5)) / 3
+    want = round((2 * math.log(4 / 5) + math.log(2 / 5)) / 3, 4)
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].avg_logp - want) < 1e-9
+
+
+def test_lm_score_single_token_doc_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    assert [r.doc_id for r in lm_score(docs).collect()] == [2]
