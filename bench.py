@@ -67,6 +67,9 @@ EXTENDED = [
     "dedup_chunks",
     "embedding_knn_int8",
     "sliding_windows",
+    "text_decontaminate",
+    "text_lm_score",
+    "embedding_kmeans",
 ]
 
 

@@ -1,0 +1,143 @@
+"""Embedding clustering — deterministic Lloyd k-means for semantic
+dedup / domain balancing of a training corpus.
+
+Scale design (the MLlib shape, re-expressed on DataFrames): each Lloyd
+iteration is ONE corpus scan.  Centroids are k×dim doubles — they ride
+the plan as literals (the DataFrame analog of a broadcast variable), so
+the assignment argmin is a pure whole-stage-codegen expression: an
+``array_min`` over k (distance, cluster) structs, no UDF, no join, no
+shuffle.  The centroid update shuffles only (cluster, dim_pos, partial
+sum/count) — map-side combine caps it at k·dim rows per task — and the
+``collect()`` at the end of each iteration moves exactly k·dim doubles
+to the driver (bounded by construction; this is how distributed k-means
+is supposed to work, not a driver-side loop over data).
+
+Determinism across engines: float summation is order-sensitive, so both
+the per-iteration centroid averages and the assignment distances are
+rounded to 6 decimals on the Spark AND oracle side before any
+comparison; argmin ties break on the lower cluster id via the struct
+ordering.  Initialization is the k embeddings with the smallest ids —
+reproducible anywhere, no RNG state (k-means++ would need a seeded RNG
+the oracle can't replay).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table
+
+__all__ = ["kmeans_assign"]
+
+DIM = 64
+K = 8
+ITERS = 2
+
+
+def _assign(df: DataFrame, centroids, id_col: str, vec_col: str) -> DataFrame:
+    """Argmin-distance cluster per row — one codegen expression, no join.
+
+    ``array_min`` over (rounded distance, cluster) structs gives the
+    lexicographic minimum: nearest centroid, ties to the lower id.
+    """
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    candidates = []
+    for c, cv in enumerate(centroids):
+        diff = F.zip_with(ev, F.array(*[F.lit(float(x)) for x in cv]), lambda a, b: a - b)
+        dist = F.round(
+            F.aggregate(diff, F.lit(0.0), lambda s, d: s + d * d), 6
+        )
+        candidates.append(F.struct(dist.alias("d"), F.lit(c).alias("c")))
+    best = F.array_min(F.array(*candidates))
+    return df.select(F.col(id_col), best["c"].alias("cluster"))
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment after ``iters`` Lloyd passes from the
+    deterministic lowest-id initialization.  Returns (id_col, cluster)."""
+    init = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in init]
+
+    for it in range(iters):
+        assigned = _assign(embeddings, centroids, id_col, vec_col)
+        if it == iters - 1:
+            return assigned
+        # centroid update: posexplode → (cluster, pos) avg, k·dim rows total
+        upd = (
+            embeddings.join(assigned, id_col)
+            .select(
+                "cluster",
+                F.posexplode(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                ).alias("pos", "val"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("v"))
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r.cluster, [0.0] * DIM)[r.pos] = r.v
+        # a cluster can go empty: keep its previous centroid (standard
+        # Lloyd convention; avoids a k-collapse on adversarial data)
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return _assign(embeddings, centroids, id_col, vec_col)
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e)
+
+
+def _sql_kmeans() -> str:
+    """Two unrolled Lloyd iterations as DuckDB CTEs, mirroring the rounding
+    and tie-break of the Spark side exactly."""
+    dist = (
+        "round(list_sum(list_transform(range(1, 65), "
+        "i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, ev AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {K})
+), a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c0.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist} ASC, c0.cluster ASC) AS rn
+    FROM e CROSS JOIN c0
+  ) WHERE rn = 1
+), c1 AS (
+  SELECT cluster, list(v ORDER BY i) AS cv FROM (
+    SELECT a1.cluster, i, round(avg(ev[i]), 6) AS v
+    FROM a1 JOIN e USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY a1.cluster, i
+  ) GROUP BY cluster
+)
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c1.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist} ASC, c1.cluster ASC) AS rn
+  FROM e CROSS JOIN c1
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "embedding_kmeans": (q_kmeans, _sql_kmeans()),
+}

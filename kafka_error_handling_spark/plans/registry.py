@@ -25,9 +25,17 @@ def _modules():
 
     mods = [error_queries, relational, advanced, stats, subqueries, tpch_more, tpch_rest]
     try:
-        from ..datapipe import chunks, dedup, ranking, sampling, similarity, text
+        from ..datapipe import (
+            chunks,
+            clustering,
+            dedup,
+            ranking,
+            sampling,
+            similarity,
+            text,
+        )
 
-        mods += [text, dedup, similarity, sampling, ranking, chunks]
+        mods += [text, dedup, similarity, sampling, ranking, chunks, clustering]
     except ImportError:
         pass
     try:
@@ -113,6 +121,10 @@ _PRIORITY = [
     "dedup_chunks_apply",
     "pipeline_chunked_corpus",
     "asof_join_forward",
+    # round-2 continuation: corpus hygiene + clustering
+    "text_decontaminate",
+    "text_lm_score",
+    "embedding_kmeans",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

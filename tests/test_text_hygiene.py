@@ -98,3 +98,52 @@ def test_lm_score_single_token_doc_excluded(spark):
         [(1, "solo"), (2, "a b")], "doc_id long, text string"
     )
     assert [r.doc_id for r in lm_score(docs).collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_hand_computed(spark):
+    """Four 2-point blobs in 64-d (nonzero only in dim 0/1), k=2, 2 iters:
+    init = vecs 0 and 1 (both in blob A), first update pulls centroid 1
+    onto blob B, final assignment separates the blobs."""
+    from kafka_error_handling_spark.datapipe.clustering import kmeans_assign
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        (0, v(0, 0)), (1, v(0, 1)),          # blob A
+        (2, v(10, 10)), (3, v(10, 11)),      # blob B
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2, iters=2).collect()}
+    assert got[0] == got[1]
+    assert got[2] == got[3]
+    assert got[0] != got[2]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k larger than the number of distinct points: the unused centroid
+    keeps its init position instead of collapsing to NaN."""
+    from kafka_error_handling_spark.datapipe.clustering import kmeans_assign
+
+    rows = [(i, [float(i % 2)] * 64) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=3, iters=2).collect()
+    assert len(out) == 6
+    assert all(0 <= r.cluster < 3 for r in out)
+
+
+def test_kmeans_assignment_plan_is_codegen_no_join(spark, sf_dir):
+    """The assignment pass must be a pure projection over the scan —
+    centroids are plan literals, so no join/shuffle may appear."""
+    from kafka_error_handling_spark.datapipe.clustering import kmeans_assign
+    from kafka_error_handling_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = kmeans_assign(e)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
