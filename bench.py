@@ -70,6 +70,7 @@ EXTENDED = [
     "text_decontaminate",
     "text_lm_score",
     "embedding_kmeans",
+    "embedding_semdedup",
 ]
 
 

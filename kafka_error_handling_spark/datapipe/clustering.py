@@ -141,3 +141,88 @@ SELECT vec_id, cluster FROM (
 QUERIES = {
     "embedding_kmeans": (q_kmeans, _sql_kmeans()),
 }
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup scoped by k-means cells (Abbas et al. 2023):
+# pairwise cosine is computed only WITHIN a cluster, so the quadratic
+# blowup of all-pairs similarity is bounded by the cell size; k grows
+# with the corpus (SemDeDup used 50k cells for LAION) to hold the cell
+# population roughly constant at 100 TB.  Deterministic keep rule: a
+# vector is dropped iff a lower-id vector in its cell matches at
+# >= threshold; the survivor reported is the lowest such id.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dropped vectors after cluster-scoped cosine dedup: (id_col, dup_of).
+
+    Plan: codegen k-means assignment → self-join keyed on the cluster id
+    (the ONLY shuffle moving vectors; at scale the cluster key spreads
+    uniformly because cells are size-bounded) → JVM cosine fold on the
+    surviving pairs → per-victim min aggregate on the id.
+    """
+    assigned = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(ev, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    base = embeddings.join(assigned, id_col).select(
+        F.col(id_col), ev.alias("v"), norm.alias("n"), "cluster"
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cluster",
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cluster",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate at threshold 0.25: the synthetic embeddings are
+    near-orthogonal, so the production ~0.9 cutoff would be vacuously
+    empty (same calibration note as ``embedding_neardup``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup(e)
+
+
+def _sql_semdedup(threshold: float = 0.25) -> str:
+    cos = (
+        "round(list_dot_product(a.ev, b.ev) / "
+        "(sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))), 4)"
+    )
+    return f"""
+WITH assign AS MATERIALIZED ({_sql_kmeans()}),
+m AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, assign.cluster
+      FROM embeddings e JOIN assign USING (vec_id))
+SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+GROUP BY b.vec_id
+"""
+
+
+QUERIES["embedding_semdedup"] = (q_semdedup, _sql_semdedup())

@@ -125,6 +125,7 @@ _PRIORITY = [
     "text_decontaminate",
     "text_lm_score",
     "embedding_kmeans",
+    "embedding_semdedup",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -147,3 +147,22 @@ def test_kmeans_assignment_plan_is_codegen_no_join(spark, sf_dir):
     plan = kmeans_assign(e)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_semdedup_drops_within_cluster_only(spark):
+    """Two identical vectors in one blob are deduped; an identical pair
+    split across far-apart blobs is NOT compared (cluster-scoped)."""
+    from kafka_error_handling_spark.datapipe.clustering import semdedup
+
+    def v(x):
+        return [float(x), 0.0] + [0.0] * 62
+
+    rows = [
+        (0, v(1)), (1, v(1)),      # blob A: exact dup pair
+        (2, v(100)), (3, v(100)),  # blob B: exact dup pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.dup_of for r in semdedup(df, k=2, iters=2, threshold=0.99).collect()}
+    # 1 dups 0; 3 dups 2 — and no cross-blob pair can appear because
+    # clusters separate the blobs
+    assert got == {1: 0, 3: 2}
