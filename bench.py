@@ -71,6 +71,7 @@ EXTENDED = [
     "text_lm_score",
     "embedding_kmeans",
     "embedding_semdedup",
+    "event_funnel",
 ]
 
 

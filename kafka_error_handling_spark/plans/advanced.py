@@ -221,3 +221,83 @@ GROUP BY l_returnflag
 
 QUERIES["sliding_windows"] = (sliding_windows, SQL_SLIDING_WINDOWS)
 QUERIES["exact_percentiles"] = (exact_percentiles, SQL_EXACT_PERCENTILES)
+
+
+def event_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: first 'view', then
+    the first 'click' strictly after it, then the first 'purchase'
+    strictly after that — the MATCH_RECOGNIZE-ish sequential-pattern
+    query, done in ONE shuffle.
+
+    Plan: groupBy(user_id) collects each user's (ts, type) pairs, then a
+    whole-stage-codegen ``aggregate`` fold walks the time-sorted array
+    advancing a (stage, since) accumulator.  One exchange on user_id and
+    a per-user state machine in the JVM — vs the join-per-stage SQL
+    formulation (the oracle) that re-shuffles the event table once per
+    funnel step.  Per-user arrays are bounded by per-user activity, the
+    same envelope every sessionization op here assumes.
+    """
+    from ..sources.files import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    acc0 = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("since")
+    )
+    steps = [("view", 1), ("click", 2), ("purchase", 3)]
+
+    def advance(acc, ev):
+        out = acc
+        for typ, nxt in reversed(steps):
+            hit = (
+                (acc["stage"] == nxt - 1)
+                & (ev["event_type"] == typ)
+                & ((acc["since"].isNull()) | (ev["ts"] > acc["since"]))
+            )
+            out = F.when(
+                hit,
+                F.struct(F.lit(nxt).alias("stage"), ev["ts"].alias("since")),
+            ).otherwise(out)
+        return out
+
+    per_user = (
+        e.select("user_id", F.struct("ts", "event_type").alias("ev"))
+        .groupBy("user_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list("ev")), acc0, advance
+            )["stage"].alias("stage")
+        )
+    )
+    return (
+        per_user.select(
+            F.explode(
+                F.filter(
+                    F.array(*[F.lit(s) for _, s in steps]),
+                    lambda s: s <= F.col("stage"),
+                )
+            ).alias("funnel_stage")
+        )
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(ts) AS t
+  FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND ts > t1.t GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(ts) AS t
+  FROM events e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2.t GROUP BY e.user_id
+)
+SELECT 1 AS funnel_stage, count(*) AS n_users FROM t1
+UNION ALL SELECT 2, count(*) FROM t2
+UNION ALL SELECT 3, count(*) FROM t3
+"""
+
+
+QUERIES["event_funnel"] = (event_funnel, SQL_EVENT_FUNNEL)

@@ -126,6 +126,7 @@ _PRIORITY = [
     "text_lm_score",
     "embedding_kmeans",
     "embedding_semdedup",
+    "event_funnel",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -69,3 +69,50 @@ def write_partitioned(
     in ``.explain``), so a date-partitioned 100 TB table charges per day
     touched, not per table."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Format matrix — the full batch source/sink surface beyond parquet.
+# ---------------------------------------------------------------------------
+
+#: formats the engine round-trips with a schema contract.  ``avro`` is
+#: appended at import time iff the spark-avro package is on the classpath
+#: (same runtime-dispatch convention as formats/avro_format.py).
+FORMATS = ["parquet", "orc", "json", "csv"]
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options
+) -> None:
+    """Write ``df`` at ``path`` in any supported format.
+
+    CSV gets a header by default (the only self-describing bit CSV has);
+    compression defaults to the format's Spark default (snappy/zstd for
+    the columnar formats, none for text-based — at 100 TB you'd flip
+    JSON/CSV to gzip per-file, but those formats are interchange edges,
+    not lake storage)."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    w.format(fmt).options(**options).save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options
+) -> DataFrame:
+    """Read ``path`` in any supported format.
+
+    For the text-based formats a schema is REQUIRED: ``inferSchema`` /
+    sampling-based inference reads the data twice and can flip types
+    between runs — at 100 TB the schema is a contract, never a guess.
+    (Columnar formats carry their own schema and ignore the argument.)"""
+    r = spark.read
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} requires an explicit schema at scale")
+        r = r.schema(schema)
+        if fmt == "csv":
+            options.setdefault("header", "true")
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.format(fmt).options(**options).load(path)

@@ -166,3 +166,27 @@ def test_semdedup_drops_within_cluster_only(spark):
     # 1 dups 0; 3 dups 2 — and no cross-blob pair can appear because
     # clusters separate the blobs
     assert got == {1: 0, 3: 2}
+
+
+def test_event_funnel_hand_computed(spark, tmp_path):
+    """u1 completes view->click->purchase in order; u2 clicks BEFORE its
+    first view (out of order — stalls at view); u3 never views."""
+    import datetime as dt
+
+    from kafka_error_handling_spark.plans.advanced import event_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        (2, t(1), "click"), (2, t(2), "view"),
+        (3, t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    path = str(tmp_path / "events.parquet")
+    df.write.parquet(path)
+    # event_funnel loads via load_table(sf_dir, 'events')
+    got = {
+        r.funnel_stage: r.n_users
+        for r in event_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
