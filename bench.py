@@ -72,6 +72,7 @@ EXTENDED = [
     "embedding_kmeans",
     "embedding_semdedup",
     "event_funnel",
+    "sketch_countmin_estimate",
 ]
 
 

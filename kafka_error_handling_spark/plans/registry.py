@@ -127,6 +127,8 @@ _PRIORITY = [
     "embedding_kmeans",
     "embedding_semdedup",
     "event_funnel",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",

@@ -166,3 +166,122 @@ QUERIES = {
     "window_range_frame": (window_range_frame, SQL_WINDOW_RANGE),
     "conditional_pivot": (conditional_pivot, SQL_PIVOT),
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the mergeable heavy-hitter/frequency structure for
+# 100 TB streams.  Unlike sampling-based summaries, a CM sketch with
+# FIXED hash functions is fully deterministic and merge-order-independent
+# (cells are sums), so the whole d×w matrix is exactly oracle-checkable —
+# the rare sketch you can hash-gate, not just bound-check.
+# Scale shape: one narrow shuffle of ((depth, col), partial-count) pairs,
+# map-side combined down to ≤ d·w rows per task; merging two sketches is
+# cell-wise addition, so executors can sketch independently and combine.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def _cm_hash(key, j: int):
+    """Row-j bucket for ``key``: first 8 md5 hex digits of 'cm{j}|key' mod
+    width — identical bytes on any engine (verified vs DuckDB)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{j}|"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+def sketch_countmin(df: DataFrame, key) -> DataFrame:
+    """The full d×w count matrix for ``key``'s frequency distribution."""
+    rows = [
+        df.select(F.lit(j).alias("depth"), _cm_hash(key, j).alias("col"))
+        for j in range(CM_DEPTH)
+    ]
+    all_rows = rows[0]
+    for r in rows[1:]:
+        all_rows = all_rows.unionAll(r)
+    return all_rows.groupBy("depth", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return sketch_countmin(o, F.col("o_custkey"))
+
+
+def _sql_cm_hash(j: int, key: str) -> str:
+    return f"(('0x' || substring(md5('cm{j}|' || {key}::VARCHAR), 1, 8))::BIGINT % {CM_WIDTH})"
+
+
+def _sql_sketch_countmin() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT {j} AS depth, {_sql_cm_hash(j, 'o_custkey')} AS col FROM orders"
+        for j in range(CM_DEPTH)
+    )
+    return f"SELECT depth, col, count(*) AS cnt FROM ({arms}) GROUP BY depth, col"
+
+
+def q_sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point queries against the sketch: est(key) = min over rows of the
+    key's cell — checked alongside the exact count (CM guarantees
+    est >= exact; `overcount` is the collision inflation)."""
+    o = _t(spark, sf_dir, "orders")
+    sketch = sketch_countmin(o, F.col("o_custkey"))
+    probes = (
+        o.filter(F.col("o_custkey") < 20)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    arms = [
+        probes.select(
+            "o_custkey",
+            "exact",
+            F.lit(j).alias("depth"),
+            _cm_hash(F.col("o_custkey"), j).alias("col"),
+        )
+        for j in range(CM_DEPTH)
+    ]
+    cells = arms[0]
+    for a in arms[1:]:
+        cells = cells.unionAll(a)
+    return (
+        cells.join(F.broadcast(sketch), ["depth", "col"])
+        .groupBy("o_custkey", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "o_custkey",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+    )
+
+
+def _sql_sketch_countmin_estimate() -> str:
+    probe_arms = " UNION ALL ".join(
+        f"SELECT o_custkey, exact, {j} AS depth, {_sql_cm_hash(j, 'o_custkey')} AS col "
+        f"FROM probes"
+        for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH sketch AS ({_sql_sketch_countmin()}),
+probes AS (
+  SELECT o_custkey, count(*) AS exact FROM orders
+  WHERE o_custkey < 20 GROUP BY o_custkey
+),
+cells AS ({probe_arms})
+SELECT o_custkey, exact, min(cnt) AS est, min(cnt) - exact AS overcount
+FROM cells JOIN sketch USING (depth, col)
+GROUP BY o_custkey, exact
+"""
+
+
+QUERIES["sketch_countmin"] = (q_sketch_countmin, _sql_sketch_countmin())
+QUERIES["sketch_countmin_estimate"] = (
+    q_sketch_countmin_estimate,
+    _sql_sketch_countmin_estimate(),
+)

@@ -190,3 +190,32 @@ def test_event_funnel_hand_computed(spark, tmp_path):
         for r in event_funnel(spark, str(tmp_path)).collect()
     }
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_countmin_estimate_never_undercounts(spark, sf_dir):
+    """The count-min invariant: est >= exact for every probed key."""
+    from kafka_error_handling_spark.plans.stats import q_sketch_countmin_estimate
+
+    rows = q_sketch_countmin_estimate(spark, sf_dir).collect()
+    assert rows
+    assert all(r.est >= r.exact for r in rows)
+    assert all(r.overcount == r.est - r.exact for r in rows)
+
+
+def test_countmin_sketch_merges_by_cellwise_addition(spark):
+    """Sketching two halves independently and adding cells equals
+    sketching the whole — the mergeability that lets every executor
+    sketch its partition and combine (the whole point at 100 TB)."""
+    from kafka_error_handling_spark.plans.stats import sketch_countmin
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "i long, k long")
+    whole = {
+        (r.depth, r.col): r.cnt
+        for r in sketch_countmin(df, F.col("k")).collect()
+    }
+    h1 = sketch_countmin(df.filter("i < 50"), F.col("k")).collect()
+    h2 = sketch_countmin(df.filter("i >= 50"), F.col("k")).collect()
+    merged = {}
+    for r in list(h1) + list(h2):
+        merged[(r.depth, r.col)] = merged.get((r.depth, r.col), 0) + r.cnt
+    assert merged == whole
