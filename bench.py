@@ -73,6 +73,7 @@ EXTENDED = [
     "embedding_semdedup",
     "event_funnel",
     "sketch_countmin_estimate",
+    "bloom_pruned_join",
 ]
 
 

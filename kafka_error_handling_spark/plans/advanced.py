@@ -301,3 +301,122 @@ UNION ALL SELECT 3, count(*) FROM t3
 
 
 QUERIES["event_funnel"] = (event_funnel, SQL_EVENT_FUNNEL)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 8192
+BLOOM_K = 3
+
+
+def _bloom_pos(key, i: int):
+    """Hash ``i``'s bit position for ``key`` — first 8 md5 hex digits of
+    'bf{i}|key' mod BLOOM_BITS, the same engine-portable scheme as
+    ``_cm_hash`` (identical bytes on Spark and DuckDB)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{i}|"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def bloom_filter_positions(build: DataFrame, key) -> DataFrame:
+    """The bloom filter of the build side's keys, as the DISTINCT set of bit
+    positions (column ``pos``) — at most BLOOM_BITS rows regardless of the
+    build side's cardinality, so it broadcasts at any scale."""
+    arms = [build.select(_bloom_pos(key, i).alias("pos")) for i in range(BLOOM_K)]
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionAll(a)
+    return u.distinct()
+
+
+def bloom_prune(probe: DataFrame, key, positions: DataFrame) -> DataFrame:
+    """Filter ``probe`` down to rows whose key MIGHT be in the build side
+    (false positives possible, false negatives impossible).
+
+    The membership test "all K bit positions set" compiles to a chain of K
+    broadcast LEFT SEMI hash joins against the (≤ BLOOM_BITS row) position
+    set — the probe side streams through without a single shuffle, which is
+    the entire point: at 100 TB this runs BEFORE the real join's exchange
+    and drops the rows that would die there anyway, paying one broadcast
+    instead of shuffling non-matching rows.  This is the manual form of
+    Spark's runtime row-level filtering (spark.sql.optimizer.runtime
+    .bloomFilter), usable when the build side is a separate pipeline stage.
+
+    The position set is persisted: it is ≤ BLOOM_BITS longs no matter how
+    large the build side is, and without the persist each of the K
+    broadcasts would recompute the whole build-side aggregation.
+    """
+    positions = positions.persist()
+    out = probe
+    for i in range(BLOOM_K):
+        p = positions.select(F.col("pos").alias(f"__bf{i}"))
+        out = out.join(
+            F.broadcast(p), _bloom_pos(key, i) == F.col(f"__bf{i}"), "left_semi"
+        )
+    return out
+
+
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: bloom of one nation's suppliers prunes lineitem, then the real
+    join.  ``n_bloom_survivors`` pins the exact hash scheme (false
+    positives included); ``n_true_matches`` pins zero false negatives."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    l = _t(spark, sf_dir, "lineitem")
+    pos = bloom_filter_positions(s, F.col("s_suppkey"))
+    survivors = bloom_prune(l, F.col("l_suppkey"), pos)
+    j = survivors.join(
+        broadcast(s.select("s_suppkey")),
+        survivors.l_suppkey == F.col("s_suppkey"),
+        "left",
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_bloom_survivors"),
+        F.count("s_suppkey").alias("n_true_matches"),
+        F.round(
+            F.sum(
+                F.when(F.col("s_suppkey").isNotNull(), F.col("l_extendedprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("true_revenue"),
+    )
+
+
+def _sql_bloom_pos(i: int, key: str) -> str:
+    return (
+        f"(('0x' || substring(md5('bf{i}|' || {key}::VARCHAR), 1, 8))::BIGINT"
+        f" % {BLOOM_BITS})"
+    )
+
+
+SQL_BLOOM_PRUNED_JOIN = f"""
+WITH supp AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7),
+pos AS (
+  {" UNION ".join(f"SELECT DISTINCT {_sql_bloom_pos(i, 's_suppkey')} AS pos FROM supp" for i in range(BLOOM_K))}
+),
+survivors AS (
+  SELECT l_returnflag, l_suppkey, l_extendedprice FROM lineitem
+  WHERE {" AND ".join(
+      f"EXISTS (SELECT 1 FROM pos WHERE pos = {_sql_bloom_pos(i, 'l_suppkey')})"
+      for i in range(BLOOM_K)
+  )}
+)
+SELECT l_returnflag,
+       count(*) AS n_bloom_survivors,
+       count(s_suppkey) AS n_true_matches,
+       round(sum(CASE WHEN s_suppkey IS NOT NULL THEN l_extendedprice ELSE 0.0 END),
+             2) AS true_revenue
+FROM survivors LEFT JOIN supp ON l_suppkey = s_suppkey
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["bloom_pruned_join"] = (q_bloom_pruned_join, SQL_BLOOM_PRUNED_JOIN)

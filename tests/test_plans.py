@@ -157,3 +157,31 @@ def test_chunk_dedup_single_posexplode(spark, sf_dir):
         q_chunk_dedup(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Generate") == 1
+
+
+def test_bloom_prune_is_shuffle_free_on_probe(spark, sf_dir):
+    """The bloom membership test must compile to BLOOM_K broadcast LEFT SEMI
+    hash joins; the probe (lineitem) side streams through with NO exchange —
+    that pre-shuffle pruning is the entire value of the pattern at scale."""
+    from kafka_error_handling_spark.plans.advanced import (
+        BLOOM_K,
+        bloom_filter_positions,
+        bloom_prune,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    l = load_table(spark, sf_dir, "lineitem")
+    pos = bloom_filter_positions(s, F.col("s_suppkey"))
+    pruned = bloom_prune(l, F.col("l_suppkey"), pos)
+    plan = _plan(pruned)
+    assert plan.count("BroadcastHashJoin") == BLOOM_K
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # probe path: the lineitem scan sits DIRECTLY under the innermost semi
+    # join — no Exchange between scan and join
+    lines = plan.splitlines()
+    (scan_idx,) = [i for i, ln in enumerate(lines) if "lineitem.parquet" in ln]
+    assert "BroadcastHashJoin" in lines[scan_idx - 1]
+    # the position set is persisted, so the build aggregation runs ONCE:
+    # every broadcast reads the InMemory relation, not a fresh build plan
+    assert plan.count("InMemoryTableScan") == BLOOM_K
