@@ -1,0 +1,156 @@
+"""CDC / slowly-changing-dimension patterns: latest-wins upsert merge and
+SCD2 validity intervals.
+
+The reference has no merge machinery (its world is append-only Kafka
+topics), but any 100 TB training-data pipeline ingesting recrawls needs
+"new snapshot beats old snapshot per key" as a first-class, shuffle-
+minimal operation.  Both ops here are single-exchange plans:
+
+- ``merge_upsert``: union + one groupBy(key) with ``max_by`` — the winner
+  is picked with partial (map-side) aggregation, unlike the row_number
+  window formulation which needs a full sort of every replica.  At scale
+  the shuffle carries one (key, best-so-far) pair per key per map task.
+- ``scd2_intervals``: one window over (key ORDER BY version) building
+  [valid_from, valid_to) ranges — the standard history-table shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.files import load_table as _t
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Latest-wins merge of ``delta`` into ``snapshot``.
+
+    Rows are ranked per key by ``order_cols`` (later wins); on a full tie
+    the delta row wins.  Exactly one shuffle: groupBy(key) + ``max_by`` of
+    the full row over the ordering tuple, which combines map-side, so the
+    exchange moves one candidate per key per input partition — not every
+    replica, which is what the equivalent row_number() window would sort.
+
+    Both inputs must share a schema (use ``unionByName`` semantics: delta
+    may omit columns only if the caller aligns them first).
+    """
+    payload = [c for c in snapshot.columns]
+    snap = snapshot.withColumn("__src", F.lit(0))
+    dl = delta.withColumn("__src", F.lit(1))
+    u = snap.unionByName(dl)
+    ordering = F.struct(*[F.col(c) for c in order_cols], F.col("__src"))
+    row = F.struct(*[F.col(c) for c in payload], F.col("__src"))
+    merged = u.groupBy(*key_cols).agg(F.max_by(row, ordering).alias("__row"))
+    return merged.select(
+        *key_cols,
+        *[F.col(f"__row.{c}").alias(c) for c in payload if c not in key_cols],
+        F.col("__row.__src").alias("src"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: merge a derived correction set (every 7th event re-delivered
+    1 hour later with a doubled value) into the events snapshot."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    delta = (
+        e.filter(F.col("event_id") % 7 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.col("value") * 2)
+    )
+    m = merge_upsert(e, delta, ["event_id"], ["ts"])
+    return m.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+        "src",
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH delta AS (
+  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type, value * 2 AS value,
+         1 AS src
+  FROM events WHERE event_id % 7 = 0
+),
+all_rows AS (
+  SELECT event_id, ts, event_type, value, 0 AS src FROM events
+  UNION ALL SELECT * FROM delta
+)
+SELECT event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 2) AS value, src
+FROM all_rows
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, src DESC) = 1
+"""
+
+
+def scd2_intervals(
+    versions: DataFrame, key_cols: list[str], version_col: str
+) -> DataFrame:
+    """SCD2 history: each version row gets [valid_from, valid_to) with
+    valid_to = next version's timestamp (null for the current row) and an
+    ``is_current`` flag.  One window exchange on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    return versions.select(
+        *versions.columns,
+        F.col(version_col).alias("valid_from"),
+        F.lead(version_col).over(w).alias("valid_to"),
+        F.lead(version_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: version history of each user's events of one type — per-user
+    interval chains, counted and bounded for a compact hashable result."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = e.select("user_id", "ts", "value")
+    iv = scd2_intervals(v, ["user_id"], "ts")
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current"),
+        # unix_timestamp truncates to whole seconds (oracle: floor(epoch));
+        # floor-not-round for the displayed division (SURVEY §8 tie rule)
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("valid_to").isNotNull(),
+                        F.unix_timestamp("valid_to") - F.unix_timestamp("valid_from"),
+                    ).otherwise(0)
+                )
+                / 3600.0
+                * 100
+            )
+            / 100.0
+        ).alias("covered_hours"),
+    )
+
+
+SQL_SCD2 = """
+WITH v AS (
+  SELECT user_id, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       count(*) AS n_versions,
+       sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+       floor(sum(CASE WHEN valid_to IS NOT NULL
+                      THEN floor(epoch(valid_to)) - floor(epoch(ts))
+                      ELSE 0 END) / 3600.0 * 100) / 100.0 AS covered_hours
+FROM v
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2),
+}

@@ -50,6 +50,12 @@ def _modules():
         mods.append(asof)
     except ImportError:
         pass
+    try:
+        from . import cdc
+
+        mods.append(cdc)
+    except ImportError:
+        pass
     return mods
 
 
