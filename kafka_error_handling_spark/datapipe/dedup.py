@@ -687,3 +687,89 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 
 QUERIES["dedup_simhash_neardup"] = (q_simhash_neardup, _sql_simhash_neardup())
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy (edit-distance) matching — the record-linkage primitive
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_EDITS = 2
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edits: int = FUZZY_MAX_EDITS,
+) -> DataFrame:
+    """Near-identical string pairs via ONE blocked self-join.
+
+    Blocking key = first token: candidate generation is an equi-join on
+    the block (one shuffle, hash-joinable), never an all-pairs cross.
+    Inside a block the filters run cheapest-first: id ordering halves the
+    pairs, the length-window |len(a)−len(b)| ≤ max_edits is a codegen
+    integer test that is NECESSARY for edit distance ≤ max_edits (so it
+    never loses a true pair), and only survivors pay ``F.levenshtein``
+    (JVM built-in, with the same threshold passed for early bailout).
+
+    Scale envelope: cost is Σ block_size² — the same bounded-cell contract
+    as SemDeDup; at 100 TB pick a finer block (first token + SimHash band,
+    say) to keep cells small.  Skew-heavy blocks are split by AQE.
+    """
+    lhs = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("name_a"),
+        F.split(F.col(text_col), " ").getItem(0).alias("block"),
+    )
+    rhs = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("name_b"),
+        F.split(F.col(text_col), " ").getItem(0).alias("block"),
+    )
+    return (
+        lhs.join(rhs, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_edits
+        )
+        .filter(F.levenshtein("name_a", "name_b", max_edits) >= 0)
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("edits"),
+        )
+    )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: near-identical part names per block — pair counts and the
+    edit-distance histogram (compact, fully deterministic)."""
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_blocked_pairs(p, "p_name", "p_partkey")
+    return pairs.groupBy("block", "edits").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("id_a")).alias("min_id_a"),
+        F.max(F.col("id_b")).alias("max_id_b"),
+    )
+
+
+def _sql_fuzzy_name_pairs() -> str:
+    return f"""
+WITH t AS (
+  SELECT p_partkey AS id, p_name AS name,
+         split_part(p_name, ' ', 1) AS block
+  FROM part
+)
+SELECT a.block, levenshtein(a.name, b.name) AS edits,
+       count(*) AS n_pairs,
+       min(a.id) AS min_id_a,
+       max(b.id) AS max_id_b
+FROM t a JOIN t b ON a.block = b.block AND a.id < b.id
+WHERE abs(length(a.name) - length(b.name)) <= {FUZZY_MAX_EDITS}
+  AND levenshtein(a.name, b.name) <= {FUZZY_MAX_EDITS}
+GROUP BY a.block, edits
+"""
+
+
+QUERIES["dedup_fuzzy_names"] = (q_fuzzy_name_pairs, _sql_fuzzy_name_pairs())

@@ -349,3 +349,128 @@ SELECT doc_id, source FROM (
 
 
 QUERIES["sample_stratified_exact"] = (q_stratified_sample, _sql_stratified_sample())
+
+
+# ---------------------------------------------------------------------------
+# Quality-binned curriculum mixture
+# ---------------------------------------------------------------------------
+
+N_QUALITY_BINS = 10
+
+
+def quality_bins(docs: DataFrame, score, id_col: str = "doc_id") -> DataFrame:
+    """Assign each doc a quality decile WITHOUT a global sort.
+
+    ``ntile`` over a global ORDER BY is a single-partition window — a
+    non-starter at 100 TB.  Instead: one scalar aggregate computes the 9
+    decile boundaries, a broadcast (1-row) cross join ships them to every
+    task, and the bin is a pure arithmetic fold over the boundary array
+    (`1 + Σ score > bᵢ`), which fuses into the scan stage.  At the full
+    scale the exact percentile swaps for ``approx_percentile`` with no
+    other change (gate uses exact so the oracle hashes).
+
+    Boundaries are DISCRETE percentiles (``percentile_disc``): each is an
+    actual data value, bit-identical between Spark and DuckDB —
+    continuous interpolation between neighbors is FP-noise-sensitive
+    exactly at the bin edges (observed flipping assignments at sf0.001).
+    """
+    qs = [i / N_QUALITY_BINS for i in range(1, N_QUALITY_BINS)]
+    scored = docs.select(F.col(id_col), score.alias("quality"))
+    bounds = scored.agg(
+        F.array(
+            *[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY quality)")
+                for p in qs
+            ]
+        ).alias("bs")
+    )
+    binned = scored.crossJoin(F.broadcast(bounds))
+    return binned.select(
+        id_col,
+        "quality",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("quality") > b, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+
+
+def curriculum_keep(binned: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality-weighted mixture: bin b keeps b/N of its docs,
+    decided by the same engine-portable md5 hash as ``hash_sample`` — the
+    static data-mixture reweighting (DoReMi-style, fixed weights) with
+    zero RNG drift."""
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qb|"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return binned.withColumn(
+        "keep", frac < (F.col("bin") * (1000 // N_QUALITY_BINS))
+    )
+
+
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    binned = quality_bins(d, quality_score(F.col("text")))
+    kept = curriculum_keep(binned)
+    return kept.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.round(F.min("quality"), 4).alias("min_q"),
+        F.round(F.max("quality"), 4).alias("max_q"),
+    )
+
+
+def _sql_quality_curriculum() -> str:
+    from .text import SQL_TEXT_QUALITY
+
+    qs = [i / N_QUALITY_BINS for i in range(1, N_QUALITY_BINS)]
+    bin_expr = "1 + " + " + ".join(
+        f"(CASE WHEN quality > bs[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(len(qs))
+    )
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+b AS (SELECT quantile_disc(quality, [{", ".join(map(str, qs))}]) AS bs FROM q),
+binned AS (
+  SELECT doc_id, quality, {bin_expr} AS bin FROM q, b
+),
+kept AS (
+  SELECT *,
+         (('0x' || substring(md5('qb|' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000)
+           < bin * {1000 // N_QUALITY_BINS} AS keep
+  FROM binned
+)
+SELECT bin, count(*) AS n_docs, sum(keep::INT) AS n_kept,
+       round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
+FROM kept
+GROUP BY bin
+"""
+
+
+QUERIES["sample_quality_curriculum"] = (
+    q_quality_curriculum,
+    None,  # resolved lazily below — avoids import cycle at module load
+)
+
+
+def _late_bind_curriculum_sql() -> None:
+    QUERIES["sample_quality_curriculum"] = (
+        q_quality_curriculum,
+        _sql_quality_curriculum(),
+    )
+
+
+_late_bind_curriculum_sql()
