@@ -74,6 +74,9 @@ EXTENDED = [
     "event_funnel",
     "sketch_countmin_estimate",
     "bloom_pruned_join",
+    "merge_upsert",
+    "dedup_fuzzy_names",
+    "sample_quality_curriculum",
 ]
 
 

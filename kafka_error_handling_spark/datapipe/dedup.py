@@ -702,42 +702,71 @@ def fuzzy_blocked_pairs(
     id_col: str,
     max_edits: int = FUZZY_MAX_EDITS,
 ) -> DataFrame:
-    """Near-identical string pairs via ONE blocked self-join.
+    """Pair statistics of near-identical strings via the DISTINCT-value
+    projection — never an id-level self-join.
 
-    Blocking key = first token: candidate generation is an equi-join on
-    the block (one shuffle, hash-joinable), never an all-pairs cross.
-    Inside a block the filters run cheapest-first: id ordering halves the
-    pairs, the length-window |len(a)−len(b)| ≤ max_edits is a codegen
-    integer test that is NECESSARY for edit distance ≤ max_edits (so it
-    never loses a true pair), and only survivors pay ``F.levenshtein``
-    (JVM built-in, with the same threshold passed for early bailout).
+    Duplicate-heavy text fields make the id-level blocked self-join
+    quadratic in the number of ROWS (measured 34 s at sf0.1: 20 000 part
+    rows but only 64 distinct names).  The scale-correct plan compresses
+    to value space first:
 
-    Scale envelope: cost is Σ block_size² — the same bounded-cell contract
-    as SemDeDup; at 100 TB pick a finer block (first token + SimHash band,
-    say) to keep cells small.  Skew-heavy blocks are split by AQE.
+    1. groupBy(block, value) → (count, min_id, max_id) — one shuffle,
+       output bounded by DISTINCT values, with map-side combine;
+    2. the edit-distance self-join runs over distinct values only
+       (64×64, not 20k×20k), cheapest-filter-first: the length window
+       |len(a)−len(b)| ≤ max_edits is a necessary condition for edit
+       distance ≤ max_edits (zero recall loss), and only survivors pay
+       ``F.levenshtein`` (JVM built-in, threshold passed for bailout);
+    3. id-level pair multiplicities are reconstructed arithmetically:
+       a value with c duplicate ids contributes c·(c−1)/2 exact pairs
+       (edits=0); a cross pair of values contributes c_a·c_b pairs, and
+       the (id_a < id_b)-oriented min/max ids come from least/greatest
+       of the per-value id bounds.
+
+    Returns one row per (block, edits): n_pairs, min_id_a, max_id_b —
+    identical to aggregating the naive id-level join, verified against
+    an oracle that does exactly that.  Blocking key = first token;
+    at 100 TB block-cell cost is Σ distinct_per_block², the same
+    bounded-cell contract as SemDeDup.
     """
-    lhs = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("name_a"),
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("name"),
         F.split(F.col(text_col), " ").getItem(0).alias("block"),
     )
-    rhs = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(text_col).alias("name_b"),
-        F.split(F.col(text_col), " ").getItem(0).alias("block"),
+    g = t.groupBy("block", "name").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
     )
-    return (
-        lhs.join(rhs, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= max_edits
-        )
+    same = g.filter(F.col("c") >= 2).select(
+        "block",
+        F.lit(0).alias("edits"),
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_pairs"),
+        F.col("min_id").alias("min_id_a"),
+        F.col("max_id").alias("max_id_b"),
+    )
+    a = g.select(*[F.col(c).alias(f"{c}_a") for c in g.columns])
+    b = g.select(*[F.col(c).alias(f"{c}_b") for c in g.columns])
+    cross = (
+        a.join(b, (a.block_a == b.block_b) & (a.name_a < b.name_b))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_edits)
         .filter(F.levenshtein("name_a", "name_b", max_edits) >= 0)
         .select(
-            "block",
-            "id_a",
-            "id_b",
+            F.col("block_a").alias("block"),
             F.levenshtein("name_a", "name_b").alias("edits"),
+            (F.col("c_a") * F.col("c_b")).alias("n_pairs"),
+            F.least("min_id_a", "min_id_b").alias("min_id_a"),
+            F.greatest("max_id_a", "max_id_b").alias("max_id_b"),
+        )
+    )
+    return (
+        same.unionByName(cross)
+        .groupBy("block", "edits")
+        .agg(
+            F.sum("n_pairs").alias("n_pairs"),
+            F.min("min_id_a").alias("min_id_a"),
+            F.max("max_id_b").alias("max_id_b"),
         )
     )
 
@@ -746,12 +775,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: near-identical part names per block — pair counts and the
     edit-distance histogram (compact, fully deterministic)."""
     p = load_table(spark, sf_dir, "part")
-    pairs = fuzzy_blocked_pairs(p, "p_name", "p_partkey")
-    return pairs.groupBy("block", "edits").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.min(F.col("id_a")).alias("min_id_a"),
-        F.max(F.col("id_b")).alias("max_id_b"),
-    )
+    return fuzzy_blocked_pairs(p, "p_name", "p_partkey")
 
 
 def _sql_fuzzy_name_pairs() -> str:

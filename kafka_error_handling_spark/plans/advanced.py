@@ -420,3 +420,63 @@ GROUP BY l_returnflag
 
 
 QUERIES["bloom_pruned_join"] = (q_bloom_pruned_join, SQL_BLOOM_PRUNED_JOIN)
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill imputation
+# ---------------------------------------------------------------------------
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: list[str],
+    partition_by: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Replace NULLs with the last non-null value per partition in event
+    order — ``last(ignorenulls)`` over a running frame, one exchange on
+    the partition key (the same key/order every sessionization op here
+    shuffles on, so in a composed pipeline the exchange is reused)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: knock out every 5th event's value, forward-fill per user in
+    (ts, event_id) order; leading NULLs (no predecessor) stay NULL."""
+    e = _t(spark, sf_dir, "events")
+    sparse = e.withColumn(
+        "value", F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+    )
+    filled = forward_fill(sparse, ["value"], ["user_id"], ["ts", "event_id"])
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        (F.col("event_id") % 5 == 0).alias("was_filled"),
+    )
+
+
+SQL_FORWARD_FILL = """
+WITH sparse AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT event_id, user_id,
+       round(last_value(value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 2) AS value,
+       event_id % 5 = 0 AS was_filled
+FROM sparse
+"""
+
+
+QUERIES["forward_fill"] = (q_forward_fill, SQL_FORWARD_FILL)
