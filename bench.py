@@ -77,6 +77,7 @@ EXTENDED = [
     "merge_upsert",
     "dedup_fuzzy_names",
     "sample_quality_curriculum",
+    "forward_fill",
 ]
 
 

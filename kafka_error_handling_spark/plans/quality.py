@@ -1,0 +1,235 @@
+"""Data-quality operators: one-pass column profiling, referential-integrity
+orphan detection, and declarative constraint validation routed into the
+engine's dead-letter model.
+
+The reference's whole premise is "bad records are routed, never silently
+eaten" — its unit of badness is a thrown exception
+(``ErrorCapturingValueMapper.java:86-95``).  At warehouse scale most bad
+records are *declaratively* bad (null key, out-of-range amount, orphan
+foreign key); raising Python exceptions per row to capture them would be
+an anti-pattern.  ``validate_to_dlq`` therefore builds the SAME
+:data:`~kafka_error_handling_spark.model.ERROR_SCHEMA` struct the capture
+decorators emit, but from pure column expressions — whole-stage codegen,
+no UDF, no Python — so downstream DLQ formatting (``dead_letter_struct``,
+Avro/proto converters, ``__streams.errors.*`` headers) works on
+constraint violations exactly as it does on captured exceptions.
+
+Profiling is Deequ-style: every metric for every column in ONE scan
+(a single aggregate, no per-column passes), unpivoted to long format.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import load_table as _t
+
+__all__ = ["profile_columns", "fk_orphans", "validate_to_dlq"]
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column completeness / distinctness / extremes in ONE pass.
+
+    Emits (column, n_rows, n_null, n_distinct, min_str, max_str) — string
+    renderings of extremes so heterogeneous column types share a schema.
+    One aggregate over the scan: count/count-distinct/min/max all combine
+    map-side; nothing is per-column re-scanned.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_str"),
+                F.col(f"{c}__mx").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+def _sql_profile_orders() -> str:
+    arms = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]:
+        arms.append(
+            f"SELECT '{c}' AS column, count(*) AS n_rows,"
+            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str"
+            f" FROM orders"
+        )
+    return " UNION ALL ".join(arms)
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity violations: child rows whose key has no parent
+    — a LEFT ANTI join (Catalyst broadcasts the smaller side; no payload
+    columns cross the wire, just the key)."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: orphan counts across the three core relationships.  The
+    driver's generator keeps them consistent, so the oracle predicts
+    zeros — the query still exercises the full anti-join plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    checks = [
+        ("lineitem.l_orderkey->orders", fk_orphans(l, o, "l_orderkey", "o_orderkey")),
+        ("orders.o_custkey->customer", fk_orphans(o, c, "o_custkey", "c_custkey")),
+        ("supplier.s_nationkey->nation", fk_orphans(s, n, "s_nationkey", "n_nationkey")),
+    ]
+    arms = [
+        d.agg(F.lit(name).alias("relationship"), F.count(F.lit(1)).alias("n_orphans"))
+        for name, d in checks
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+SQL_FK_ORPHANS = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+         (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+         (SELECT n_nationkey FROM nation))
+"""
+
+
+def validate_to_dlq(
+    df: DataFrame, checks: Mapping[str, Column], value_col: str
+) -> DataFrame:
+    """Declarative constraint validation emitting the capture decorators'
+    sum-type: adds an ``error`` column (:data:`ERROR_SCHEMA` struct, null
+    = row passed every check) listing every failed constraint.
+
+    Pure column expressions — the checks, the message, and the rendered
+    input value all stay in whole-stage codegen; a 100 TB validation pass
+    is a mapper, not a Python round-trip.  The output feeds the exact
+    same splitters/formatters as exception capture: ``errors(df)``,
+    ``dead_letter_struct``, Avro/proto converters, error headers.
+
+    error struct fields (mirroring a captured ``ValueError``):
+      input_value = rendered ``value_col``; error_class =
+      'ConstraintViolation'; message = comma-joined failed check names;
+      stack_trace = null (nothing threw — violations are data, not code).
+    """
+    # three-valued logic: a row passes a check only when the predicate is
+    # definitely TRUE — `when(~cond, ...)` would silently pass NULL
+    # predicates (NOT NULL = NULL), letting null-ridden rows through
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(None)).otherwise(F.lit(name))
+                for name, cond in checks.items()
+            ]
+        )
+    )
+    err = F.when(
+        F.size(failed) > 0,
+        F.struct(
+            F.col(value_col).cast("string").alias("input_value"),
+            F.lit("ConstraintViolation").alias("error_class"),
+            F.concat(
+                F.lit("Constraint(s) violated: "), F.array_join(failed, ", ")
+            ).alias("message"),
+            F.lit(None).cast("string").alias("stack_trace"),
+        ),
+    )
+    from ..model import ERROR_SCHEMA
+
+    return df.withColumn("error", err.cast(ERROR_SCHEMA))
+
+
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: three value constraints on orders; emits every DLQ-routed row
+    with its violation message plus the pass/fail split counts baked into
+    the message distribution (hash-checkable end to end)."""
+    o = _t(spark, sf_dir, "orders")
+    v = validate_to_dlq(
+        o,
+        {
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_filled": F.col("o_orderpriority").isNotNull()
+            & (F.length("o_orderpriority") > 0),
+            "totalprice_under_cap": F.col("o_totalprice") < 400000.0,
+        },
+        value_col="o_orderkey",
+    )
+    errs = v.filter(F.col("error").isNotNull())
+    return errs.select(
+        "o_orderkey",
+        F.col("error.input_value").alias("input_value"),
+        F.col("error.error_class").alias("error_class"),
+        F.col("error.message").alias("message"),
+    )
+
+
+SQL_VALIDATE = """
+WITH checked AS (
+  SELECT o_orderkey,
+         list_filter([
+           CASE WHEN o_totalprice > 0 THEN NULL ELSE 'totalprice_positive' END,
+           CASE WHEN o_orderstatus IN ('O','F','P') THEN NULL ELSE 'status_known' END,
+           CASE WHEN o_orderpriority IS NOT NULL
+                     AND length(o_orderpriority) > 0 THEN NULL
+                ELSE 'priority_filled' END,
+           CASE WHEN o_totalprice < 400000.0 THEN NULL ELSE 'totalprice_under_cap' END
+         ], x -> x IS NOT NULL) AS failed
+  FROM orders
+)
+SELECT o_orderkey,
+       o_orderkey::VARCHAR AS input_value,
+       'ConstraintViolation' AS error_class,
+       'Constraint(s) violated: ' || list_aggregate(failed, 'string_agg', ', ')
+         AS message
+FROM checked
+WHERE len(failed) > 0
+"""
+
+
+QUERIES = {
+    "quality_profile_columns": (q_profile_orders, _sql_profile_orders()),
+    "quality_fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
+    "quality_validate_dlq": (q_validate_constraints, SQL_VALIDATE),
+}

@@ -51,9 +51,9 @@ def _modules():
     except ImportError:
         pass
     try:
-        from . import cdc
+        from . import cdc, quality
 
-        mods.append(cdc)
+        mods += [cdc, quality]
     except ImportError:
         pass
     return mods
