@@ -78,6 +78,7 @@ EXTENDED = [
     "dedup_fuzzy_names",
     "sample_quality_curriculum",
     "forward_fill",
+    "quality_validate_dlq",
 ]
 
 

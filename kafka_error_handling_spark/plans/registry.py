@@ -135,6 +135,16 @@ _PRIORITY = [
     "event_funnel",
     "sketch_countmin",
     "sketch_countmin_estimate",
+    # round-2 third continuation: scale patterns + CDC + data quality
+    "bloom_pruned_join",
+    "merge_upsert",
+    "scd2_intervals",
+    "dedup_fuzzy_names",
+    "sample_quality_curriculum",
+    "forward_fill",
+    "quality_profile_columns",
+    "quality_fk_orphans",
+    "quality_validate_dlq",
     # most expensive last within the priority block: if the budget is
     # tight, the cheap unverified rows still land
     "dedup_minhash_lsh",
