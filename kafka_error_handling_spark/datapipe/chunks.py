@@ -172,7 +172,7 @@ WITH ch AS (
 )
 SELECT doc_id,
        count(*) AS n_chunks,
-       sum(CASE WHEN occ_key <> keep_key THEN 1 ELSE 0 END) AS n_dup_chunks
+       CAST(sum(CASE WHEN occ_key <> keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
 FROM ch JOIN first USING (h)
 GROUP BY doc_id
 """
@@ -292,8 +292,8 @@ SELECT source,
             WHEN {b} < {v} THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(tok_before) AS tokens_before,
-       sum(tok_after) AS tokens_after
+       CAST(sum(tok_before) AS BIGINT) AS tokens_before,
+       CAST(sum(tok_after) AS BIGINT) AS tokens_after
 FROM stats
 GROUP BY 1, 2
 """

@@ -204,7 +204,7 @@ c AS (
                     / 512) AS BIGINT) AS seq_id
   FROM t
 )
-SELECT source, seq_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+SELECT source, seq_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc
 FROM c GROUP BY source, seq_id
 """
@@ -453,7 +453,7 @@ kept AS (
            < bin * {1000 // N_QUALITY_BINS} AS keep
   FROM binned
 )
-SELECT bin, count(*) AS n_docs, sum(keep::INT) AS n_kept,
+SELECT bin, count(*) AS n_docs, CAST(sum(keep::INT) AS BIGINT) AS n_kept,
        round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
 FROM kept
 GROUP BY bin

@@ -141,7 +141,7 @@ WITH v AS (
 )
 SELECT user_id,
        count(*) AS n_versions,
-       sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
        floor(sum(CASE WHEN valid_to IS NOT NULL
                       THEN floor(epoch(valid_to)) - floor(epoch(ts))
                       ELSE 0 END) / 3600.0 * 100) / 100.0 AS covered_hours

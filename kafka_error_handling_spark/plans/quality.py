@@ -75,7 +75,7 @@ def _sql_profile_orders() -> str:
     for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]:
         arms.append(
             f"SELECT '{c}' AS column, count(*) AS n_rows,"
-            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,"
+            f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
             f" count(DISTINCT {c}) AS n_distinct,"
             f" min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str"
             f" FROM orders"

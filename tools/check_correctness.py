@@ -6,6 +6,16 @@ row count, column names, and an order-insensitive value hash (columns
 sorted by name, values stringified row-wise, rows sorted).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+        python tools/check_correctness.py --lint   (type-lint all oracles, no Spark)
+
+The driver's hash is TYPE-faithful: DuckDB HUGEINT (the default result of
+``sum(<integer>)``) vs Spark BIGINT diverges even when values are equal
+(VERDICT r2 #1 — this bug class shipped twice).  Two defenses here:
+  * ``--lint``: DESCRIBE every oracle SQL and flag any HUGEINT / UHUGEINT /
+    DECIMAL output column — those need an explicit CAST in the SQL.
+  * the main run compares coarse type classes (int/float/decimal/str/...)
+    between the DuckDB relation and the Spark schema per column, so a type
+    mismatch FAILs locally even though fetchall() collapses the values.
 """
 
 from __future__ import annotations
@@ -43,6 +53,97 @@ def _canon(v) -> str:
     return str(v)
 
 
+def _duck_type_class(t: str) -> str:
+    t = str(t).upper()
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "list"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"  # no Spark equivalent — always a driver hash risk
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t == "BLOB":
+        return "bytes"
+    return t.lower()
+
+
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    return type(dt).__name__.lower()
+
+
+def type_mismatches(sdf_schema, scols, rel):
+    """Coarse per-column type-class diff between Spark result and oracle."""
+    duck = {c: _duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
+    spark = {f.name: _spark_type_class(f.dataType) for f in sdf_schema.fields}
+    out = []
+    for c in scols:
+        if c in duck and c in spark and duck[c] != spark[c]:
+            out.append(f"{c}: spark={spark[c]} duck={duck[c]}")
+    return out
+
+
+def lint_oracles(con, oracles) -> int:
+    """Flag oracle SQLs whose output schema contains HUGEINT/DECIMAL."""
+    n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            rel = con.sql(sql)
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if _duck_type_class(t) in ("hugeint", "decimal")
+            ]
+        except Exception as e:
+            print(f"LINT-ERR {name}: {type(e).__name__}: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        if bad:
+            print(f"LINT {name}: {', '.join(bad)} — CAST to BIGINT/DOUBLE in the SQL")
+            n_bad += 1
+    print(f"\nlint: {n_bad} flagged of {len(oracles)}")
+    return n_bad
+
+
 def frame_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -56,10 +157,21 @@ def frame_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if a != "--lint"]
+    lint_only = "--lint" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
 
     import __spark_entry__ as entrymod
+
+    if lint_only:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        sys.exit(1 if lint_oracles(con, entrymod.oracle_sql()) else 0)
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -110,6 +222,10 @@ def main():
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            tmis = type_mismatches(sdf.schema, scols, rel)
+            if tmis:
+                problems.append("type-class " + "; ".join(tmis))
         if not problems:
             hs, hd = frame_hash(scols, srows), frame_hash(dcols, drows)
             if hs != hd:
