@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..sources.files import load_table
 
@@ -310,100 +311,157 @@ def _sql_minhash_sample() -> str:
     return f"SELECT doc_id, {mins} FROM ({_duck_shingles()}) GROUP BY doc_id"
 
 
+# SQL fragments for the single-parse LSH pipeline (see q_dedup_minhash_lsh:
+# building the 64-expression trees Column-by-Column costs ~2.5 s of py4j
+# round trips + analysis PER CALL; one spark.sql() string parses JVM-side
+# in milliseconds and produces the identical plan)
+_H_SQL = (
+    f"CAST(conv(substring(md5(substring(_t, _pos, {SHINGLE_K})), 1, 15), 16, 10)"
+    f" AS LONG) % {MH_PRIME}"
+)
+_MINS_SQL = ", ".join(
+    f"min(({_A[i]}L * h + {_B[i]}L) % {MH_PRIME}L) AS mh{i}" for i in range(NUM_PERM)
+)
+_BKEYS_SQL = ", ".join(
+    "concat_ws('_', "
+    + ", ".join(
+        f"CAST(element_at(mh, {b * ROWS_PER_BAND + r + 1}) AS STRING)"
+        for r in range(ROWS_PER_BAND)
+    )
+    + ")"
+    for b in range(LSH_BANDS)
+)
+
+# driver-side cap on the signature-verified pair stream: above this the
+# exact-verification stage stays fully distributed (no driver collect)
+MAX_STRONG_PAIRS = 1_000_000
+
+
+def _shingle_sql(source: str) -> str:
+    """Exploded (doc_id, h) shingle-hash SQL over ``source`` rows."""
+    return f"""
+        SELECT doc_id, {_H_SQL} AS h FROM (
+          SELECT doc_id, text AS _t,
+                 explode(sequence(1, greatest(length(text) - {SHINGLE_K - 1}, 1))) AS _pos
+          FROM {source}
+        )"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs verified with exact shingle-set Jaccard ≥ 0.7 —
     the full near-dup pipeline, value-checked end-to-end.
 
-    Plan shape (one narrow state per doc, minimal passes):
+    Plan shape (VERDICT r2 #3 rework):
 
-    1. one explode+md5 pass → ONE local aggregation (exchange reused from
-       the pre-explode repartition) producing per doc BOTH the 64-slot
-       signature array and the distinct shingle set;
-    2. band the signature array → bucket self-join on (band, key) — the
-       shuffle carries (band, bkey, id) only;
-    3. candidate pairs join the per-doc state ONCE per side: the
-       signature-agreement prefilter (est ≥ 32/64, kills the dup-cluster
-       blowup ~100×) and the exact Jaccard verification read the same two
-       joined rows.  The persisted state is one row per doc, not the
-       exploded hash frame.
+    1. one explode+md5 pass → the 64-slot signature per doc (persisted
+       state is docs × 64 longs — slim; the previous shape persisted the
+       full ``collect_set(h)`` shingle sets and shuffled them through both
+       pair-side joins, which collapsed under the r2 driver's memory
+       pressure: 12.7 s vs 2.5 s steady-state);
+    2. band the signature → bucket self-join on (band, key) — the shuffle
+       carries (band, bkey, id) only — then the est ≥ 32/64 signature-
+       agreement prefilter via BROADCAST joins of the slim signature
+       frame: the ~100× dup-cluster candidate blowup dies with no shuffle
+       of the pair stream;
+    3. exact shingle sets are computed ONLY for docs that survive the
+       prefilter.  Below ``MAX_STRONG_PAIRS`` the surviving pairs are
+       collected and verification runs over an IN-pruned scan (predicate
+       reaches the parquet reader) + VALUES-literal broadcast joins; above
+       it, verification stays fully distributed via LEFT SEMI pruning —
+       same result, no driver bound.
+
+    Everything is built as three ``spark.sql()`` strings: the 64 min-agg
+    expressions cost ~2.5 s/call to assemble Column-by-Column over py4j,
+    vs milliseconds to parse JVM-side.  The plans are identical.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_df(d, "doc_id", "text")
-    base = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.collect_set("h").alias("hs"),
-            *[
-                F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MH_PRIME).alias(
-                    f"mh{i}"
-                )
-                for i in range(NUM_PERM)
-            ],
+    d.createOrReplaceTempView("_mh_docs")
+    sig = spark.sql(
+        f"""
+        SELECT doc_id, array({", ".join(f"mh{i}" for i in range(NUM_PERM))}) AS mh
+        FROM (
+          SELECT doc_id, {_MINS_SQL}
+          FROM ({_shingle_sql("(SELECT /*+ REPARTITION(doc_id) */ doc_id, text FROM _mh_docs)")})
+          GROUP BY doc_id
+        )"""
+    ).persist()
+    sig.createOrReplaceTempView("_mh_sig")
+    strong_df = spark.sql(
+        f"""
+        WITH banded AS (
+          SELECT doc_id, band, bkey FROM _mh_sig
+          LATERAL VIEW posexplode(array({_BKEYS_SQL})) t AS band, bkey
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
-        .select(
-            "doc_id",
-            "hs",
-            F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)]).alias("mh"),
-        )
-        .persist()
+        SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ id_a, id_b
+        FROM pairs JOIN _mh_sig sa ON sa.doc_id = id_a
+                   JOIN _mh_sig sb ON sb.doc_id = id_b
+        WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
+              >= {NUM_PERM // 2}"""
     )
+    strong = strong_df.limit(MAX_STRONG_PAIRS + 1).collect()
 
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at("mh", b * ROWS_PER_BAND + r + 1).cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
+    jac = (
+        "round(size(array_intersect(sa.hs, sb.hs))"
+        " / size(array_union(sa.hs, sb.hs)), 4)"
+    )
+    if len(strong) > MAX_STRONG_PAIRS:
+        # distributed fallback: semi-join-pruned sets, broadcast finale
+        ids = (
+            strong_df.select(F.col("id_a").alias("doc_id"))
+            .union(strong_df.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            _shingle_df(d.join(broadcast(ids), "doc_id", "left_semi"), "doc_id", "text")
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hs"))
+        )
+        out = (
+            strong_df.join(
+                sets.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha")),
+                "id_a",
             )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    banded = base.select(F.col("doc_id"), F.posexplode(band_keys).alias("band", "bkey"))
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            .join(
+                sets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hb")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.size(F.array_intersect("ha", "hb"))
+                    / F.size(F.array_union("ha", "hb")),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.7)
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-
-    est = F.size(
-        F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t)
-    )
-    return (
-        pairs.join(
-            base.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("hs").alias("ha"),
-                F.col("mh").alias("ma"),
-            ),
-            "id_a",
+        return out
+    sig.unpersist()
+    if not strong:
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,"
+            " CAST(NULL AS DOUBLE) AS jaccard WHERE false"
         )
-        .join(
-            base.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("hs").alias("hb"),
-                F.col("mh").alias("mb"),
-            ),
-            "id_b",
+    ids = sorted({r.id_a for r in strong} | {r.id_b for r in strong})
+    vals = ", ".join(f"({r.id_a}L, {r.id_b}L)" for r in strong)
+    return spark.sql(
+        f"""
+        WITH strong (id_a, id_b) AS (VALUES {vals}),
+        sets AS (
+          SELECT doc_id, collect_set(h) AS hs
+          FROM ({_shingle_sql(f"_mh_docs WHERE doc_id IN ({', '.join(map(str, ids))})")})
+          GROUP BY doc_id
         )
-        .filter(est >= NUM_PERM // 2)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("ha", "hb"))
-                / F.size(F.array_union("ha", "hb")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.7)
+        SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ id_a, id_b, {jac} AS jaccard
+        FROM strong JOIN sets sa ON sa.doc_id = id_a
+                    JOIN sets sb ON sb.doc_id = id_b
+        WHERE {jac} >= 0.7"""
     )
 
 
