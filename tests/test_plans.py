@@ -9,6 +9,8 @@ their exchange instead of shuffling twice.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import functions as F
 
 from kafka_error_handling_spark.sources.files import load_table
@@ -185,3 +187,58 @@ def test_bloom_prune_is_shuffle_free_on_probe(spark, sf_dir):
     # the position set is persisted, so the build aggregation runs ONCE:
     # every broadcast reads the InMemory relation, not a fresh build plan
     assert plan.count("InMemoryTableScan") == BLOOM_K
+
+
+def test_capture_overhead_budget(spark, sf_dir):
+    """Wrapped/unwrapped throughput ratio stays bounded (VERDICT r2 #6:
+    r1 ~1.0x drifted to 1.73x in the r2 driver bench; the hot loop is now
+    specialized — dtype-dispatched normalizers, no per-row tuple packing).
+
+    Bound is deliberately generous (1.6x, min-of-3) so the test catches a
+    regression back to 2x without flaking on machine noise; the precise
+    number is reported by bench.py (target <=1.3x)."""
+    import json as _json
+    import time as _time
+
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from kafka_error_handling_spark import capture_map_values, values
+
+    def rate(v):
+        return 100.0 / _json.loads(v)["k"]
+
+    events = load_table(spark, sf_dir, "events")
+
+    def _plain(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            try:
+                out.append(rate(v))
+            except Exception:
+                out.append(None)
+        return _pd.Series(out)
+
+    plain_udf = pandas_udf(_plain, DoubleType())
+
+    def best_of(fn, n=3):
+        best = None
+        for _ in range(n):
+            t0 = _time.time()
+            fn()
+            t = _time.time() - t0
+            best = t if best is None else min(best, t)
+        return best
+
+    unwrapped = best_of(
+        lambda: events.select(plain_udf(F.col("props")).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .count()
+    )
+    wrapped = best_of(
+        lambda: values(
+            capture_map_values(events, rate, DoubleType(), value_col="props")
+        ).count()
+    )
+    assert wrapped / unwrapped < 1.6, f"capture overhead {wrapped/unwrapped:.2f}x"
