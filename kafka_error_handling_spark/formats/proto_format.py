@@ -30,11 +30,36 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
 __all__ = [
+    "PROTO_DEAD_LETTER_SCHEMA",
     "encode_proto_dead_letter",
     "decode_proto_dead_letter",
     "to_proto_dead_letter",
     "jvm_protobuf_available",
 ]
+
+# Canonical schema text — the registry registration payload (what a
+# Confluent proto serde registers; reproduces the reference's
+# ``deadletter.proto`` message layout for interop).
+PROTO_DEAD_LETTER_SCHEMA = """\
+syntax = "proto3";
+package bakdata.kafka.proto.v1;
+import "google/protobuf/wrappers.proto";
+import "google/protobuf/timestamp.proto";
+message ProtoDeadLetter {
+  message Cause {
+    google.protobuf.StringValue message = 1;
+    google.protobuf.StringValue stack_trace = 2;
+    google.protobuf.StringValue error_class = 3;
+  }
+  string description = 1;
+  Cause cause = 2;
+  google.protobuf.StringValue input_value = 3;
+  google.protobuf.StringValue topic = 4;
+  google.protobuf.Int32Value partition = 5;
+  google.protobuf.Int64Value offset = 6;
+  google.protobuf.Timestamp input_timestamp = 7;
+}
+"""
 
 
 def _varint(n: int) -> bytes:
