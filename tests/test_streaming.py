@@ -390,3 +390,99 @@ def test_streaming_sliding_window_agg(spark, tmp_path):
     assert rows["2023-12-31T23:59:30"] == 1.0
     assert rows["2024-01-01T00:00:00"] == 3.0
     assert rows["2024-01-01T00:00:30"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Transactional dual sink (VERDICT r2 missing #3: EOS-v2-style atomic
+# visibility of the ok + DLQ pair, ErrorCaptureTopologyTest.java:56-59)
+# ---------------------------------------------------------------------------
+
+
+def _mk_stream(spark, tmp_path, payload):
+    src = tmp_path / "txsrc"
+    src.mkdir(exist_ok=True)
+    (src / "a.json").write_text(payload)
+    return spark.readStream.schema("key int, value string").json(str(src))
+
+
+def test_txn_dual_sink_atomic_pair(spark, tmp_path):
+    from kafka_error_handling_spark.streaming.txn_sink import TransactionalDualSink
+
+    sink = TransactionalDualSink(str(tmp_path / "out"))
+    stream = _mk_stream(
+        spark,
+        tmp_path,
+        '{"key": 1, "value": "10"}\n{"key": 2, "value": "oops"}\n',
+    )
+    q = run_captured(
+        stream,
+        lambda df: keh.capture_map_values(df, lambda v: int(v) * 2, IntegerType()),
+        sink.write_values,
+        sink.write_errors,
+        checkpoint=str(tmp_path / "txckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    ids = sink.committed_batches()
+    assert ids, "batch should be committed"
+    vals = sink.read_committed(spark, "values", ids).collect()
+    errs = sink.read_committed(spark, "errors", ids).collect()
+    assert sorted((r.key, r.result) for r in vals) == [(1, 20)]
+    assert [(r.key, r.error.error_class) for r in errs] == [(2, "ValueError")]
+    # nothing lingers half-published
+    import os
+
+    assert os.listdir(os.path.join(str(tmp_path / "out"), "_staging")) == []
+
+
+def test_txn_dual_sink_failure_publishes_nothing_then_retry_once(spark, tmp_path):
+    """A crash after the values write but before the errors write leaves
+    NO reader-visible data; the replayed batch publishes the pair exactly
+    once."""
+    from kafka_error_handling_spark.streaming.txn_sink import TransactionalDualSink
+
+    sink = TransactionalDualSink(str(tmp_path / "out2"))
+    boom = {"armed": True}
+    orig_write_errors = sink.write_errors
+
+    def flaky_errors(df, bid):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated sink crash before commit")
+        orig_write_errors(df, bid)
+
+    def run(ck):
+        stream = _mk_stream(
+            spark, tmp_path, '{"key": 1, "value": "10"}\n{"key": 2, "value": "oops"}\n'
+        )
+        q = run_captured(
+            stream,
+            lambda df: keh.capture_map_values(df, lambda v: int(v) * 2, IntegerType()),
+            sink.write_values,
+            flaky_errors,
+            checkpoint=ck,
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # the injected crash fails the query
+        finally:
+            q.stop()
+
+    ck = str(tmp_path / "txckpt2")
+    run(ck)
+    # crashed mid-pair: nothing committed, nothing visible
+    assert sink.committed_batches() == []
+    assert sink.read_committed(spark, "values") is None
+
+    run(ck)  # restart from the same checkpoint replays the batch
+    ids = sink.committed_batches()
+    assert len(ids) == 1
+    assert [(r.key, r.result) for r in sink.read_committed(spark, "values", ids).collect()] == [(1, 20)]
+    assert len(sink.read_committed(spark, "errors", ids).collect()) == 1
+
+    # a THIRD replay of the same batch id is an idempotent no-op
+    sink.write_values(None, ids[0])
+    sink.write_errors(None, ids[0])
+    assert len(sink.read_committed(spark, "values", ids).collect()) == 1
