@@ -79,6 +79,10 @@ EXTENDED = [
     "sample_quality_curriculum",
     "forward_fill",
     "quality_validate_dlq",
+    # round-3 additions
+    "dedup_cdc_chunks",
+    "dedup_priority_source",
+    "quality_gopher_report",
 ]
 
 

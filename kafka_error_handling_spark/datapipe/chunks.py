@@ -303,3 +303,141 @@ QUERIES["pipeline_chunked_corpus"] = (
     q_pipeline_chunked_corpus,
     _sql_pipeline_chunked_corpus(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC/rsync-style, token granularity).
+#
+# Fixed-width chunking breaks on insertion: one added token shifts every
+# downstream chunk boundary, so a near-identical doc shares almost no
+# chunk digests with the original.  Content-defined boundaries are chosen
+# by the DATA — a boundary lands after token i iff the rolling hash of
+# the last CDC_W tokens hits a divisor condition — so an edit only
+# perturbs the chunks it touches (the property every dedup store from
+# rsync to LLM-corpus pipelines relies on; pinned by
+# test_cdc_chunking_shift_resistant).
+#
+# Everything is linear-time JVM HOF expressions per doc: boundary
+# positions via filter over the token index range, chunk spans via
+# zip_with over (starts, ends) — no O(n^2) prefix scans, no explode until
+# the chunks themselves (fan-out ~ n_tokens / avg_chunk).
+# ---------------------------------------------------------------------------
+
+CDC_W = 3  # rolling-gram width (tokens)
+CDC_DIV = 4  # boundary divisor: P(boundary) = 1/4 -> ~4-token avg chunks
+_CDC_PRIME = (1 << 31) - 1
+
+
+def _gram_hash(toks, i):
+    """md5-derived hash of the CDC_W-token gram ending at 1-based pos i."""
+    gram = F.concat_ws(" ", F.slice(toks, i - (CDC_W - 1), CDC_W))
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % _CDC_PRIME
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode documents into content-defined chunks:
+    (id, chunk_pos, chunk)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # boundary AFTER token i for i in [CDC_W, n-1] iff gram hash % DIV == 0.
+    # The stop is clamped to >= CDC_W because Spark's sequence() DESCENDS
+    # when stop < start (SURVEY §8 — it would fabricate i=CDC_W-1 with an
+    # out-of-range slice); the i < n guard then empties short docs.
+    bpos = F.filter(
+        F.sequence(F.lit(CDC_W), F.greatest(n - 1, F.lit(CDC_W))),
+        lambda i: (_gram_hash(toks, i) % CDC_DIV == 0) & (i < n),
+    )
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    ends = F.concat(bpos, F.array(n))
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.concat_ws(" ", F.slice(toks, s + 1, e - s))
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_pos", "chunk")
+    )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document chunk-dedup stats over content-defined chunks — same
+    first-occurrence keep rule (and the same single-posexplode + window
+    plan shape) as :func:`chunk_dedup_stats`."""
+    from pyspark.sql.window import Window
+
+    ch = cdc_chunks(docs, text_col, id_col).select(
+        F.col(id_col),
+        F.col("chunk_pos"),
+        F.md5(F.col("chunk")).alias("h"),
+        (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
+    )
+    keep = F.min("occ_key").over(Window.partitionBy("h"))
+    return (
+        ch.withColumn("keep_key", keep)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("occ_key") != F.col("keep_key")).cast("long")).alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_stats(d)
+
+
+def _sql_cdc_chunk_dedup() -> str:
+    gram = (
+        f"array_to_string(list_slice(toks, i - {CDC_W - 1}, i), ' ')"
+    )
+    ghash = (
+        f"CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT) % {_CDC_PRIME}"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, n,
+         list_filter(range({CDC_W}, greatest(n, {CDC_W})),
+                     i -> {ghash} % {CDC_DIV} = 0) AS bpos
+  FROM t
+), spans AS (
+  SELECT doc_id,
+         list_prepend(0, bpos) AS starts,
+         list_append(bpos, n) AS ends,
+         toks
+  FROM b
+), ch AS (
+  SELECT doc_id,
+         unnest(range(1, len(starts) + 1)) - 1 AS chunk_pos,
+         unnest(list_transform(range(1, len(starts) + 1),
+                j -> array_to_string(toks[starts[j] + 1 : ends[j]], ' '))) AS chunk
+  FROM spans
+), hashed AS (
+  SELECT doc_id, chunk_pos, md5(chunk) AS h,
+         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+  FROM ch
+), first AS (
+  SELECT h, min(occ_key) AS keep_key FROM hashed GROUP BY h
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN occ_key <> keep_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM hashed JOIN first USING (h)
+GROUP BY doc_id
+"""
+
+
+QUERIES["dedup_cdc_chunks"] = (q_cdc_chunk_dedup, _sql_cdc_chunk_dedup())

@@ -855,3 +855,72 @@ GROUP BY a.block, edits
 
 
 QUERIES["dedup_fuzzy_names"] = (q_fuzzy_name_pairs, _sql_fuzzy_name_pairs())
+
+
+# ---------------------------------------------------------------------------
+# Cross-source priority dedup: among exact duplicates, keep the copy from
+# the most-trusted source (curated > crawled), then the lowest id — the
+# keep rule web-scale curation pipelines apply when the same document
+# arrives via multiple acquisition paths.  One window shuffle keyed on
+# the content digest; text itself never moves (digests only).
+# ---------------------------------------------------------------------------
+
+
+def priority_dedup_stats(
+    docs: DataFrame,
+    priority: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source outcome of priority keep: (source, n_docs, n_kept,
+    n_dropped).  ``priority`` is an expression mapping a row to its source
+    rank (lower wins); ties break on the lowest id."""
+    from pyspark.sql.window import Window
+
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        priority.alias("prio"),
+        content_hash(F.col(text_col)).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy(F.asc("prio"), F.asc(id_col))
+    kept = ranked.withColumn("rn", F.row_number().over(w))
+    return (
+        kept.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("rn") != 1).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+def q_dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: source rank = the numeric suffix of the source name (src0 is
+    the most trusted acquisition path)."""
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.substring(F.col("source"), 4, 10).cast("int")
+    return priority_dedup_stats(d, prio)
+
+
+_SQL_PRIORITY_DEDUP = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(substr(source, 4) AS INT) AS prio,
+         md5(text) AS h
+  FROM documents
+), kept AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY h ORDER BY prio ASC, doc_id ASC) AS rn
+  FROM ranked
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM kept
+GROUP BY source
+"""
+
+QUERIES["dedup_priority_source"] = (q_dedup_priority_source, _SQL_PRIORITY_DEDUP)

@@ -722,3 +722,109 @@ GROUP BY doc_id
 
 
 QUERIES["text_lm_score"] = (q_lm_score, SQL_LM_SCORE)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule audit (Rae et al. 2021, §A1.1, adapted to deterministic
+# thresholds): instead of silently dropping documents, report per-rule
+# violation counts per source — the transparency artifact a curation
+# pipeline publishes so threshold changes are reviewable.  Every rule is a
+# pure column expression over the token array (one pass, no shuffle until
+# the final per-source agg); the mode-token rule uses a distinct×scan HOF
+# (O(n·d) per doc — bounded by doc length, never by corpus size).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_LEN = 2.0
+GOPHER_MAX_MEAN_LEN = 8.0
+GOPHER_MIN_STOPWORD_RATIO = 0.02
+GOPHER_MAX_TOP_TOKEN_FRACTION = 0.20
+
+
+def gopher_rules(text: Column) -> dict:
+    """Named violation flags (True = violates) for one text column."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    mean_len = (F.length(text) - n + 1) / n
+    sw = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        )
+        / n
+    )
+    return {
+        "word_count": (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS),
+        "mean_word_len": (mean_len < GOPHER_MIN_MEAN_LEN)
+        | (mean_len > GOPHER_MAX_MEAN_LEN),
+        "stopword_ratio": sw < GOPHER_MIN_STOPWORD_RATIO,
+        "repetition": top_frac > GOPHER_MAX_TOP_TOKEN_FRACTION,
+    }
+
+
+def gopher_report(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source rule audit: n_docs, one violation count per rule, and
+    n_pass (documents violating no rule)."""
+    rules = gopher_rules(F.col(text_col))
+    flagged = docs.select(
+        F.col(group_col),
+        *[v.alias(f"viol_{k}") for k, v in rules.items()],
+    )
+    none = ~flagged["viol_word_count"]
+    for k in ("mean_word_len", "stopword_ratio", "repetition"):
+        none = none & ~flagged[f"viol_{k}"]
+    return flagged.withColumn("ok", none).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(f"viol_{k}").cast("long")).alias(f"viol_{k}")
+            for k in ("word_count", "mean_word_len", "stopword_ratio", "repetition")
+        ],
+        F.sum(F.col("ok").cast("long")).alias("n_pass"),
+    )
+
+
+def q_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_report(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_gopher_report() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT source,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n,
+         length(text) AS n_chars
+  FROM documents
+), r AS (
+  SELECT source,
+         (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS v_wc,
+         ((n_chars - n + 1) / n < {GOPHER_MIN_MEAN_LEN}
+          OR (n_chars - n + 1) / n > {GOPHER_MAX_MEAN_LEN}) AS v_ml,
+         (len(list_filter(toks, x -> x IN ({stop_list}))) / n
+          < {GOPHER_MIN_STOPWORD_RATIO}) AS v_sw,
+         (list_max(list_transform(list_distinct(toks),
+                                  d -> len(list_filter(toks, x -> x = d)))) / n
+          > {GOPHER_MAX_TOP_TOKEN_FRACTION}) AS v_rep
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN v_wc THEN 1 ELSE 0 END) AS BIGINT) AS viol_word_count,
+       CAST(sum(CASE WHEN v_ml THEN 1 ELSE 0 END) AS BIGINT) AS viol_mean_word_len,
+       CAST(sum(CASE WHEN v_sw THEN 1 ELSE 0 END) AS BIGINT) AS viol_stopword_ratio,
+       CAST(sum(CASE WHEN v_rep THEN 1 ELSE 0 END) AS BIGINT) AS viol_repetition,
+       CAST(sum(CASE WHEN NOT v_wc AND NOT v_ml AND NOT v_sw AND NOT v_rep
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM r
+GROUP BY source
+"""
+
+
+QUERIES["quality_gopher_report"] = (q_gopher_report, _sql_gopher_report())

@@ -74,6 +74,10 @@ _PRIORITY = [
     "scd2_intervals",
     "sample_quality_curriculum",
     "quality_profile_columns",
+    # new in round 3 (no driver row yet)
+    "dedup_priority_source",
+    "quality_gopher_report",
+    "dedup_cdc_chunks",
     # never driver-checked (r1+r2): cheap rows first
     "sliding_windows",
     "exact_percentiles",

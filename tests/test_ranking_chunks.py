@@ -219,3 +219,44 @@ def test_chunk_dedup_apply_removes_boilerplate_in_order(spark):
     out = {r.doc_id: r.clean_text for r in chunk_dedup_apply(docs, 20).collect()}
     assert out[1] == boiler          # first occurrence kept
     assert out[2] == f"{head} {tail}"  # middle boilerplate removed, order kept
+
+
+def test_cdc_chunking_shift_resistant(spark):
+    """Insert one token at the head of a doc: content-defined boundaries
+    resync, so most chunk digests survive; fixed-width chunking loses
+    (almost) all of them.  This is the property CDC exists for."""
+    from kafka_error_handling_spark.datapipe.chunks import cdc_chunks, chunk_tokens
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    shifted = "INSERTED " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], "doc_id long, text string")
+
+    def digests(ch):
+        rows = ch.select("doc_id", F.md5("chunk").alias("h")).collect()
+        a = {r.h for r in rows if r.doc_id == 1}
+        b = {r.h for r in rows if r.doc_id == 2}
+        return len(a & b) / len(a)
+
+    cdc_overlap = digests(cdc_chunks(df))
+    fixed_overlap = digests(chunk_tokens(df, width=4))
+    assert cdc_overlap > 0.8, f"CDC overlap only {cdc_overlap:.2f}"
+    assert fixed_overlap < 0.2, f"fixed-width overlap unexpectedly {fixed_overlap:.2f}"
+
+
+def test_cdc_chunking_short_and_empty_docs(spark):
+    """Docs shorter than the gram width produce one whole-doc chunk and no
+    out-of-range slices (sequence() descends when stop < start)."""
+    from kafka_error_handling_spark.datapipe.chunks import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chunk)
+    assert by_doc[1] == [""]
+    assert by_doc[2] == ["one"]
+    assert by_doc[3] == ["one two"]
+    assert by_doc[4] == ["one two three"]
