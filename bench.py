@@ -83,6 +83,9 @@ EXTENDED = [
     "dedup_cdc_chunks",
     "dedup_priority_source",
     "quality_gopher_report",
+    "event_sessionize",
+    "sample_weighted_quality",
+    "dedup_incremental",
 ]
 
 

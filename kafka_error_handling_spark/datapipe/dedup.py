@@ -924,3 +924,81 @@ GROUP BY source
 """
 
 QUERIES["dedup_priority_source"] = (q_dedup_priority_source, _SQL_PRIORITY_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW ingestion batch against the historical corpus.
+# Production pipelines never re-dedup the whole lake per batch — the new
+# slice is checked against the history's digest set (shuffle keyed on the
+# digest; at 100 TB the history side is a pre-bucketed digest index so
+# the probe is a per-bucket zip, no history re-shuffle) and within
+# itself (first-occurrence window).  Outputs the ingestion report a
+# curation run logs per batch.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_stats(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source ingestion outcome of ``batch`` vs ``history``:
+    (source, n_batch, n_known, n_batch_dup, n_unique) where known = digest
+    already in history, batch_dup = later copy within the batch itself,
+    unique = neither."""
+    from pyspark.sql.window import Window
+
+    hist = history.select(content_hash(F.col(text_col)).alias("h")).distinct()
+    b = batch.select(
+        F.col(id_col), F.col(group_col), content_hash(F.col(text_col)).alias("h")
+    )
+    first_in_batch = F.min(id_col).over(Window.partitionBy("h"))
+    flagged = (
+        b.join(hist.withColumn("known", F.lit(True)), "h", "left")
+        .withColumn("known", F.coalesce("known", F.lit(False)))
+        .withColumn("batch_dup", F.col(id_col) != first_in_batch)
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("known").cast("long")).alias("n_known"),
+        F.sum(F.col("batch_dup").cast("long")).alias("n_batch_dup"),
+        F.sum((~F.col("known") & ~F.col("batch_dup")).cast("long")).alias("n_unique"),
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: the newest 20% of doc ids are 'the batch', the rest are the
+    historical corpus (cutoff via 1-row broadcast scalar, repo pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(F.floor(F.max("doc_id") * 0.8).alias("cut"))
+    dd = d.crossJoin(broadcast(cut))
+    history = dd.filter(F.col("doc_id") < F.col("cut"))
+    batch = dd.filter(F.col("doc_id") >= F.col("cut"))
+    return incremental_dedup_stats(history, batch)
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH cut AS (SELECT floor(max(doc_id) * 0.8) AS c FROM documents),
+hist AS (
+  SELECT DISTINCT md5(text) AS h FROM documents, cut WHERE doc_id < c
+), b AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents, cut WHERE doc_id >= c
+), flagged AS (
+  SELECT b.source,
+         b.h IN (SELECT h FROM hist) AS known,
+         b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.h) AS batch_dup
+  FROM b
+)
+SELECT source,
+       count(*) AS n_batch,
+       CAST(sum(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+       CAST(sum(CASE WHEN batch_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
+       CAST(sum(CASE WHEN NOT known AND NOT batch_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique
+FROM flagged
+GROUP BY source
+"""
+
+QUERIES["dedup_incremental"] = (q_dedup_incremental, _SQL_INCREMENTAL_DEDUP)

@@ -474,3 +474,84 @@ def _late_bind_curriculum_sql() -> None:
 
 
 _late_bind_curriculum_sql()
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+# each row draws a deterministic uniform u from its key's md5 and gets
+# priority -ln(u)/w; the N smallest priorities ARE a weighted sample
+# without replacement.  Fully distributed: the only cross-partition step
+# is the top-N (TakeOrdered — per-partition heaps + driver merge of N
+# rows), no global sort, no RNG state.  Higher-quality documents are
+# proportionally more likely to survive — the standard corpus
+# down-sampling step when the token budget is smaller than the corpus.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_N = 200
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    n: int = WEIGHTED_SAMPLE_N,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``n`` weighted-without-replacement sample: (key, weight, rows...).
+
+    ``weight`` must be strictly positive; ties on identical (u, w) break
+    on the key for cross-engine determinism."""
+    u = (hash_bucket(F.col(key_col)) + 0.5) / float(DENOM)  # uniform in (0,1)
+    prio = -F.log(u) / weight
+    return (
+        df.withColumn("w", weight)
+        .withColumn("prio", prio)
+        .orderBy(F.asc("prio"), F.asc(key_col))
+        .limit(n)
+        .drop("prio")
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d.select("doc_id", "source", quality_score(F.col("text")).alias("q")),
+        weight=F.col("q") + F.lit(0.01),
+    )
+    return out.select("doc_id", "source", F.round("w", 4).alias("w"))
+
+
+def _sql_weighted_sample() -> str:
+    # quality_score mirror (same arithmetic as text._sql fragments)
+    stop = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"])
+    q = f"""
+      round(
+        least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+        + CASE WHEN (length(text) - len(string_split(text, ' ')) + 1)
+                    / len(string_split(text, ' ')) BETWEEN 3 AND 10
+               THEN 1.0 ELSE 0.5 END * 0.3
+        + CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ({stop})))
+                    / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.5
+               THEN 1.0 ELSE 0.6 END * 0.3, 4)
+    """
+    u = (
+        f"(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {DENOM} + 0.5) / {DENOM}.0"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {q} AS w_raw FROM documents
+), keyed AS (
+  SELECT doc_id, source, w_raw + 0.01 AS w,
+         -ln({u}) / (w_raw + 0.01) AS prio
+  FROM scored
+)
+SELECT doc_id, source, round(w, 4) AS w
+FROM keyed
+ORDER BY prio ASC, doc_id ASC
+LIMIT {WEIGHTED_SAMPLE_N}
+"""
+
+
+QUERIES["sample_weighted_quality"] = (q_weighted_sample, _sql_weighted_sample())

@@ -480,3 +480,74 @@ FROM sparse
 
 
 QUERIES["forward_fill"] = (q_forward_fill, SQL_FORWARD_FILL)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: gap-based session assignment over the whole event
+# log (the batch complement of the streaming session_window gate).  Plan:
+# ONE shuffle on user_id serves both windows — the gap flag (lag) and the
+# session counter (running sum) share the same partitioning, and the
+# per-session aggregate groups on (user_id, session_idx), a superset of
+# the partition key, so it re-uses the exchange too.  At 100 TB this is
+# the canonical "one shuffle, three window passes" sessionizer.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Per-session stats: (user_id, session_idx, n_events, first_event,
+    last_event, dur_s, total_value_cents)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")  # floor-to-second, engine-stable
+    new_sess = (
+        F.when(sec - F.lag(sec).over(w) > gap_s, 1)
+        .otherwise(0)
+    )
+    # first event of a user has lag NULL -> when() falls to otherwise(0),
+    # so session numbering starts at 0 for every user
+    with_idx = events.withColumn(
+        "session_idx", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_idx.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("dur_s"),
+        F.sum(F.floor(F.col("value") * 100)).alias("total_value_cents"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
+SQL_SESSIONIZE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         floor(epoch(ts)) AS sec,
+         CASE WHEN floor(epoch(ts))
+                   - lag(floor(epoch(ts))) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                   > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), idx AS (
+  SELECT user_id, event_id, value, sec,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM seq
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(event_id) AS first_event,
+       max(event_id) AS last_event,
+       CAST(max(sec) - min(sec) AS BIGINT) AS dur_s,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM idx
+GROUP BY user_id, session_idx
+"""
+
+QUERIES["event_sessionize"] = (q_sessionize, SQL_SESSIONIZE)

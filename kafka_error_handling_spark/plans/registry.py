@@ -78,6 +78,9 @@ _PRIORITY = [
     "dedup_priority_source",
     "quality_gopher_report",
     "dedup_cdc_chunks",
+    "event_sessionize",
+    "sample_weighted_quality",
+    "dedup_incremental",
     # never driver-checked (r1+r2): cheap rows first
     "sliding_windows",
     "exact_percentiles",
