@@ -267,3 +267,63 @@ def to_avro_dead_letter(dead_letter: Column, use_jvm: object = "auto") -> Column
         )
 
     return _enc(dead_letter)
+
+
+# ---------------------------------------------------------------------------
+# Generic flat-record codec (input-side serde): the reference's serde
+# round-trip surface is records like TestValue.avsc — a flat record of
+# nullable primitives (``TestValue.avsc:1-29``, three nullable strings).
+# This builds spec encoder/decoder pairs for exactly that shape so the
+# INPUT edge can decode real Avro payloads (and route decode failures to
+# the error branch via sources.serde.from_avro_captured).
+# ---------------------------------------------------------------------------
+
+_FLAT_WRITERS = {
+    "string": _opt_string,
+    "int": _opt_long,  # Avro int/long share the varint encoding
+    "long": _opt_long,
+}
+
+
+def avro_flat_codec(fields):
+    """(encode, decode) for a flat record of nullable primitives.
+
+    ``fields`` is a list of (name, type) with type in
+    {"string", "int", "long"} — every field is the Avro union
+    ``["null", type]`` (the TestValue shape).  The decoder raises
+    ``ValueError`` on truncated buffers, bad union branches, and trailing
+    bytes — the exact failures a serde surfaces as SerializationException.
+    """
+    for _, t in fields:
+        if t not in _FLAT_WRITERS:
+            raise ValueError(f"unsupported flat-record field type {t!r}")
+
+    def encode(d: dict) -> bytes:
+        return b"".join(_FLAT_WRITERS[t](d.get(n)) for n, t in fields)
+
+    def decode(buf: bytes) -> dict:
+        def rd_opt(pos, is_str):
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                return None, pos
+            if branch != 1:
+                raise ValueError(f"bad union branch {branch} at {pos}")
+            if not is_str:
+                return _read_long(buf, pos)
+            n, pos = _read_long(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise ValueError("truncated string")
+            return buf[pos : pos + n].decode("utf-8"), pos + n
+
+        pos = 0
+        out = {}
+        try:
+            for n, t in fields:
+                out[n], pos = rd_opt(pos, t == "string")
+        except IndexError as exc:
+            raise ValueError("truncated record") from exc
+        if pos != len(buf):
+            raise ValueError(f"trailing bytes after record ({len(buf) - pos})")
+        return out
+
+    return encode, decode

@@ -29,7 +29,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from ..operators.capture import ERROR_COL, RESULT_COL
 
-__all__ = ["from_json_captured", "from_csv_captured"]
+__all__ = ["from_json_captured", "from_csv_captured", "from_avro_captured"]
 
 _CORRUPT = "_corrupt_record"
 
@@ -109,3 +109,55 @@ def from_csv_captured(
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in full.fields)
     parsed = F.from_csv(raw, ddl, opts)
     return _captured_frame(df, parsed, raw, payload.names, "CsvParseError", processed_col)
+
+
+def from_avro_captured(
+    df: DataFrame,
+    value_col: str,
+    fields: Sequence[Tuple[str, str]],
+    framed: bool = False,
+    expected_schema_id: Optional[int] = None,
+    processed_col: str = "r",
+    error_filter=None,
+) -> DataFrame:
+    """Avro flavor of :func:`from_json_captured` for flat nullable-primitive
+    records (the reference's ``TestValue.avsc`` shape): binary payloads are
+    decoded by the spec decoder; truncated/garbage buffers, bad union
+    branches, trailing bytes, wrong magic bytes, and schema-id mismatches
+    all land on the error branch as ordinary captured rows instead of
+    failing the query — the ``SerializationException`` edge of the
+    reference mapped onto the capture sum type.
+
+    ``framed=True`` expects Confluent wire framing (magic + schema id,
+    ``formats.registry``); ``expected_schema_id`` additionally pins the id.
+    Unlike the json/csv paths this runs a per-row Python decode (Avro's
+    binary encoding is inherently sequential), Arrow-batched like every
+    capture UDF."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    from ..formats.avro_format import avro_flat_codec
+    from ..formats.registry import unframe_confluent
+    from ..operators.capture import capture_map_values
+
+    _, dec = avro_flat_codec(list(fields))
+    types = {"string": StringType(), "int": IntegerType(), "long": LongType()}
+    result_type = StructType(
+        [StructField(n, types[t], True) for n, t in fields]
+    )
+
+    def decode(b):
+        if b is None:
+            return None
+        buf = bytes(b)
+        if framed:
+            sid, buf = unframe_confluent(buf)
+            if expected_schema_id is not None and sid != expected_schema_id:
+                raise ValueError(
+                    f"schema id {sid} != expected {expected_schema_id}"
+                )
+        return dec(buf)
+
+    return capture_map_values(
+        df, decode, result_type, value_col=value_col,
+        processed_col=processed_col, error_filter=error_filter,
+    )

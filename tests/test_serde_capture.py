@@ -92,3 +92,61 @@ def test_from_json_captured_streaming_dual_sink(spark, tmp_path):
     assert sorted(r.result.k for r in got["values"]) == [5, 9]
     assert len(got["errors"]) == 1
     assert got["errors"][0].error.error_class == "JsonParseError"
+
+
+def test_from_avro_captured_bare_and_corrupt(spark):
+    """Real Avro payloads decode to the success branch; truncated and
+    garbage buffers land on the error branch with the exception class —
+    the SerializationException edge (TestValue.avsc shape: three nullable
+    strings)."""
+    from kafka_error_handling_spark.formats.avro_format import avro_flat_codec
+    from kafka_error_handling_spark.sources.serde import from_avro_captured
+
+    fields = [("content", "string"), ("note", "string"), ("tag", "string")]
+    enc, _ = avro_flat_codec(fields)
+    rows = [
+        (1, enc({"content": "hello", "note": None, "tag": "t1"})),
+        (2, enc({"content": "world", "note": "n", "tag": None})[:-2]),  # truncated
+        (3, b"\xff\xff\xffgarbage"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    p = from_avro_captured(df, "payload", fields)
+    ok = {r.id: r.result for r in values(p, result_alias="result").collect()}
+    errs = {r.id: r.error for r in errors(p).collect()}
+
+    assert ok[1].content == "hello" and ok[1].note is None and ok[1].tag == "t1"
+    assert ok[4] is None  # null payload stays null, no error
+    assert set(errs) == {2, 3}
+    assert errs[2].error_class == "ValueError"
+    assert errs[3].error_class == "ValueError"
+
+
+def test_from_avro_captured_registry_framed(spark):
+    """Framed payloads: good frame decodes; wrong schema id and missing
+    magic byte are captured, not fatal."""
+    from kafka_error_handling_spark.formats.avro_format import avro_flat_codec
+    from kafka_error_handling_spark.formats.registry import (
+        SchemaRegistryStub,
+        _frame_prefix,
+    )
+    from kafka_error_handling_spark.sources.serde import from_avro_captured
+
+    fields = [("content", "string")]
+    enc, _ = avro_flat_codec(fields)
+    reg = SchemaRegistryStub()
+    sid = reg.register("test-value", "{}")
+    good = _frame_prefix(sid) + enc({"content": "ok"})
+    wrong_id = _frame_prefix(sid + 7) + enc({"content": "x"})
+    bare = enc({"content": "bare"})  # missing frame entirely
+    df = spark.createDataFrame(
+        [(1, good), (2, wrong_id), (3, bare)], "id int, payload binary"
+    )
+    p = from_avro_captured(df, "payload", fields, framed=True, expected_schema_id=sid)
+    ok = {r.id: r.result for r in values(p, result_alias="result").collect()}
+    errs = {r.id: r.error for r in errors(p).collect()}
+
+    assert ok[1].content == "ok"
+    assert set(errs) == {2, 3}
+    assert "schema id" in errs[2].message
+    assert "magic" in errs[3].message
