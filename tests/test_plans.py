@@ -242,3 +242,50 @@ def test_capture_overhead_budget(spark, sf_dir):
         ).count()
     )
     assert wrapped / unwrapped < 1.6, f"capture overhead {wrapped/unwrapped:.2f}x"
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """The gap flag, the running session counter, and the per-session agg
+    must all ride ONE hashpartitioning(user_id) exchange — the 'one
+    shuffle, three window passes' property the batch sessionizer exists
+    for."""
+    from kafka_error_handling_spark.plans.advanced import sessionize
+
+    e = load_table(spark, sf_dir, "events")
+    plan = _plan(sessionize(e))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_priority_dedup_single_digest_shuffle(spark, sf_dir):
+    """Priority keep shuffles once on the content digest; the text column
+    itself must not survive past the scan-side projection."""
+    from kafka_error_handling_spark.datapipe.dedup import priority_dedup_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.substring(F.col("source"), 4, 10).cast("int")
+    plan = _plan(priority_dedup_stats(d, prio))
+    assert plan.count("Exchange hashpartitioning(h") == 1
+
+
+def test_cdc_chunks_single_generate(spark, sf_dir):
+    """Content-defined chunking fans out once: the only Generate in the
+    plan is the chunk posexplode (boundaries are array HOFs, not a
+    per-token explode)."""
+    from kafka_error_handling_spark.datapipe.chunks import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(cdc_chunks(d))
+    assert plan.count("Generate") == 1
+
+
+def test_weighted_sample_uses_takeordered(spark, sf_dir):
+    """A-ES top-N must run as TakeOrderedAndProject, never a global sort."""
+    from kafka_error_handling_spark.datapipe.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("q")
+    )
+    plan = _plan(weighted_sample(d, weight=F.col("q") + F.lit(1.0)))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
