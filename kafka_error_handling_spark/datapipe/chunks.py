@@ -351,12 +351,20 @@ def cdc_chunks(
         F.sequence(F.lit(CDC_W), F.greatest(n - 1, F.lit(CDC_W))),
         lambda i: (_gram_hash(toks, i) % CDC_DIV == 0) & (i < n),
     )
-    starts = F.concat(F.array(F.lit(0)), bpos)
-    ends = F.concat(bpos, F.array(n))
-    chunks = F.zip_with(
-        starts, ends, lambda s, e: F.concat_ws(" ", F.slice(toks, s + 1, e - s))
+    # materialize (toks, bpos) BELOW the Generate: the generator expression
+    # references bpos twice (starts, ends) and HOF lambdas sit outside
+    # codegen subexpression elimination — without this Project boundary the
+    # expensive gram-hash filter runs twice per doc (measured 2x the stage)
+    staged = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"), bpos.alias("_bpos")
     )
-    return docs.select(
+    starts = F.concat(F.array(F.lit(0)), F.col("_bpos"))
+    ends = F.concat(F.col("_bpos"), F.array(F.col("_n")))
+    chunks = F.zip_with(
+        starts, ends,
+        lambda s, e: F.concat_ws(" ", F.slice(F.col("_toks"), s + 1, e - s)),
+    )
+    return staged.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_pos", "chunk")
     )
 
