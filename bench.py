@@ -86,6 +86,7 @@ EXTENDED = [
     "event_sessionize",
     "sample_weighted_quality",
     "dedup_incremental",
+    "quality_key_skew",
 ]
 
 

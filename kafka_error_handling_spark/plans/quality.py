@@ -233,3 +233,63 @@ QUERIES = {
     "quality_fk_orphans": (q_fk_orphans, SQL_FK_ORPHANS),
     "quality_validate_dlq": (q_validate_constraints, SQL_VALIDATE),
 }
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics: the pre-flight a 100 TB join needs.  One
+# aggregation computes per-key counts; a second (tiny: one row per
+# distinct key) summarizes the distribution — max/p99/median multiplicity
+# and the share of rows held by the heaviest key.  A key whose share is
+# large is the signal to salt that join or lean on AQE skew handling;
+# emitting the diagnosis as data (not a log line) lets pipelines gate on
+# it.  Discrete percentiles keep the gate engine-exact (SURVEY §8 rule).
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """(n_rows, n_keys, max_mult, p99_mult, median_mult, top_key,
+    top_share_ppm) for a prospective join key."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("mult"))
+    return counts.agg(
+        F.sum("mult").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("mult").alias("max_mult"),
+        # percentile_disc picks an ACTUAL mult value, so the long cast is
+        # lossless; Spark types the result double, DuckDB types it like
+        # the input — cast both sides (caught by the type-faithful gate)
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY mult)")
+        .cast("long")
+        .alias("p99_mult"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mult)")
+        .cast("long")
+        .alias("median_mult"),
+        F.max(
+            F.struct(F.col("mult").alias("m"), F.col(key_col).cast("long").alias("k"))
+        )["k"].alias("top_key"),
+        F.floor(F.max("mult") * 1_000_000 / F.sum("mult")).alias("top_share_ppm"),
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return key_skew_profile(e, "user_id").select(
+        "n_rows", "n_keys", "max_mult", "p99_mult", "median_mult",
+        F.col("top_key").cast("long").alias("top_key"), "top_share_ppm",
+    )
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (
+  SELECT user_id, count(*) AS mult FROM events GROUP BY user_id
+)
+SELECT CAST(sum(mult) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       max(mult) AS max_mult,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY mult) AS BIGINT) AS p99_mult,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY mult) AS BIGINT) AS median_mult,
+       (max(struct_pack(m := mult, k := CAST(user_id AS BIGINT)))).k AS top_key,
+       CAST(floor(max(mult) * 1000000 / sum(mult)) AS BIGINT) AS top_share_ppm
+FROM counts
+"""
+
+QUERIES["quality_key_skew"] = (q_key_skew, SQL_KEY_SKEW)

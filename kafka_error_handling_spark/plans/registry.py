@@ -81,6 +81,7 @@ _PRIORITY = [
     "event_sessionize",
     "sample_weighted_quality",
     "dedup_incremental",
+    "quality_key_skew",
     # never driver-checked (r1+r2): cheap rows first
     "sliding_windows",
     "exact_percentiles",
