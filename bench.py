@@ -87,6 +87,8 @@ EXTENDED = [
     "sample_weighted_quality",
     "dedup_incremental",
     "quality_key_skew",
+    "dedup_exact_substring",
+    "corpus_pipeline_priority",
 ]
 
 

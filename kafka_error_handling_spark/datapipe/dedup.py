@@ -1002,3 +1002,84 @@ GROUP BY source
 """
 
 QUERIES["dedup_incremental"] = (q_dedup_incremental, _SQL_INCREMENTAL_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup signal (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): the unit of duplication is any
+# G-token gram shared with an earlier position in the corpus — the
+# suffix-array formulation's output, computed here as stride-1 gram
+# digests + global first-occurrence (one explode keyed on the doc id,
+# one digest-partitioned window; text never shuffles, digests do).
+# ---------------------------------------------------------------------------
+
+SUBSTR_G = 15  # gram width in tokens (the paper uses 50 BPE tokens)
+_SUBSTR_POS_BASE = 1_000_000
+
+
+def exact_substring_stats(
+    docs: DataFrame,
+    g: int = SUBSTR_G,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc duplication signal: (id, n_grams, n_dup_grams) where a gram
+    is duplicated iff the same G-token sequence occurs at an earlier
+    (doc, position) anywhere in the corpus.  Docs shorter than G tokens
+    contribute one whole-doc gram."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_grams = F.greatest(n - (g - 1), F.lit(1))
+    grams = docs.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("_pos"),
+    ).select(
+        id_col,
+        F.col("_pos"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), g))).alias("h"),
+    )
+    keep = F.min(F.col(id_col) * _SUBSTR_POS_BASE + F.col("_pos")).over(
+        Window.partitionBy("h")
+    )
+    occ = F.col(id_col) * _SUBSTR_POS_BASE + F.col("_pos")
+    return (
+        grams.withColumn("dup", (occ != keep).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("dup").alias("n_dup_grams"),
+        )
+    )
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substring_stats(load_table(spark, sf_dir, "documents"))
+
+
+_SQL_EXACT_SUBSTRING = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         greatest(len(string_split(text, ' ')) - {SUBSTR_G - 1}, 1) AS ng
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(1, ng + 1)) AS pos,
+         unnest(list_transform(range(1, ng + 1),
+                p -> md5(array_to_string(toks[p : p + {SUBSTR_G} - 1], ' ')))) AS h
+  FROM t
+), keyed AS (
+  SELECT doc_id, doc_id * {_SUBSTR_POS_BASE} + pos AS occ, h FROM grams
+), first AS (
+  SELECT h, min(occ) AS keep FROM keyed GROUP BY h
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN occ <> keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+FROM keyed JOIN first USING (h)
+GROUP BY doc_id
+"""
+
+QUERIES["dedup_exact_substring"] = (q_dedup_exact_substring, _SQL_EXACT_SUBSTRING)

@@ -828,3 +828,69 @@ GROUP BY source
 
 
 QUERIES["quality_gopher_report"] = (q_gopher_report, _sql_gopher_report())
+
+
+def q_corpus_pipeline_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third flagship composition: cross-source priority dedup (keep the
+    most-trusted copy) → Gopher rule filter (keep clean docs) →
+    per-(source, lang) corpus accounting, as ONE declarative plan — the
+    round-3 operators composing end-to-end without materialization."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    prio = F.substring(F.col("source"), 4, 10).cast("int")
+    w = Window.partitionBy("h").orderBy(F.asc("prio"), F.asc("doc_id"))
+    kept = (
+        d.select(
+            "doc_id", "source", "lang", "text",
+            prio.alias("prio"),
+            F.md5(F.col("text")).alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    rules = gopher_rules(F.col("text"))
+    clean = kept.filter(~rules["word_count"] & ~rules["mean_word_len"]
+                        & ~rules["stopword_ratio"] & ~rules["repetition"])
+    return clean.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def _sql_corpus_pipeline_priority() -> str:
+    stop = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, lang, text,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY CAST(substr(source, 4) AS INT) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+), kept AS (
+  SELECT source, lang, text,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n,
+         length(text) AS n_chars
+  FROM ranked WHERE rn = 1
+), clean AS (
+  SELECT source, lang, n FROM kept
+  WHERE NOT (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS})
+    AND NOT ((n_chars - n + 1) / n < {GOPHER_MIN_MEAN_LEN}
+             OR (n_chars - n + 1) / n > {GOPHER_MAX_MEAN_LEN})
+    AND NOT (len(list_filter(toks, x -> x IN ({stop}))) / n
+             < {GOPHER_MIN_STOPWORD_RATIO})
+    AND NOT (list_max(list_transform(list_distinct(toks),
+                                     d -> len(list_filter(toks, x -> x = d)))) / n
+             > {GOPHER_MAX_TOP_TOKEN_FRACTION})
+)
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM clean
+GROUP BY source, lang
+"""
+
+
+QUERIES["corpus_pipeline_priority"] = (
+    q_corpus_pipeline_priority,
+    _sql_corpus_pipeline_priority(),
+)

@@ -82,6 +82,8 @@ _PRIORITY = [
     "sample_weighted_quality",
     "dedup_incremental",
     "quality_key_skew",
+    "dedup_exact_substring",
+    "corpus_pipeline_priority",
     # never driver-checked (r1+r2): cheap rows first
     "sliding_windows",
     "exact_percentiles",
