@@ -486,3 +486,51 @@ def test_txn_dual_sink_failure_publishes_nothing_then_retry_once(spark, tmp_path
     sink.write_values(None, ids[0])
     sink.write_errors(None, ids[0])
     assert len(sink.read_committed(spark, "values", ids).collect()) == 1
+
+
+def test_txn_sink_capture_watermark_end_to_end_restart(spark, tmp_path):
+    """Composed path: file stream -> capture transform -> transactional
+    dual sink, stopped and restarted with MORE data arriving — every
+    batch pair lands atomically, nothing duplicates, late rows keep
+    flowing through the same checkpoint."""
+    from kafka_error_handling_spark.streaming.txn_sink import TransactionalDualSink
+
+    src = tmp_path / "e2esrc"
+    src.mkdir()
+    ck = str(tmp_path / "e2eck")
+    sink = TransactionalDualSink(str(tmp_path / "e2eout"))
+
+    def transform(df):
+        return keh.capture_map_values(
+            df.withWatermark("ts", "10 minutes"),
+            lambda v: int(v) * 10,
+            IntegerType(),
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("key int, value string, ts timestamp")
+            .json(str(src))
+        )
+        q = run_captured(
+            stream, transform, sink.write_values, sink.write_errors, checkpoint=ck
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    (src / "a.json").write_text(
+        '{"key": 1, "value": "3", "ts": "2024-01-01T00:00:00"}\n'
+        '{"key": 2, "value": "bad", "ts": "2024-01-01T00:01:00"}\n'
+    )
+    run_once()
+    # second incarnation of the query: new file, same checkpoint + sink
+    (src / "b.json").write_text(
+        '{"key": 3, "value": "5", "ts": "2024-01-01T00:02:00"}\n'
+    )
+    run_once()
+
+    ids = sink.committed_batches()
+    vals = sink.read_committed(spark, "values", ids).collect()
+    errs = sink.read_committed(spark, "errors", ids).collect()
+    assert sorted((r.key, r.result) for r in vals) == [(1, 30), (3, 50)]
+    assert [(r.key, r.error.error_class) for r in errs] == [(2, "ValueError")]
