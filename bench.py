@@ -124,9 +124,11 @@ def _overhead_pair(spark, timings):
     def _min2(fn):
         # the wrapped/unwrapped ratio is the engine's headline overhead
         # number — sub-second timings are noise-dominated single-shot, so
-        # take the min of two steady-state runs for BOTH sides
+        # warm once (python-worker + Arrow setup for THIS udf instance is
+        # not the quantity under test) then take the min of three runs
+        fn()
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = _time.time()
             fn()
             t = _time.time() - t0
