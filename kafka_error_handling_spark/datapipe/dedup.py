@@ -333,8 +333,12 @@ _BKEYS_SQL = ", ".join(
 )
 
 # driver-side cap on the signature-verified pair stream: above this the
-# exact-verification stage stays fully distributed (no driver collect)
-MAX_STRONG_PAIRS = 1_000_000
+# exact-verification stage stays fully distributed (no driver collect).
+# The literal path builds a VALUES table + IN list in SQL text — ~400 KB
+# at 20k pairs, which the parser handles in ms; megabyte-scale literal
+# plans stall analysis, so the cap stays small and the fallback takes
+# over well before the string gets expensive.
+MAX_STRONG_PAIRS = 20_000
 
 
 def _shingle_sql(source: str) -> str:
@@ -410,7 +414,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / size(array_union(sa.hs, sb.hs)), 4)"
     )
     if len(strong) > MAX_STRONG_PAIRS:
-        # distributed fallback: semi-join-pruned sets, broadcast finale
+        # distributed fallback: semi-join-pruned sets, broadcast finale.
+        # strong_df is referenced three times below (both id projections +
+        # the final join) — persist and materialize it BEFORE dropping the
+        # signature cache it derives from, or the band self-join runs 3x
+        strong_df = strong_df.persist()
+        strong_df.count()
+        sig.unpersist()
         ids = (
             strong_df.select(F.col("id_a").alias("doc_id"))
             .union(strong_df.select(F.col("id_b").alias("doc_id")))

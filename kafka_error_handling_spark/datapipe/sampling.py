@@ -523,25 +523,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_weighted_sample() -> str:
-    # quality_score mirror (same arithmetic as text._sql fragments)
-    stop = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"])
-    q = f"""
-      round(
-        least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
-        + CASE WHEN (length(text) - len(string_split(text, ' ')) + 1)
-                    / len(string_split(text, ' ')) BETWEEN 3 AND 10
-               THEN 1.0 ELSE 0.5 END * 0.3
-        + CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ({stop})))
-                    / len(string_split(text, ' ')) BETWEEN 0.05 AND 0.5
-               THEN 1.0 ELSE 0.6 END * 0.3, 4)
-    """
-    u = (
-        f"(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-        f" % {DENOM} + 0.5) / {DENOM}.0"
-    )
+    # the quality weight and the uniform draw REUSE the shared oracle
+    # fragments (text.SQL_TEXT_QUALITY, _DUCK_BUCKET) — an inline copy
+    # would silently diverge from the Spark side when either definition
+    # moves (same drift class the shared fragments exist to prevent)
+    from .text import SQL_TEXT_QUALITY
+
+    u = f"({_DUCK_BUCKET.format(k='doc_id')} + 0.5) / {DENOM}.0"
     return f"""
-WITH scored AS (
-  SELECT doc_id, source, {q} AS w_raw FROM documents
+WITH q AS ({SQL_TEXT_QUALITY}),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality AS w_raw
+  FROM documents d JOIN q USING (doc_id)
 ), keyed AS (
   SELECT doc_id, source, w_raw + 0.01 AS w,
          -ln({u}) / (w_raw + 0.01) AS prio

@@ -793,8 +793,31 @@ def q_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_report(load_table(spark, sf_dir, "documents"))
 
 
-def _sql_gopher_report() -> str:
+def _sql_gopher_flags() -> dict:
+    """The four rule predicates as DuckDB SQL over columns (toks, n,
+    n_chars) — the ONE oracle-side mirror of :func:`gopher_rules`, shared
+    by every oracle that applies the rules (report + pipeline below)."""
     stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return {
+        "v_wc": f"(n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS})",
+        "v_ml": (
+            f"((n_chars - n + 1) / n < {GOPHER_MIN_MEAN_LEN}"
+            f" OR (n_chars - n + 1) / n > {GOPHER_MAX_MEAN_LEN})"
+        ),
+        "v_sw": (
+            f"(len(list_filter(toks, x -> x IN ({stop_list}))) / n"
+            f" < {GOPHER_MIN_STOPWORD_RATIO})"
+        ),
+        "v_rep": (
+            "(list_max(list_transform(list_distinct(toks),"
+            " d -> len(list_filter(toks, x -> x = d)))) / n"
+            f" > {GOPHER_MAX_TOP_TOKEN_FRACTION})"
+        ),
+    }
+
+
+def _sql_gopher_report() -> str:
+    g = _sql_gopher_flags()
     return f"""
 WITH t AS (
   SELECT source,
@@ -804,14 +827,10 @@ WITH t AS (
   FROM documents
 ), r AS (
   SELECT source,
-         (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS}) AS v_wc,
-         ((n_chars - n + 1) / n < {GOPHER_MIN_MEAN_LEN}
-          OR (n_chars - n + 1) / n > {GOPHER_MAX_MEAN_LEN}) AS v_ml,
-         (len(list_filter(toks, x -> x IN ({stop_list}))) / n
-          < {GOPHER_MIN_STOPWORD_RATIO}) AS v_sw,
-         (list_max(list_transform(list_distinct(toks),
-                                  d -> len(list_filter(toks, x -> x = d)))) / n
-          > {GOPHER_MAX_TOP_TOKEN_FRACTION}) AS v_rep
+         {g["v_wc"]} AS v_wc,
+         {g["v_ml"]} AS v_ml,
+         {g["v_sw"]} AS v_sw,
+         {g["v_rep"]} AS v_rep
   FROM t
 )
 SELECT source,
@@ -859,7 +878,7 @@ def q_corpus_pipeline_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_pipeline_priority() -> str:
-    stop = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    g = _sql_gopher_flags()
     return f"""
 WITH ranked AS (
   SELECT doc_id, source, lang, text,
@@ -875,14 +894,8 @@ WITH ranked AS (
   FROM ranked WHERE rn = 1
 ), clean AS (
   SELECT source, lang, n FROM kept
-  WHERE NOT (n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS})
-    AND NOT ((n_chars - n + 1) / n < {GOPHER_MIN_MEAN_LEN}
-             OR (n_chars - n + 1) / n > {GOPHER_MAX_MEAN_LEN})
-    AND NOT (len(list_filter(toks, x -> x IN ({stop}))) / n
-             < {GOPHER_MIN_STOPWORD_RATIO})
-    AND NOT (list_max(list_transform(list_distinct(toks),
-                                     d -> len(list_filter(toks, x -> x = d)))) / n
-             > {GOPHER_MAX_TOP_TOKEN_FRACTION})
+  WHERE NOT {g["v_wc"]} AND NOT {g["v_ml"]}
+    AND NOT {g["v_sw"]} AND NOT {g["v_rep"]}
 )
 SELECT source, lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
 FROM clean

@@ -96,6 +96,10 @@ def unframe_confluent(buf: bytes, message_indexes: bool = False) -> Tuple[int, b
         raise ValueError(
             f"not Confluent-framed: magic byte {buf[0] if buf else None!r}"
         )
+    if len(buf) < 5:
+        # struct.unpack would raise struct.error (class name 'error'),
+        # breaking the documented ValueError contract consumers dispatch on
+        raise ValueError(f"truncated frame: {len(buf)} bytes")
     (schema_id,) = struct.unpack(">I", buf[1:5])
     body = buf[5:]
     if message_indexes:

@@ -526,7 +526,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE = f"""
 WITH seq AS (
-  SELECT user_id, event_id, value,
+  SELECT user_id, event_id, value, ts,
          floor(epoch(ts)) AS sec,
          CASE WHEN floor(epoch(ts))
                    - lag(floor(epoch(ts))) OVER (PARTITION BY user_id
@@ -535,8 +535,11 @@ WITH seq AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ), idx AS (
+  -- the running counter MUST order by the same (ts, event_id) key as the
+  -- lag window above: ordering by the floored sec would assign an
+  -- earlier-id event inside a boundary second to the wrong session
   SELECT user_id, event_id, value, sec,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM seq
 )

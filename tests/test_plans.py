@@ -289,3 +289,44 @@ def test_weighted_sample_uses_takeordered(spark, sf_dir):
     plan = _plan(weighted_sample(d, weight=F.col("q") + F.lit(1.0)))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_sessionize_boundary_second_matches_oracle(spark):
+    """A session boundary landing inside a second that contains an
+    earlier-id event: the running counter must order by full-precision
+    (ts, event_id) in BOTH engines — ordering the oracle by the floored
+    second assigned the earlier-id event to the previous session
+    (review-confirmed divergence)."""
+    import duckdb
+
+    rows = [
+        (1, "2024-01-01T00:00:00.5", 7, "click", 1.0, "{}"),
+        # 40-min gap -> new session; two events in the same second with
+        # ids inverted relative to time order
+        (5, "2024-01-01T00:40:00.2", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01T00:40:00.8", 7, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), u, e, v, p)
+         for i, t, u, e, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from kafka_error_handling_spark.plans.advanced import SQL_SESSIONIZE, sessionize
+
+    got = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.first_event, r.last_event)
+        for r in sessionize(df).collect()
+    )
+    con = duckdb.connect()
+    con.register("events_src", df.toPandas())
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            SQL_SESSIONIZE.replace("FROM events", "FROM events_src")
+        ).fetchall()
+        if True
+    )
+    oracle = [(u, s, n, f, l) for (u, s, n, f, l, *_rest) in oracle]
+    assert got == [(7, 0, 1, 1, 1), (7, 1, 2, 3, 5)]
+    assert got == oracle

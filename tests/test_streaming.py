@@ -534,3 +534,14 @@ def test_txn_sink_capture_watermark_end_to_end_restart(spark, tmp_path):
     errs = sink.read_committed(spark, "errors", ids).collect()
     assert sorted((r.key, r.result) for r in vals) == [(1, 30), (3, 50)]
     assert [(r.key, r.error.error_class) for r in errs] == [(2, "ValueError")]
+
+
+def test_truncated_confluent_frame_raises_valueerror():
+    """1-4 byte framed buffers must raise the documented ValueError, not
+    struct.error (consumers dispatch on error_class == 'ValueError')."""
+    import pytest
+
+    from kafka_error_handling_spark.formats.registry import unframe_confluent
+
+    with pytest.raises(ValueError, match="truncated frame"):
+        unframe_confluent(b"\x00\x00\x01")
