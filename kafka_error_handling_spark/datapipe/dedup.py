@@ -407,20 +407,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
               >= {NUM_PERM // 2}"""
     )
-    strong = strong_df.limit(MAX_STRONG_PAIRS + 1).collect()
+    # persist + count + branch — NOT limit(CAP+1).collect(): a limit-probe
+    # collect runs Spark's incremental-limit execution, re-running the
+    # whole candidate pipeline over growing partition subsets (measured 2x
+    # the stage at 10x scale, and it never benefits from warm state)
+    strong_df = strong_df.persist()
+    n_strong = strong_df.count()
+    sig.unpersist()
 
     jac = (
         "round(size(array_intersect(sa.hs, sb.hs))"
         " / size(array_union(sa.hs, sb.hs)), 4)"
     )
-    if len(strong) > MAX_STRONG_PAIRS:
-        # distributed fallback: semi-join-pruned sets, broadcast finale.
+    if n_strong > MAX_STRONG_PAIRS:
+        # distributed fallback: semi-join-pruned sets, broadcast finale;
         # strong_df is referenced three times below (both id projections +
-        # the final join) — persist and materialize it BEFORE dropping the
-        # signature cache it derives from, or the band self-join runs 3x
-        strong_df = strong_df.persist()
-        strong_df.count()
-        sig.unpersist()
+        # the final join) and is already persisted above
         ids = (
             strong_df.select(F.col("id_a").alias("doc_id"))
             .union(strong_df.select(F.col("id_b").alias("doc_id")))
@@ -452,7 +454,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jaccard") >= 0.7)
         )
         return out
-    sig.unpersist()
+    strong = strong_df.collect()  # ≤ MAX_STRONG_PAIRS rows, from cache
+    strong_df.unpersist()
     if not strong:
         return spark.sql(
             "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,"
