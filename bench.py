@@ -34,6 +34,43 @@ HEADLINE = [
     "log_errors_drop",
     "capture_flat_map_tokens",
 ]
+
+# FROZEN 30-query basket (VERDICT r3 #9): `value`/`headline_total` is the
+# sum over exactly these, so the headline number stays comparable across
+# rounds as the full sweep keeps growing.  Do NOT edit this list — new
+# queries land in EXTENDED and count toward `full_total` only.
+HEADLINE_BASKET = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "window_topk_orders",
+    "window_running_sum",
+    "event_time_windows",
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_curation",
+    "text_quality",
+    "embedding_knn",
+    "embedding_knn_arrow",
+    "embedding_knn_ivf",
+    "serde_json_captured",
+    "asof_join_last_purchase",
+    "q14_promo_revenue",
+    "q18_large_volume_orders",
+    "salted_join_agg",
+    "corpus_pipeline",
+    "q2_min_cost_supplier",
+    "text_bm25_topk",
+    "embedding_knn_int8",
+    "text_lm_score",
+    "embedding_kmeans",
+    "embedding_semdedup",
+]
 # extended set appended as the datapipe modules land
 EXTENDED = [
     "dedup_exact",
@@ -95,7 +132,23 @@ EXTENDED = [
 def _overhead_pair(spark, timings):
     """BASELINE.md metric: capture-wrapped transform vs identical unwrapped
     transform on events (the reference's whole perf story is 'decorator
-    overhead ≈ 0'; ours is this ratio)."""
+    overhead ≈ 0'; ours is this ratio).
+
+    The events table is replicated OVERHEAD_REP× (identically on both legs)
+    so each leg runs multiple seconds even on the slower driver machine:
+    with sub-second legs the ratio measured constant per-query costs (plan
+    build, session overhead), not the capture loop — that is why the driver
+    ratio sat at 1.73-1.79× across r2/r3 while local min-of-3 showed
+    1.21-1.38× (VERDICT r3 #2).
+
+    Each replica is prefixed with _rep spaces (JSON-whitespace, parse cost
+    unchanged) so the replicated rows are a real function of the explode
+    output: the capture udf is nondeterministic BY SPEC (no-recompute
+    invariant) and must run post-explode, but a deterministic baseline udf
+    over verbatim copies gets hoisted ABOVE the Generate by Catalyst and
+    processes 8× fewer rows — which is exactly what the r2/r3 pair silently
+    measured once the explode was added locally.  Distinct rows pin both
+    legs to the same row count."""
     import json as _json
     import time as _time
 
@@ -106,15 +159,26 @@ def _overhead_pair(spark, timings):
     from kafka_error_handling_spark import capture_map_values, values
     from kafka_error_handling_spark.sources.files import load_table
 
+    OVERHEAD_REP = 8
+
     def rate(v):
         return 100.0 / _json.loads(v)["k"]
 
-    events = load_table(spark, SF_DIR, "events")
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .select("props")
+        .withColumn("_rep", F.explode(F.sequence(F.lit(1), F.lit(OVERHEAD_REP))))
+        .select(
+            F.concat(F.expr("repeat(' ', _rep)"), F.col("props")).alias("props")
+        )
+    )
 
     @pandas_udf(DoubleType())
     def plain_udf(s: pd.Series) -> pd.Series:
+        # .tolist() iteration, same as the capture hot loop — the baseline
+        # should differ only in the capture machinery, not loop style
         out = []
-        for v in s:
+        for v in s.tolist():
             try:
                 out.append(rate(v))
             except Exception:
@@ -123,9 +187,8 @@ def _overhead_pair(spark, timings):
 
     def _min2(fn):
         # the wrapped/unwrapped ratio is the engine's headline overhead
-        # number — sub-second timings are noise-dominated single-shot, so
-        # warm once (python-worker + Arrow setup for THIS udf instance is
-        # not the quantity under test) then take the min of three runs
+        # number — warm once (python-worker + Arrow setup for THIS udf
+        # instance is not the quantity under test) then min of three runs
         fn()
         best = None
         for _ in range(3):
@@ -212,14 +275,20 @@ def main() -> None:
     _overhead_pair(spark, timings)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    total = round(sum(timings.values()), 3)
+    # value = the FROZEN 30-query basket total (cross-round comparable);
+    # full_total = everything timed this round incl. the overhead pair
+    basket_total = round(
+        sum(t for n, t in timings.items() if n in HEADLINE_BASKET), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": total,
+                "value": basket_total,
                 "unit": "sec",
                 "queries": timings,
+                "full_total": round(sum(timings.values()), 3),
+                "basket_size": sum(1 for n in timings if n in HEADLINE_BASKET),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -126,15 +126,22 @@ def _centroids_for(spark: SparkSession, sf_dir: str) -> list:
 
     key = (sf_dir, K, ITERS)
     try:
-        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        # (mtime_ns, size): same-second rewrites still differ in mtime_ns
+        # or size; a bare float mtime let them alias
+        stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
-        mtime = None
-    hit = _CENTROID_CACHE.get(key)
-    if hit is not None and hit[0] == mtime:
-        return hit[1]
+        stamp = None
+    if stamp is not None:
+        hit = _CENTROID_CACHE.get(key)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
     e = load_table(spark, sf_dir, "embeddings")
     centroids = lloyd_centroids(e)
-    _CENTROID_CACHE[key] = (mtime, centroids)
+    if stamp is not None:
+        # un-stat-able path (non-standard layout): never cache — a stale
+        # None==None match could pin centroids across data changes
+        _CENTROID_CACHE[key] = (stamp, centroids)
     return centroids
 
 

@@ -340,6 +340,9 @@ _BKEYS_SQL = ", ".join(
 # over well before the string gets expensive.
 MAX_STRONG_PAIRS = 20_000
 
+# monotonic suffix for per-call temp view names (see q_dedup_minhash_lsh)
+_MH_CALL_SEQ = 0
+
 
 def _shingle_sql(source: str) -> str:
     """Exploded (doc_id, h) shingle-hash SQL over ``source`` rows."""
@@ -379,21 +382,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs milliseconds to parse JVM-side.  The plans are identical.
     """
     d = load_table(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("_mh_docs")
+    # per-call unique view names: session-global createOrReplaceTempView
+    # would collide across concurrent/nested callers in one SparkSession
+    global _MH_CALL_SEQ
+    _MH_CALL_SEQ += 1
+    docs_v = f"_mh_docs_{_MH_CALL_SEQ}"
+    sig_v = f"_mh_sig_{_MH_CALL_SEQ}"
+    d.createOrReplaceTempView(docs_v)
     sig = spark.sql(
         f"""
         SELECT doc_id, array({", ".join(f"mh{i}" for i in range(NUM_PERM))}) AS mh
         FROM (
           SELECT doc_id, {_MINS_SQL}
-          FROM ({_shingle_sql("(SELECT /*+ REPARTITION(doc_id) */ doc_id, text FROM _mh_docs)")})
+          FROM ({_shingle_sql(f"(SELECT /*+ REPARTITION(doc_id) */ doc_id, text FROM {docs_v})")})
           GROUP BY doc_id
         )"""
     ).persist()
-    sig.createOrReplaceTempView("_mh_sig")
+    sig.createOrReplaceTempView(sig_v)
     strong_df = spark.sql(
         f"""
         WITH banded AS (
-          SELECT doc_id, band, bkey FROM _mh_sig
+          SELECT doc_id, band, bkey FROM {sig_v}
           LATERAL VIEW posexplode(array({_BKEYS_SQL})) t AS band, bkey
         ),
         pairs AS (
@@ -402,8 +411,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
         SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ id_a, id_b
-        FROM pairs JOIN _mh_sig sa ON sa.doc_id = id_a
-                   JOIN _mh_sig sb ON sb.doc_id = id_b
+        FROM pairs JOIN {sig_v} sa ON sa.doc_id = id_a
+                   JOIN {sig_v} sb ON sb.doc_id = id_b
         WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
               >= {NUM_PERM // 2}"""
     )
@@ -414,15 +423,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong_df = strong_df.persist()
     n_strong = strong_df.count()
     sig.unpersist()
+    spark.catalog.dropTempView(sig_v)
 
     jac = (
         "round(size(array_intersect(sa.hs, sb.hs))"
         " / size(array_union(sa.hs, sb.hs)), 4)"
     )
     if n_strong > MAX_STRONG_PAIRS:
-        # distributed fallback: semi-join-pruned sets, broadcast finale;
-        # strong_df is referenced three times below (both id projections +
-        # the final join) and is already persisted above
+        # distributed fallback: semi-join-pruned sets, broadcast finale.
+        # strong_df is referenced three times below; swap the persist for
+        # an eager localCheckpoint so the returned DataFrame owns a
+        # lineage-free copy whose blocks the ContextCleaner releases when
+        # the DF is garbage-collected — a bare persist() leaked the cache
+        # entry for the rest of the session (callers never see the handle)
+        checkpointed = strong_df.localCheckpoint(eager=True)
+        strong_df.unpersist()
+        strong_df = checkpointed
+        spark.catalog.dropTempView(docs_v)
         ids = (
             strong_df.select(F.col("id_a").alias("doc_id"))
             .union(strong_df.select(F.col("id_b").alias("doc_id")))
@@ -457,18 +474,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong = strong_df.collect()  # ≤ MAX_STRONG_PAIRS rows, from cache
     strong_df.unpersist()
     if not strong:
+        spark.catalog.dropTempView(docs_v)
         return spark.sql(
             "SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,"
             " CAST(NULL AS DOUBLE) AS jaccard WHERE false"
         )
     ids = sorted({r.id_a for r in strong} | {r.id_b for r in strong})
     vals = ", ".join(f"({r.id_a}L, {r.id_b}L)" for r in strong)
-    return spark.sql(
+    out = spark.sql(
         f"""
         WITH strong (id_a, id_b) AS (VALUES {vals}),
         sets AS (
           SELECT doc_id, collect_set(h) AS hs
-          FROM ({_shingle_sql(f"_mh_docs WHERE doc_id IN ({', '.join(map(str, ids))})")})
+          FROM ({_shingle_sql(f"{docs_v} WHERE doc_id IN ({', '.join(map(str, ids))})")})
           GROUP BY doc_id
         )
         SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ id_a, id_b, {jac} AS jaccard
@@ -476,6 +494,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN sets sb ON sb.doc_id = id_b
         WHERE {jac} >= 0.7"""
     )
+    # spark.sql analyzes eagerly, so the view's plan is already inlined
+    spark.catalog.dropTempView(docs_v)
+    return out
 
 
 def _sql_minhash_lsh() -> str:
@@ -1000,7 +1021,9 @@ hist AS (
   SELECT doc_id, source, md5(text) AS h FROM documents, cut WHERE doc_id >= c
 ), flagged AS (
   SELECT b.source,
-         b.h IN (SELECT h FROM hist) AS known,
+         -- coalesce: with NULL text, h is NULL and IN yields NULL (not
+         -- false), diverging from Spark's coalesce(known, false)
+         coalesce(b.h IN (SELECT h FROM hist), false) AS known,
          b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.h) AS batch_dup
   FROM b
 )
@@ -1027,7 +1050,6 @@ QUERIES["dedup_incremental"] = (q_dedup_incremental, _SQL_INCREMENTAL_DEDUP)
 # ---------------------------------------------------------------------------
 
 SUBSTR_G = 15  # gram width in tokens (the paper uses 50 BPE tokens)
-_SUBSTR_POS_BASE = 1_000_000
 
 
 def exact_substring_stats(
@@ -1054,10 +1076,11 @@ def exact_substring_stats(
         F.col("_pos"),
         F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_pos"), g))).alias("h"),
     )
-    keep = F.min(F.col(id_col) * _SUBSTR_POS_BASE + F.col("_pos")).over(
-        Window.partitionBy("h")
-    )
-    occ = F.col(id_col) * _SUBSTR_POS_BASE + F.col("_pos")
+    # first occurrence = lexicographic min over the (doc_id, pos) struct —
+    # NOT an arithmetic doc_id*BASE+pos packing, which silently aliases
+    # across docs once a doc has >= BASE grams (or doc_id overflows BIGINT)
+    occ = F.struct(F.col(id_col).alias("d"), F.col("_pos").alias("p"))
+    keep = F.min(occ).over(Window.partitionBy("h"))
     return (
         grams.withColumn("dup", (occ != keep).cast("long"))
         .groupBy(id_col)
@@ -1084,7 +1107,7 @@ WITH t AS (
                 p -> md5(array_to_string(toks[p : p + {SUBSTR_G} - 1], ' ')))) AS h
   FROM t
 ), keyed AS (
-  SELECT doc_id, doc_id * {_SUBSTR_POS_BASE} + pos AS occ, h FROM grams
+  SELECT doc_id, struct_pack(d := doc_id, p := pos) AS occ, h FROM grams
 ), first AS (
   SELECT h, min(occ) AS keep FROM keyed GROUP BY h
 )

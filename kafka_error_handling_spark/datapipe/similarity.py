@@ -632,7 +632,11 @@ def knn_bruteforce_arrow(
     # the query matrix is broadcast to every executor: a corpus-sized
     # `queries` frame here would OOM the driver before it OOMs the cluster
     # (VERDICT r2 #7) — fail loudly with the intended bound instead
-    qrows = queries.select(id_col, vec_col).limit(MAX_QUERY_VECTORS + 1).collect()
+    # take(), not limit().collect(): a limit-probe collect runs Spark's
+    # incremental-limit execution, re-running the upstream pipeline over
+    # growing partition subsets (measured 2× the stage at 10× scale on the
+    # minhash gate — same pattern, same fix)
+    qrows = queries.select(id_col, vec_col).take(MAX_QUERY_VECTORS + 1)
     if len(qrows) > MAX_QUERY_VECTORS:
         raise ValueError(
             f"query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}; "
@@ -812,53 +816,95 @@ def knn_int8(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force top-k on int8-quantized vectors.
+    """Brute-force top-k on int8-quantized vectors, scored in Arrow batches.
 
-    Same plan shape as :func:`knn_bruteforce` (broadcast query side, fold
-    scoring, per-query top-k window) but the score is integer arithmetic
-    over the codes; cosine is code-scale-invariant so the per-vector
-    scale cancels and never needs to ride along."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        int8_quantize(F.col(vec_col))["q"].alias("cq"),
-    ).withColumn(
-        "cn2",
-        F.aggregate(
-            F.transform(F.col("cq"), lambda x: x * x), F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        ),
+    The quantized codes are integer-valued, so the ``codes @ codes.T`` dot
+    products are EXACT int64 arithmetic — bit-identical ranking in any
+    engine — and the final cosine is one double division + floor per pair,
+    the same operation order as the SQL oracle.  Scoring runs as a numpy
+    integer matmul inside ``mapInPandas`` (the r3 interpreted
+    ``F.aggregate``/``zip_with`` fold was the only bench regression —
+    interpreted HOFs are ~2× codegen and this path is ~5× the fold);
+    per-batch partial top-k under the global (cos desc, id asc) comparator
+    means only batches × queries × k rows reach the final window."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        int8_quantize(F.col(vec_col))["q"].alias("qq"),
-    ).withColumn(
-        "qn2",
-        F.aggregate(
-            F.transform(F.col("qq"), lambda x: x * x), F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        ),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda s, x: s + x,
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            # exact-integer inputs → identical double in every engine;
-            # floored to 4 for display stability
-            (
-                F.floor(
-                    dot / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))) * 10000
-                )
-                / 10000.0
-            ).alias("cos_q"),
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).take(MAX_QUERY_VECTORS + 1)
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}; "
+            "knn_int8 broadcasts the quantized query matrix — for "
+            "corpus-sized query sets use the bucketed LSH/IVF paths"
         )
+
+    def _codes(mat: "np.ndarray") -> "np.ndarray":
+        # identical double ops to int8_quantize: scale = max|x|/127,
+        # q = floor(x/scale + 0.5) — IEEE754 gives the same codes
+        mx = np.abs(mat).max(axis=1, keepdims=True)
+        scale = np.where(mx > 0.0, mx / 127.0, 1.0)
+        return np.floor(mat / scale + 0.5).astype(np.int64)
+
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qc = _codes(np.array([list(r[1]) for r in qrows], dtype=np.float64))
+    qn = np.sqrt((Qc * Qc).sum(axis=1).astype(np.float64))
+    bq = spark.sparkContext.broadcast((qids, Qc, qn))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_q", DoubleType()),
+        ]
     )
+    kk = k
+
+    def _score(batches):
+        import pandas as pd
+
+        qid, qc, qnorm = bq.value
+        nq = len(qid)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Cc = _codes(C)
+            cn = np.sqrt((Cc * Cc).sum(axis=1).astype(np.float64))
+            dot = (Cc @ qc.T).astype(np.float64)  # exact int64 → double
+            # same op order as the fold/oracle: dot/(sqrt*sqrt)*10000,
+            # floor, /10000.0
+            cos = np.floor(dot / (qnorm[None, :] * cn[:, None]) * 10000) / 10000.0
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                col = cos[:, j]
+                mask = nid != qid[j]
+                ids_j, cos_j = nid[mask], col[mask]
+                if len(ids_j) > kk:
+                    # partial top-k under the global comparator
+                    # (cos desc, id asc): lexsort keys are last-primary
+                    order = np.lexsort((ids_j, -cos_j))[:kk]
+                else:
+                    order = np.lexsort((ids_j, -cos_j))
+                out_q.append(np.full(len(order), qid[j], dtype=np.int64))
+                out_n.append(ids_j[order])
+                out_c.append(cos_j[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_q": np.concatenate(out_c),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

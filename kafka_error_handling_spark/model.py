@@ -170,15 +170,50 @@ def render_value(value: Any) -> Optional[str]:
     return str(value)
 
 
+# Frame-text cache for stack-trace rendering, keyed by the raise site
+# ((filename, function, lineno) per frame): the frame portion of a trace
+# is a pure function of the code path, and a hot capture loop hitting the
+# same raise site thousands of times per batch was spending ~50 µs/error
+# re-formatting identical text (measured: the whole capture-vs-plain body
+# delta at a 1% error rate).  Only the exception-only tail (class +
+# message) varies per record.  Chained exceptions (__cause__/__context__)
+# fall back to the full renderer — their text interleaves multiple traces.
+_TB_CACHE: dict = {}
+_TB_CACHE_MAX = 1024
+
+
+def _stack_trace(exc: BaseException) -> str:
+    if exc.__cause__ is not None or exc.__context__ is not None:
+        return "".join(traceback.format_exception(type(exc), exc, exc.__traceback__))
+    tb = exc.__traceback__
+    if tb is None:
+        return "".join(traceback.format_exception_only(type(exc), exc))
+    sig = []
+    t = tb
+    while t is not None:
+        code = t.tb_frame.f_code
+        sig.append((code.co_filename, code.co_name, t.tb_lineno))
+        t = t.tb_next
+    key = tuple(sig)
+    frames = _TB_CACHE.get(key)
+    if frames is None:
+        frames = "".join(traceback.format_tb(tb))
+        if len(_TB_CACHE) < _TB_CACHE_MAX:
+            _TB_CACHE[key] = frames
+    return (
+        "Traceback (most recent call last):\n"
+        + frames
+        + "".join(traceback.format_exception_only(type(exc), exc))
+    )
+
+
 def error_payload(value: Any, exc: BaseException) -> dict:
     """Build the :data:`ERROR_SCHEMA` dict for a captured exception."""
     return {
         "input_value": render_value(value),
         "error_class": type(exc).__name__,
         "message": str(exc) or None,
-        "stack_trace": "".join(
-            traceback.format_exception(type(exc), exc, exc.__traceback__)
-        ),
+        "stack_trace": _stack_trace(exc),
     }
 
 

@@ -84,6 +84,20 @@ def _norm(v: Any) -> Any:
     return v
 
 
+def _drop_payload(exc: Exception) -> dict:
+    """Minimal error payload for the log-and-drop path: the error row is
+    filtered out immediately, so skip the (expensive) traceback rendering.
+    Shared by _run_one and the inlined single-arg hot loop so the shape
+    can't drift between the two (a fresh dict per call — rows must not
+    alias one mutable payload)."""
+    return {
+        "input_value": None,
+        "error_class": type(exc).__name__,
+        "message": None,
+        "stack_trace": None,
+    }
+
+
 def _run_one(
     fn: Callable[..., Any],
     args: Sequence[Any],
@@ -98,14 +112,7 @@ def _run_one(
         if error_filter(exc):
             raise
         if not full_payload:
-            # log-and-drop path: the error row is filtered out immediately,
-            # so skip the (expensive) traceback rendering
-            return None, {
-                "input_value": None,
-                "error_class": type(exc).__name__,
-                "message": None,
-                "stack_trace": None,
-            }
+            return None, _drop_payload(exc)
         return None, error_payload(rendered_input, exc)
 
 
@@ -175,12 +182,7 @@ def capture_udf(
                     if full_payload:
                         errs[i] = error_payload(v, exc)
                     else:
-                        errs[i] = {
-                            "input_value": None,
-                            "error_class": type(exc).__name__,
-                            "message": None,
-                            "stack_trace": None,
-                        }
+                        errs[i] = _drop_payload(exc)
         else:
             norms = [_norm_for(c) for c in cols]
             rows = zip(*[c.tolist() for c in cols])

@@ -31,11 +31,11 @@ from __future__ import annotations
 
 import os
 import shutil
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TransactionalDualSink"]
+__all__ = ["TransactionalDualSink", "KafkaTransactionalDualSink"]
 
 
 class TransactionalDualSink:
@@ -126,3 +126,76 @@ class TransactionalDualSink:
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+
+class KafkaTransactionalDualSink:
+    """Kafka mapping of the dual-sink protocol — the reference's actual EOS
+    v2 medium (``ErrorCaptureTopologyTest.java:56-59``): ONE transactional
+    producer spans the ok topic and the DLQ topic, so a record's success
+    output and its dead letter commit atomically.
+
+    No broker ships in this container, so ``write_values``/``write_errors``
+    raise until one is reachable — but the *broker contract* is code, not
+    prose: :meth:`producer_config` / :meth:`reader_options` return the
+    exact option sets a real deployment uses, and the unit tests pin them
+    (``tests/test_kafka_broker.py``).  The contract:
+
+    * ``transactional.id`` must be STABLE per (application, query, sink) —
+      on restart the broker fences the zombie producer of the previous
+      incarnation (epoch bump), which is what makes batch replay safe;
+    * ``enable.idempotence`` + ``acks=all`` + bounded in-flight: the
+      producer-side half of EOS (the reference pins the same,
+      ``ErrorCaptureTopologyTest.java:56-59``);
+    * both topics written inside one transaction per micro-batch, commit
+      marker = ``commitTransaction``, crash = ``abortTransaction`` (or
+      fencing), replayed batch ids short-circuit exactly like the file
+      protocol's marker check;
+    * downstream readers must set ``isolation.level=read_committed`` or
+      they observe aborted pairs.
+    """
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        values_topic: str,
+        errors_topic: str,
+        app_id: str = "keh-spark",
+    ) -> None:
+        self.bootstrap_servers = bootstrap_servers
+        self.values_topic = values_topic
+        self.errors_topic = errors_topic
+        self.app_id = app_id
+
+    def transactional_id(self, query_name: str) -> str:
+        # stable across restarts BY CONSTRUCTION (no pid/uuid/timestamp):
+        # restart fencing only works if the new incarnation claims the
+        # same transactional.id
+        return f"{self.app_id}-{query_name}-dual-sink"
+
+    def producer_config(self, query_name: str) -> Dict[str, str]:
+        return {
+            "bootstrap.servers": self.bootstrap_servers,
+            "transactional.id": self.transactional_id(query_name),
+            "enable.idempotence": "true",
+            "acks": "all",
+            "max.in.flight.requests.per.connection": "1",
+        }
+
+    def reader_options(self) -> Dict[str, str]:
+        """Options for the Spark Kafka source reading EITHER output topic."""
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "kafka.isolation.level": "read_committed",
+            "subscribe": f"{self.values_topic},{self.errors_topic}",
+        }
+
+    def write_values(self, df: DataFrame, batch_id: int) -> None:
+        raise NotImplementedError(
+            "no Kafka broker in this environment; the transactional-producer "
+            "protocol is specified by producer_config()/reader_options() and "
+            "pinned by tests — wire a confluent_kafka/kafka-python producer "
+            "here when a broker exists (begin_transaction per batch, produce "
+            "both topics, commit_transaction last)"
+        )
+
+    write_errors = write_values
