@@ -116,14 +116,73 @@ def decode_stub(
     return df.mapInPandas(_decode, out_schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """The real-codec seam: identical plumbing to :func:`decode_stub`, but
-    the codec is not available in this environment."""
-    raise NotImplementedError(
-        "image decode requires Pillow/torchvision; not installed in this "
-        "container — use decode_stub for plumbing tests, plug the codec in "
-        "here (same mapInPandas shape) on a real cluster"
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("pixel_digest", StringType(), False),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    codec=None,
+) -> DataFrame:
+    """The real-codec decode stage.
+
+    ``codec`` is ``bytes -> (width, height, pixel_bytes)`` — injectable so
+    the full mapInPandas plumbing (schema, batching, partition locality)
+    is testable with a pure-python codec even in this container.  With
+    ``codec=None`` the Pillow decoder is used when importable; otherwise
+    this raises ``NotImplementedError`` at the exact seam where the codec
+    library would plug in (kept honest: no silent fake decode on the
+    default path).
+    """
+    if codec is None:
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "image decode requires Pillow (not installed in this "
+                "container) — pass codec=<bytes -> (w, h, pixels)> to run "
+                "the same plumbing with your own decoder, or use "
+                "decode_stub for schema-only tests"
+            ) from None
+
+        def codec(b: bytes):
+            im = Image.open(io.BytesIO(b))
+            im.load()
+            return im.width, im.height, im.tobytes()
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("image", IMAGE_SCHEMA, False)]
     )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = codec(bytes(payload))
+                rows.append(
+                    {
+                        id_col: rid,
+                        "image": {
+                            "width": int(w),
+                            "height": int(h),
+                            "n_pixels": len(px),
+                            "pixel_digest": hashlib.md5(px).hexdigest(),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "image"])
+
+    return df.mapInPandas(_decode, out_schema)
 
 
 def frame_sample_stub(
