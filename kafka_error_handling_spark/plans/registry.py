@@ -59,56 +59,119 @@ def _modules():
     return mods
 
 
-# Driver-budget ordering (VERDICT r2 item 5): the rows with NO green driver
-# CORRECTNESS entry across r1+r2 run FIRST, so any budget cut lands on
-# queries already proven green.  Block 1 = the 3 r2 hash-FAILs re-fixed this
-# round (need a fresh driver row); block 2 = the 26 never-driver-checked
-# rows, cheapest first, the two expensive dedup gates last within the block.
+# Driver-budget ordering (VERDICT r3 item 1): rotate the ~50-row driver
+# budget onto the rows that most need fresh evidence.  Block 1 = rows whose
+# implementation or oracle changed AFTER their last green driver row (the
+# post-r3 perf/advice commits reworked int8 knn scoring, semdedup pair
+# stage, k-means centroid memo, minhash temp views, exact-substring keying,
+# the incremental-dedup oracle, and the multimodal decode seam).  Block 2 =
+# the 36 rows whose latest green driver row is round 1 (oldest evidence).
+# Block 3 = the capture/log/describe family (r3-green, but capture.py's
+# payload hoist + stack-trace cache landed after r3; pytest pins
+# byte-identical output, driver row re-confirms).  Everything else (r2/r3
+# green, untouched since) follows in registry order.
 _PRIORITY = [
-    # re-fixed this round (r2 hash FAIL: HUGEINT oracle typing)
-    "sample_pack_sequences",
-    "q12_priority_by_returnflag",
-    "dedup_chunks",
-    # latent HUGEINT fixes (green in no round yet, cheap)
-    "pipeline_chunked_corpus",
-    "scd2_intervals",
-    "sample_quality_curriculum",
-    "quality_profile_columns",
-    # new in round 3 (no driver row yet)
-    "dedup_priority_source",
-    "quality_gopher_report",
-    "dedup_cdc_chunks",
-    "event_sessionize",
-    "sample_weighted_quality",
-    "dedup_incremental",
-    "quality_key_skew",
-    "dedup_exact_substring",
-    "corpus_pipeline_priority",
-    # never driver-checked (r1+r2): cheap rows first
-    "sliding_windows",
-    "exact_percentiles",
-    "text_pii_scrub",
-    "text_bigram_counts",
-    "text_repetition",
-    "dedup_chunks_apply",
-    "asof_join_forward",
-    "forward_fill",
-    "quality_fk_orphans",
-    "quality_validate_dlq",
-    "merge_upsert",
-    "bloom_pruned_join",
-    "dedup_fuzzy_names",
-    "event_funnel",
-    "sketch_countmin",
-    "sketch_countmin_estimate",
-    "text_decontaminate",
-    "text_lm_score",
-    "embedding_kmeans",
+    # block 1: changed after last green driver row
+    "embedding_knn_int8",
+    "embedding_int8_recall",
     "embedding_semdedup",
-    # most expensive last within the priority block: if the budget is
-    # tight, the cheap unverified rows still land
+    "embedding_kmeans",
     "dedup_minhash_lsh",
-    "dedup_neardup_keep",
+    "dedup_exact_substring",
+    "dedup_incremental",
+    "multimodal_decode",
+    # block 2: r1-latest green (oldest evidence), cheap rows first
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "corpus_curation",
+    "dedup_exact",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "window_topk_orders",
+    "window_running_sum",
+    "window_lag_lead",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "distinct_aggs",
+    "set_ops",
+    "semi_anti_join",
+    "sort_limit_topk",
+    "scalar_functions",
+    "event_time_windows",
+    "unpivot_metrics",
+    "window_analytic_suite",
+    "temporal_regex_functions",
+    "window_value_frames",
+    "q14_promo_revenue",
+    "stats_aggs",
+    "outer_joins",
+    "window_range_frame",
+    "conditional_pivot",
+    "q4_priority_exists",
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
+    "min_per_group_joinback",
+    "range_join_followups",
+    "session_windows",
+    "salted_join_agg",
+    # block 3: capture family (r3-green; capture.py touched post-r3)
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "capture_flat_map_errors",
+    "capture_map_rekey",
+    "capture_process_fanout",
+    "capture_process_values",
+    "describe_passthrough",
+    "describe_struct_result",
+    # block 4: r2-latest green rows, shared-tokenization consumers first
+    "text_stats",
+    "corpus_pipeline",
+    "dedup_ngram_jaccard",
+    "text_bm25_topk",
+    "text_vocab_df",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "embedding_knn",
+    "embedding_knn_arrow",
+    "embedding_lsh_buckets",
+    "embedding_knn_lsh",
+    "embedding_knn_lsh_multiprobe",
+    "embedding_neardup",
+    "embedding_neardup_keep",
+    "embedding_knn_ivf",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_features",
+    "asof_join_last_purchase",
+    "asof_join_tolerance",
+    "sample_hash_10pct",
+    "sample_split_assignment",
+    "sample_mix_sources",
+    "sample_take_per_group",
+    "sample_stratified_exact",
+    "collection_functions",
+    "approx_distinct",
+    "approx_quantiles",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q19_or_predicates",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_no_order_customers",
 ]
 
 
