@@ -126,6 +126,14 @@ EXTENDED = [
     "quality_key_skew",
     "dedup_exact_substring",
     "corpus_pipeline_priority",
+    # round-4 additions
+    "dlq_replay",
+    "events_anomaly_mad",
+    "quality_winsorize",
+    "events_rate_limit",
+    "chunk_sliding_window",
+    "dedup_containment",
+    "sample_temperature",
 ]
 
 

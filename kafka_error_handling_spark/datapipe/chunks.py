@@ -449,3 +449,79 @@ GROUP BY doc_id
 
 
 QUERIES["dedup_cdc_chunks"] = (q_cdc_chunk_dedup, _sql_cdc_chunk_dedup())
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window (overlapping) chunking — the RAG / long-context variant
+# of ``chunk_tokens``.  Fixed width W, stride S < W: consecutive windows
+# share W - S tokens, so a retrieval index never splits an answer span
+# across a hard boundary.  Same scale shape as chunk_tokens: the window
+# array is built per row with pure array expressions (sequence +
+# transform + slice) and ONE posexplode emits the windows — fan-out is
+# n_tokens/S per doc, no per-token explode, nothing collected.
+# ---------------------------------------------------------------------------
+
+SLIDE_WIDTH = 24
+SLIDE_STRIDE = 12
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    width: int = SLIDE_WIDTH,
+    stride: int = SLIDE_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows: (id, win_idx, start_pos, n_tokens,
+    digest).  Window i covers tokens [i*stride, i*stride + width); the
+    last window may be shorter (it still carries the tail)."""
+    toks = F.split(F.col(text_col), " ")
+    # ceil(n / stride) windows; n >= 1 always (split('') = ['']), and the
+    # sequence stop is clamped with greatest so it can never descend
+    # (SURVEY §8: sequence(start, stop) DESCENDS when stop < start)
+    n_win = F.greatest(F.ceil(F.size(toks) / F.lit(stride)).cast("int"), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, width)),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(wins).alias("win_idx", "window"),
+    ).select(
+        F.col(id_col),
+        "win_idx",
+        (F.col("win_idx") * stride).alias("start_pos"),
+        F.size(F.split(F.col("window"), " ")).alias("n_tokens"),
+        F.md5(F.col("window")).alias("digest"),
+    )
+
+
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(d)
+
+
+SQL_SLIDING_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tt FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(CAST(ceil(len(tt) / {SLIDE_STRIDE}.0) AS INT), 1)))
+           AS win_idx,
+         unnest(list_transform(
+           range(0, greatest(CAST(ceil(len(tt) / {SLIDE_STRIDE}.0) AS INT), 1)),
+           i -> array_to_string(
+                  list_slice(tt, i * {SLIDE_STRIDE} + 1,
+                             i * {SLIDE_STRIDE} + {SLIDE_WIDTH}), ' ')))
+           AS w
+  FROM toks
+)
+SELECT doc_id,
+       win_idx,
+       win_idx * {SLIDE_STRIDE} AS start_pos,
+       len(string_split(w, ' ')) AS n_tokens,
+       md5(w) AS digest
+FROM wins
+"""
+
+QUERIES["chunk_sliding_window"] = (q_sliding_chunks, SQL_SLIDING_CHUNKS)

@@ -611,12 +611,68 @@ LIMIT 100
 """
 
 
+
+def q_containment_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-set CONTAINMENT |A∩B| / |A| over the same bounded
+    candidate window as the Jaccard gate.  Containment is the subset-dup
+    detector Jaccard misses: a short doc pasted inside a much longer one
+    has tiny Jaccard (union is big) but containment ≈ 1 for the short
+    side — the signal used to drop embedded boilerplate / quoted copies
+    (Broder's resemblance-vs-containment distinction).  Top-100 pairs by
+    the larger directional containment, deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d).join(d.select("doc_id", "source"), "doc_id").persist()
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"), F.col("source").alias("src")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"), F.col("source").alias("src")
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        a.join(b, "src")
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= 50))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("ha"), 4).alias("cont_a"),
+            F.round(inter / F.size("hb"), 4).alias("cont_b"),
+        )
+        .withColumn("max_cont", F.greatest("cont_a", "cont_b"))
+        .orderBy(F.desc("max_cont"), F.asc("id_a"), F.asc("id_b"))
+        .limit(100)
+    )
+
+
+def _sql_containment() -> str:
+    return f"""
+WITH sh AS ({_duck_shingles()}),
+sets AS MATERIALIZED (
+  SELECT s.doc_id, list_distinct(list(h)) AS hs, any_value(d.source) AS src
+  FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY s.doc_id
+)
+SELECT id_a, id_b, cont_a, cont_b,
+       greatest(cont_a, cont_b) AS max_cont
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs), 4) AS cont_a,
+         round(len(list_intersect(a.hs, b.hs))::DOUBLE / len(b.hs), 4) AS cont_b
+  FROM sets a JOIN sets b
+    ON a.src = b.src AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50
+)
+ORDER BY max_cont DESC, id_a ASC, id_b ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_signature": (q_minhash_signature_sample, _sql_minhash_sample()),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash_lsh()),
     "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard_neighbors, _sql_ngram_jaccard()),
+    "dedup_containment": (q_containment_neighbors, _sql_containment()),
 }
 
 

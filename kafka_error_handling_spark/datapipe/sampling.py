@@ -548,3 +548,81 @@ LIMIT {WEIGHTED_SAMPLE_N}
 
 
 QUERIES["sample_weighted_quality"] = (q_weighted_sample, _sql_weighted_sample())
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing: the multilingual/multi-source rebalance
+# (XLM-R / mT5 style).  Per-source keep rate r_s = (n_min / n_s)^(1-alpha)
+# — the rarest source keeps everything, heavy sources are damped toward a
+# flatter p_s ∝ n_s^alpha distribution.  Unlike ``mix_sources`` the rates
+# are COMPUTED from corpus counts, not supplied: one tiny groupBy(source)
+# count → broadcast thresholds → scan-fused deterministic hash filter.
+# The per-source threshold is materialized as an integer ppm so the keep
+# decision is an exact integer compare in both engines.
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.7
+
+
+def temperature_rates(
+    df: DataFrame, group_col: str = "source", alpha: float = TEMP_ALPHA
+) -> DataFrame:
+    """(group, n_docs, thr_ppm): thr_ppm = floor(DENOM * (n_min/n)^(1-alpha))."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = F.min("n_docs").over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        "n_docs",
+        F.floor(
+            F.lit(float(DENOM))
+            * F.pow(n_min / F.col("n_docs"), F.lit(1.0 - alpha))
+        ).alias("thr_ppm"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = TEMP_ALPHA,
+) -> DataFrame:
+    rates = temperature_rates(df, group_col, alpha)
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(F.col(key_col)) < F.col("thr_ppm")
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(d)
+    return kept.groupBy("source").agg(
+        F.min("n_docs").alias("n_docs"),
+        F.min("thr_ppm").alias("thr_ppm"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def _sql_temperature_sample() -> str:
+    b = _DUCK_BUCKET.format(k="doc_id")
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), rates AS (
+  SELECT source, n_docs,
+         CAST(floor({DENOM}.0 * pow((min(n_docs) OVER ()) * 1.0 / n_docs,
+                                    {1.0 - TEMP_ALPHA})) AS BIGINT) AS thr_ppm
+  FROM counts
+)
+SELECT d.source,
+       min(r.n_docs) AS n_docs,
+       min(r.thr_ppm) AS thr_ppm,
+       count(*) AS n_kept
+FROM documents d JOIN rates r USING (source)
+WHERE {b} < r.thr_ppm
+GROUP BY d.source
+"""
+
+
+QUERIES["sample_temperature"] = (q_temperature_sample, _sql_temperature_sample())

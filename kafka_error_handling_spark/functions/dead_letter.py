@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..model import DEAD_LETTER_SCHEMA
 
-__all__ = ["dead_letter_struct", "dead_letters", "DEAD_LETTER_SCHEMA"]
+__all__ = [
+    "dead_letter_struct",
+    "dead_letters",
+    "replay_dead_letters",
+    "DEAD_LETTER_SCHEMA",
+]
 
 
 def dead_letter_struct(
@@ -99,3 +104,39 @@ def dead_letters(
     )
     cols.append(F.current_timestamp().alias("processing_timestamp"))
     return errs.select(*cols)
+
+
+def replay_dead_letters(
+    dlq: DataFrame,
+    fn,
+    result_type,
+    dead_letter_col: str = "dead_letter",
+    error_filter=None,
+    processed_col: str = "r",
+):
+    """Reprocess a dead-letter frame with a (presumably fixed) function —
+    the standard DLQ-consumer lifecycle around the reference library: a
+    repaired deployment re-reads the dead-letter topic and replays each
+    record (the reference keeps the full original value in the dead letter
+    for exactly this, ``DeadLetterDescription.java:52`` ``inputValue``).
+
+    The function receives ``dead_letter.input_value`` — the stringified
+    original value, which is all a DLQ consumer has.  Returns the captured
+    frame: split with ``operators.capture.values`` / ``errors`` (recovered
+    vs still-dead), or project the sum-type struct directly for a one-pass
+    consumer.  Records that fail *again* keep full error metadata, so a
+    replay's own DLQ is well-formed — replays compose.
+    """
+    from ..operators.capture import capture_map_values
+
+    tmp = "__replay_input"
+    replay_in = dlq.withColumn(tmp, F.col(f"{dead_letter_col}.input_value"))
+    out = capture_map_values(
+        replay_in,
+        fn,
+        result_type,
+        value_col=tmp,
+        error_filter=error_filter,
+        processed_col=processed_col,
+    )
+    return out.drop(tmp)

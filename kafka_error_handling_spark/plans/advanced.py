@@ -554,3 +554,59 @@ GROUP BY user_id, session_idx
 """
 
 QUERIES["event_sessionize"] = (q_sessionize, SQL_SESSIONIZE)
+
+
+# ---------------------------------------------------------------------------
+# Per-key event-time rate limiting (throttling): keep at most N events per
+# (user, minute), drop the rest — the batch analog of a streaming
+# throttle, and the dedup-adjacent guard a feed ingester runs before an
+# expensive enrichment stage.  ONE shuffle on user_id (the window
+# partition key carries the minute bucket too, so Spark partitions by
+# (user_id, minute) — no second exchange); deterministic tie-break on
+# (ts, event_id) keeps both engines on the same N rows.
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_PER_MINUTE = 3
+
+
+def rate_limit(df: DataFrame, key_col: str, ts_col: str, n: int,
+               order_cols: list | None = None) -> DataFrame:
+    """Keep the first ``n`` events per (key, minute) in event-time order;
+    adds ``rl_kept`` instead of filtering so callers can audit drops."""
+    minute = F.date_trunc("minute", F.col(ts_col))
+    w = Window.partitionBy(F.col(key_col), minute).orderBy(
+        *(order_cols or [F.col(ts_col), F.col("event_id")])
+    )
+    return df.withColumn("rl_kept", F.row_number().over(w) <= n)
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    r = rate_limit(e, "user_id", "ts", RATE_LIMIT_PER_MINUTE)
+    return r.groupBy("event_type").agg(
+        F.count(F.when(F.col("rl_kept"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("rl_kept"), 1)).alias("n_dropped"),
+        F.countDistinct(F.when(~F.col("rl_kept"), F.col("user_id"))).alias(
+            "n_throttled_users"
+        ),
+    )
+
+
+SQL_RATE_LIMIT = """
+WITH ranked AS (
+  SELECT event_type, user_id,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('minute', ts)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT event_type,
+       count(CASE WHEN rn <= 3 THEN 1 END) AS n_kept,
+       count(CASE WHEN rn > 3 THEN 1 END) AS n_dropped,
+       count(DISTINCT CASE WHEN rn > 3 THEN user_id END) AS n_throttled_users
+FROM ranked
+GROUP BY event_type
+"""
+
+QUERIES["events_rate_limit"] = (q_rate_limit, SQL_RATE_LIMIT)

@@ -441,3 +441,56 @@ WHERE CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) = 0
 
 
 QUERIES["error_headers"] = (q_error_headers, SQL_ERROR_HEADERS)
+
+
+def _parse_rate_v1(v: str) -> float:
+    # the "buggy deployment": crashes on k == 0 (ZeroDivisionError) AND
+    # spuriously rejects multiples of 7 (the bug the v2 replay fixes)
+    k = json.loads(v)["k"]
+    if k != 0 and k % 7 == 0:
+        raise ValueError(f"blocked k {k}")
+    return 100.0 / k
+
+
+def _parse_rate_v2(v: str) -> float:
+    # the "fixed deployment" a DLQ consumer replays with: the k % 7
+    # rejection is gone; k == 0 records are genuinely unprocessable
+    return 100.0 / json.loads(v)["k"]
+
+
+def q_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter replay lifecycle: capture with a buggy v1, format the
+    DLQ (DeadLetterProcessor), then reprocess each dead letter's
+    ``input_value`` with the fixed v2 (``replay_dead_letters``).  The
+    consumer is ONE sum-type projection — recovered rows carry the new
+    result, still-dead rows a NULL — so the replay UDF runs exactly once
+    per dead letter (no branch-split recompute)."""
+    from ..functions.dead_letter import replay_dead_letters
+
+    ev = _events(spark, sf_dir)
+    p1 = capture_map_values(ev, _parse_rate_v1, DoubleType(), value_col="props")
+    dlq = dead_letters(
+        errors(p1), "rate pipeline v1", key_cols=["event_id"], timestamp_col="ts"
+    )
+    p2 = replay_dead_letters(dlq, _parse_rate_v2, DoubleType())
+    r = F.col("r")
+    return p2.select(
+        "event_id",
+        F.when(r["error"].isNull(), F.lit("recovered"))
+        .otherwise(F.lit("dead"))
+        .alias("replay_status"),
+        F.round(r["result"], 4).alias("rate"),
+    )
+
+
+SQL_DLQ_REPLAY = """
+SELECT event_id,
+       CASE WHEN k = 0 THEN 'dead' ELSE 'recovered' END AS replay_status,
+       CASE WHEN k <> 0 THEN round(100.0 / k, 4) END AS rate
+FROM (SELECT event_id, CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) AS k
+      FROM events)
+WHERE k = 0 OR k % 7 = 0
+"""
+
+
+QUERIES["dlq_replay"] = (q_dlq_replay, SQL_DLQ_REPLAY)

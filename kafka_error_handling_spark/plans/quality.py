@@ -293,3 +293,128 @@ FROM counts
 """
 
 QUERIES["quality_key_skew"] = (q_key_skew, SQL_KEY_SKEW)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection + winsorization.  Median/MAD (not mean/stddev:
+# one wild value corrupts a z-score but barely moves a median) and
+# percentile clamping — the standard numeric-hygiene pair in front of a
+# training pipeline.  Discrete percentiles (actual data values) keep both
+# engines bit-identical where interpolation would tie-break differently.
+#
+# Scale note: percentile_disc over a low-cardinality group key cannot
+# partial-aggregate — each group's values concentrate on one reducer.
+# That is the price of EXACTNESS (the oracle contract here); the 100 TB
+# path swaps in approx_percentile per group (sketch, map-side combinable)
+# with everything else unchanged.  Both stats frames are tiny (one row
+# per group) and broadcast back, so events itself shuffles only for the
+# group-stat aggregations, never for the join.
+# ---------------------------------------------------------------------------
+
+
+def robust_outliers(df: DataFrame, group_col: str, value_col: str, k: float = 3.0):
+    """Per-group (median, MAD) and the |x - med| > k*MAD outlier flag."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})").alias(
+            "med"
+        )
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), group_col).withColumn(
+        "is_outlier", F.col("adev") > F.lit(k) * F.col("mad")
+    )
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    flagged = robust_outliers(e, "event_type", "value", k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("med"), 4).alias("median_value"),
+        F.round(F.min("mad"), 4).alias("mad_value"),
+        F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+    )
+
+
+SQL_ANOMALY_MAD = """
+WITH med AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       round(min(d.med), 4) AS median_value,
+       round(min(m.mad), 4) AS mad_value,
+       count(CASE WHEN d.adev > 3.0 * m.mad THEN 1 END) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+QUERIES["events_anomaly_mad"] = (q_anomaly_mad, SQL_ANOMALY_MAD)
+
+
+def winsorize(df: DataFrame, group_col: str, value_col: str,
+              lo: float = 0.05, hi: float = 0.95):
+    """Clamp ``value_col`` into the per-group [p_lo, p_hi] discrete-
+    percentile band; adds ``clamped`` plus the band columns."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("p_lo"),
+        F.expr(
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("p_hi"),
+    )
+    return df.join(F.broadcast(bounds), group_col).withColumn(
+        "clamped",
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = winsorize(e, "event_type", "value")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("p_lo"), 4).alias("p05"),
+        F.round(F.min("p_hi"), 4).alias("p95"),
+        F.count(F.when(F.col("value") < F.col("p_lo"), 1)).alias("n_low"),
+        F.count(F.when(F.col("value") > F.col("p_hi"), 1)).alias("n_high"),
+        F.round(F.sum("clamped"), 2).alias("sum_clamped"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH bounds AS (
+  SELECT event_type,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p_lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       round(min(b.p_lo), 4) AS p05,
+       round(min(b.p_hi), 4) AS p95,
+       count(CASE WHEN e.value < b.p_lo THEN 1 END) AS n_low,
+       count(CASE WHEN e.value > b.p_hi THEN 1 END) AS n_high,
+       round(sum(least(greatest(e.value, b.p_lo), b.p_hi)), 2) AS sum_clamped
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["quality_winsorize"] = (q_winsorize, SQL_WINSORIZE)

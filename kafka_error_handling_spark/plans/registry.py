@@ -71,6 +71,14 @@ def _modules():
 # byte-identical output, driver row re-confirms).  Everything else (r2/r3
 # green, untouched since) follows in registry order.
 _PRIORITY = [
+    # block 0: new in round 4 — no driver row exists yet
+    "dlq_replay",
+    "events_anomaly_mad",
+    "quality_winsorize",
+    "events_rate_limit",
+    "chunk_sliding_window",
+    "dedup_containment",
+    "sample_temperature",
     # block 1: changed after last green driver row
     "embedding_knn_int8",
     "embedding_int8_recall",

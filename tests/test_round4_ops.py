@@ -1,0 +1,218 @@
+"""Round-4 operators: DLQ replay lifecycle, robust outliers/winsorize,
+event-time rate limiting, sliding-window chunking, containment dedup,
+temperature source mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from kafka_error_handling_spark.operators import (
+    capture_map_values,
+    errors,
+    values,
+)
+from kafka_error_handling_spark.functions.dead_letter import (
+    dead_letters,
+    replay_dead_letters,
+)
+
+
+# ---------------------------------------------------------------------------
+# dlq_replay
+# ---------------------------------------------------------------------------
+
+
+def _v1(v: str) -> float:
+    n = int(v)
+    if n < 0:
+        raise ValueError("negative")  # the v1 bug
+    return 10.0 / n  # ZeroDivisionError on 0 — genuinely bad
+
+
+def _v2(v: str) -> float:
+    return 10.0 / abs(int(v))  # fixed: negatives fine; 0 still dead
+
+
+@pytest.fixture(scope="module")
+def dlq(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(["4", "-5", "0", "2", "-1"])],
+        "id long, payload string",
+    )
+    p1 = capture_map_values(df, _v1, DoubleType(), value_col="payload")
+    return dead_letters(errors(p1), "v1 crash", key_cols=["id"])
+
+
+def test_replay_recovers_fixed_rows(spark, dlq):
+    p2 = replay_dead_letters(dlq, _v2, DoubleType())
+    ok = {r.id: r.result for r in values(p2).select("id", "result").collect()}
+    assert ok == {1: 2.0, 4: 10.0}  # the two v1-bug rows recovered
+
+
+def test_replay_still_dead_keeps_error_metadata(spark, dlq):
+    p2 = replay_dead_letters(dlq, _v2, DoubleType())
+    dead = errors(p2).collect()
+    assert [r.id for r in dead] == [2]
+    e = dead[0].error
+    assert e.error_class == "ZeroDivisionError"
+    assert e.input_value == "0"  # the replay input (original stringified value)
+    assert "ZeroDivisionError" in e.stack_trace
+
+
+def test_replay_composes(spark, dlq):
+    """A replay's own error branch formats into a well-formed DLQ again."""
+    p2 = replay_dead_letters(dlq, _v2, DoubleType())
+    dlq2 = dead_letters(errors(p2), "v2 replay", key_cols=["id"])
+    row = dlq2.collect()[0]
+    assert row.dead_letter.description == "v2 replay"
+    assert row.dead_letter.cause.error_class == "ZeroDivisionError"
+    p3 = replay_dead_letters(dlq2, lambda v: float(len(v)), DoubleType())
+    assert values(p3).count() == 1  # third deployment finally handles it
+
+
+def test_replay_input_is_stringified_original(spark):
+    """Replay consumes dead_letter.input_value — all a DLQ consumer has."""
+    seen = []
+
+    def probe(v):
+        seen.append(v)
+        return v
+
+    df = spark.createDataFrame([(1, "boom")], "id long, payload string")
+    p1 = capture_map_values(
+        df, lambda v: (_ for _ in ()).throw(ValueError(v)), StringType(),
+        value_col="payload",
+    )
+    d = dead_letters(errors(p1), "d", key_cols=["id"])
+    p2 = replay_dead_letters(d, probe, StringType())
+    out = values(p2).collect()
+    assert out[0].result == "boom"
+
+
+# ---------------------------------------------------------------------------
+# robust outliers + winsorize
+# ---------------------------------------------------------------------------
+
+
+def test_robust_outliers_flags_only_the_wild_value(spark):
+    from kafka_error_handling_spark.plans.quality import robust_outliers
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9]] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "g", "v", k=3.0)
+    flagged = [r.v for r in out.filter("is_outlier").collect()]
+    assert flagged == [1000.0]
+    med = out.select("med").first().med
+    assert med in (5.0, 6.0)  # discrete percentile picks an actual value
+
+
+def test_winsorize_clamps_to_band(spark):
+    from kafka_error_handling_spark.plans.quality import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = winsorize(df, "g", "v", lo=0.10, hi=0.90)
+    got = {r.v: r.clamped for r in w.collect()}
+    assert got[1.0] == 10.0 and got[100.0] == 90.0  # clamped
+    assert got[50.0] == 50.0  # interior untouched
+    assert max(got.values()) == 90.0 and min(got.values()) == 10.0
+
+
+# ---------------------------------------------------------------------------
+# rate limiting
+# ---------------------------------------------------------------------------
+
+
+def test_rate_limit_keeps_first_n_per_minute(spark):
+    from kafka_error_handling_spark.plans.advanced import rate_limit
+
+    rows = [
+        (i, 7, f"2024-01-01 00:00:{i:02d}") for i in range(6)  # 6 in minute 0
+    ] + [(10, 7, "2024-01-01 00:01:00"), (11, 8, "2024-01-01 00:00:30")]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s string")
+    df = df.withColumn("ts", F.to_timestamp("s"))
+    out = rate_limit(df, "user_id", "ts", 3)
+    kept = sorted(r.event_id for r in out.filter("rl_kept").collect())
+    # user 7 minute 0: earliest three; new minute resets; user 8 unaffected
+    assert kept == [0, 1, 2, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_chunks_overlap_and_tail(spark):
+    from kafka_error_handling_spark.datapipe.chunks import sliding_chunks
+
+    text = " ".join(f"t{i}" for i in range(30))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sliding_chunks(df, width=8, stride=4).collect()
+    # ceil(30/4) = 8 windows
+    assert [r.win_idx for r in out] == list(range(8))
+    assert [r.start_pos for r in out] == [0, 4, 8, 12, 16, 20, 24, 28]
+    # all full-width except the tail windows
+    assert [r.n_tokens for r in out] == [8, 8, 8, 8, 8, 8, 6, 2]
+
+
+def test_sliding_chunks_short_doc_single_window(spark):
+    from kafka_error_handling_spark.datapipe.chunks import sliding_chunks
+
+    df = spark.createDataFrame([(1, "only"), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r for r in sliding_chunks(df, width=8, stride=4).collect()}
+    assert out[1].n_tokens == 1 and out[1].win_idx == 0
+    assert out[2].win_idx == 0  # empty text still emits one (empty) window
+
+
+# ---------------------------------------------------------------------------
+# containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_embedded_doc(spark, sf_dir):
+    """A short doc pasted verbatim inside a longer one: containment of the
+    short side ≈ 1 while Jaccard stays well below the near-dup bar."""
+    from kafka_error_handling_spark.datapipe.dedup import shingle_sets
+
+    short = " ".join(f"w{i}" for i in range(20))
+    long = short + " " + " ".join(f"x{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, short, "s"), (2, long, "s")], "doc_id long, text string, source string"
+    )
+    sets = shingle_sets(df)
+    a, b = sorted(sets.collect(), key=lambda r: r.doc_id)
+    inter = len(set(a.hs) & set(b.hs))
+    cont_short = inter / len(a.hs)
+    jac = inter / len(set(a.hs) | set(b.hs))
+    assert cont_short == 1.0
+    assert jac < 0.5
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    from kafka_error_handling_spark.datapipe.sampling import (
+        DENOM,
+        temperature_rates,
+    )
+
+    rows = [(i, "big") for i in range(1000)] + [(i + 1000, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r = {x.source: x.thr_ppm for x in temperature_rates(df, "source").collect()}
+    assert r["small"] == DENOM  # rarest source keeps everything
+    # (10/1000)^0.3 = 0.251...: heavy source damped, not annihilated
+    assert 0.24 * DENOM < r["big"] < 0.26 * DENOM
+
+
+def test_temperature_sample_deterministic(spark):
+    from kafka_error_handling_spark.datapipe.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(1000)] + [(i + 1000, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in temperature_sample(df).collect())
+    b = sorted(r.doc_id for r in temperature_sample(df).collect())
+    assert a == b
+    assert all(i >= 1000 for i in a[-10:]) or len([x for x in a if x >= 1000]) == 10
