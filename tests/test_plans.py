@@ -330,3 +330,57 @@ def test_sessionize_boundary_second_matches_oracle(spark):
     oracle = [(u, s, n, f, l) for (u, s, n, f, l, *_rest) in oracle]
     assert got == [(7, 0, 1, 1, 1), (7, 1, 2, 3, 5)]
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# round-4 operators
+# ---------------------------------------------------------------------------
+
+
+def test_mad_and_winsorize_broadcast_group_stats(spark, sf_dir):
+    """The per-group stat frames are one-row-per-group tiny: they must come
+    back as broadcast joins — events itself shuffles only for the stat
+    aggregations, never to co-locate a join."""
+    from kafka_error_handling_spark.plans.quality import q_anomaly_mad, q_winsorize
+
+    for q in (q_anomaly_mad, q_winsorize):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.sampling import q_temperature_sample
+
+    plan = _plan(q_temperature_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sliding_chunks_single_generate(spark, sf_dir):
+    """One posexplode emits the windows; the window array is built inside
+    the scan projection (no second Generate, no join)."""
+    from kafka_error_handling_spark.datapipe.chunks import q_sliding_chunks
+
+    plan = _plan(q_sliding_chunks(spark, sf_dir))
+    assert plan.count("Generate") == 1
+    assert "Exchange" not in plan  # pure per-row pipeline, shuffle-free
+
+
+def test_rate_limit_single_exchange(spark, sf_dir):
+    """The throttle is one window pass: exactly one hash exchange on the
+    (user, minute) partition key feeds the row_number sort."""
+    from kafka_error_handling_spark.plans.advanced import rate_limit
+
+    e = load_table(spark, sf_dir, "events")
+    plan = _plan(rate_limit(e, "user_id", "ts", 3))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dlq_replay_runs_each_capture_once(spark, sf_dir):
+    """v1 capture + v2 replay = exactly two ArrowEvalPython nodes; the
+    one-pass sum-type consumer must not duplicate either stage."""
+    from kafka_error_handling_spark.plans.error_queries import q_dlq_replay
+
+    plan = _plan(q_dlq_replay(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 2

@@ -545,3 +545,50 @@ def test_truncated_confluent_frame_raises_valueerror():
 
     with pytest.raises(ValueError, match="truncated frame"):
         unframe_confluent(b"\x00\x00\x01")
+
+
+def test_streaming_dlq_replay_lifecycle(spark, tmp_path):
+    """The DLQ-reprocessing job as it actually runs in production: a batch
+    capture writes a dead-letter directory; a *streaming* replay job reads
+    it as a file stream, reprocesses each record's input_value with the
+    fixed function, and dual-sinks recovered vs still-dead in one pass."""
+    from pyspark.sql.types import DoubleType
+
+    from kafka_error_handling_spark.functions.dead_letter import (
+        dead_letters,
+        replay_dead_letters,
+    )
+
+    def v1(v):
+        n = int(v)
+        if n < 0:
+            raise ValueError("v1 rejects negatives")
+        return 10.0 / n
+
+    src = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(["5", "-2", "0", "-1"])],
+        "id long, payload string",
+    )
+    p1 = keh.capture_map_values(src, v1, DoubleType(), value_col="payload")
+    dlq_dir = str(tmp_path / "dlq")
+    dead_letters(keh.errors(p1), "v1", key_cols=["id"]).write.parquet(dlq_dir)
+
+    dlq_schema = spark.read.parquet(dlq_dir).schema
+    stream = spark.readStream.schema(dlq_schema).parquet(dlq_dir)
+    got = {"recovered": [], "dead": []}
+    q = run_captured(
+        stream,
+        lambda df: replay_dead_letters(df, lambda v: 10.0 / abs(int(v)), DoubleType()),
+        write_values=lambda df, bid: got["recovered"].extend(
+            df.select("id", "result").collect()
+        ),
+        write_errors=lambda df, bid: got["dead"].extend(
+            df.select("id", "error.error_class").collect()
+        ),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted((r.id, r.result) for r in got["recovered"]) == [(1, 5.0), (3, 10.0)]
+    assert [(r.id, r.error_class) for r in got["dead"]] == [(2, "ZeroDivisionError")]
