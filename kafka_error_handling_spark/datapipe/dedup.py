@@ -563,22 +563,50 @@ SELECT doc_id, {sig} AS simhash FROM sums
 """
 
 
-def q_ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over a bounded candidate window (same source,
-    doc_id delta ≤ 50): top-100 most similar pairs, fully deterministic."""
+CAND_WINDOW = 50  # bounded candidate window: doc_id delta for pair gates
+
+
+def _windowed_candidate_pairs(spark, sf_dir: str) -> DataFrame:
+    """Bounded-window self-join candidates: same source, doc_id delta ≤
+    CAND_WINDOW, shingle sets on both sides.
+
+    The join key is (src, block) with block = doc_id // CAND_WINDOW and
+    the LEFT side exploding {block, block+1} — every qualifying pair
+    matches exactly once (the right side's block is a single value), and
+    the per-bucket join fan-in is ~CAND_WINDOW docs.  The naive key
+    (src alone) carried both full shingle arrays through a per-source
+    ALL-PAIRS join with the window applied as a post-join filter — at a
+    10× stress (50k docs) that join's build side OOM'd a small heap;
+    blocking makes the equi-key selective so memory stays bounded at any
+    corpus size (the 100 TB shape)."""
     d = load_table(spark, sf_dir, "documents")
     # persisted: both sides of the bounded self-join read the same per-doc
     # shingle sets — without it the explode+md5 pass runs twice
     sets = shingle_sets(d).join(d.select("doc_id", "source"), "doc_id").persist()
+    blk = (F.col("doc_id") / F.lit(CAND_WINDOW)).cast("long")
     a = sets.select(
-        F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"), F.col("source").alias("src")
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("ha"),
+        F.col("source").alias("src"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
     )
     b = sets.select(
-        F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"), F.col("source").alias("src")
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hb"),
+        F.col("source").alias("src"),
+        blk.alias("blk"),
     )
+    return a.join(b, ["src", "blk"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("id_b") - F.col("id_a") <= CAND_WINDOW)
+    )
+
+
+def q_ngram_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a bounded candidate window (same source,
+    doc_id delta ≤ 50): top-100 most similar pairs, fully deterministic."""
     return (
-        a.join(b, "src")
-        .filter((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= 50))
+        _windowed_candidate_pairs(spark, sf_dir)
         .select(
             "id_a",
             "id_b",
@@ -620,18 +648,9 @@ def q_containment_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — the signal used to drop embedded boilerplate / quoted copies
     (Broder's resemblance-vs-containment distinction).  Top-100 pairs by
     the larger directional containment, deterministic tie-break."""
-    d = load_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d).join(d.select("doc_id", "source"), "doc_id").persist()
-    a = sets.select(
-        F.col("doc_id").alias("id_a"), F.col("hs").alias("ha"), F.col("source").alias("src")
-    )
-    b = sets.select(
-        F.col("doc_id").alias("id_b"), F.col("hs").alias("hb"), F.col("source").alias("src")
-    )
     inter = F.size(F.array_intersect("ha", "hb"))
     return (
-        a.join(b, "src")
-        .filter((F.col("id_a") < F.col("id_b")) & (F.col("id_b") - F.col("id_a") <= 50))
+        _windowed_candidate_pairs(spark, sf_dir)
         .select(
             "id_a",
             "id_b",

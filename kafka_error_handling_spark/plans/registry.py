@@ -80,6 +80,7 @@ _PRIORITY = [
     "dedup_containment",
     "sample_temperature",
     # block 1: changed after last green driver row
+    "dedup_ngram_jaccard",
     "embedding_knn_int8",
     "embedding_int8_recall",
     "embedding_semdedup",
@@ -139,7 +140,6 @@ _PRIORITY = [
     # block 4: r2-latest green rows, shared-tokenization consumers first
     "text_stats",
     "corpus_pipeline",
-    "dedup_ngram_jaccard",
     "text_bm25_topk",
     "text_vocab_df",
     "dedup_minhash_signature",
