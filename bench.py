@@ -134,6 +134,10 @@ EXTENDED = [
     "chunk_sliding_window",
     "dedup_containment",
     "sample_temperature",
+    "text_tfidf_keywords",
+    "sample_global_shuffle",
+    "quality_psi_drift",
+    "asof_join_nearest",
 ]
 
 

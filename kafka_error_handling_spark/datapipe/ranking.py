@@ -177,3 +177,78 @@ QUERIES = {
     "text_bm25_topk": (q_bm25_topk, _sql_bm25()),
     "text_vocab_df": (q_vocab_df, SQL_VOCAB_DF),
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction: the sparse-feature / tagging op.
+# tf from ONE token explode + groupBy(doc, token); idf = ln((N+1)/(df+1))
+# joined in SHUFFLE-KEYED ON THE TOKEN (both sides are corpus-sized at
+# 100 TB — same discipline as the bigram-LM join; the vocab frame is NOT
+# broadcast because a web-scale vocabulary isn't broadcastable).  Top-k
+# per doc via window row_number with a full deterministic tie-break.
+# N (total docs) is the only scalar and rides in via a 1-row cross join.
+# ---------------------------------------------------------------------------
+
+KEYWORDS_K = 3
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = KEYWORDS_K,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", F.round("score", 4).alias("score"))
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(d)
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, round(score, 4) AS score
+FROM ranked WHERE rank <= {KEYWORDS_K}
+"""
+
+QUERIES["text_tfidf_keywords"] = (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)

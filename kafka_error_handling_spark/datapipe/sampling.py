@@ -626,3 +626,52 @@ GROUP BY d.source
 
 
 QUERIES["sample_temperature"] = (q_temperature_sample, _sql_temperature_sample())
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle + sharding.  Training wants
+# every epoch's read order decorrelated from ingest order; at 100 TB the
+# scalable form is hash sharding + an md5 sort WITHIN each shard (one
+# hash exchange + per-partition sort — never a single global total sort).
+# Rows land in shard pmod(bucket, n_shards); pos is the row's rank in its
+# shard's md5 order.  Fully deterministic: same corpus → same shards,
+# same order, any cluster size.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def global_shuffle(
+    df: DataFrame, key_col: str = "doc_id", n_shards: int = N_SHARDS
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    shard = hash_bucket(F.col(key_col)) % n_shards
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+    )
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return global_shuffle(d).select("doc_id", "shard", "pos")
+
+
+def _sql_global_shuffle() -> str:
+    b = _DUCK_BUCKET.format(k="doc_id")
+    return f"""
+SELECT doc_id,
+       ({b}) % {N_SHARDS} AS shard,
+       row_number() OVER (
+         PARTITION BY ({b}) % {N_SHARDS}
+         ORDER BY md5(CAST(doc_id AS VARCHAR))
+       ) - 1 AS pos
+FROM documents
+"""
+
+
+QUERIES["sample_global_shuffle"] = (q_global_shuffle, _sql_global_shuffle())

@@ -64,8 +64,19 @@ def asof_join(
     NULL right payloads to a sentinel upstream if that distinction
     matters.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        # nearest = closest right row in EITHER direction, tie → backward
+        # (the earlier row).  Same single shuffle + sort: both frames hang
+        # off one (partition, order) spec, so Spark evaluates them in one
+        # WindowExec.  Equal-ts rows are exact matches (delta 0, backward
+        # frame) — pandas merge_asof(direction="nearest") parity.
+        if strict:
+            raise ValueError("direction='nearest' requires strict=False")
+        return _asof_nearest(left, right, on, left_ts, right_ts, right_cols, tolerance)
     fwd = direction == "forward"
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in (on, right_ts)
@@ -145,6 +156,87 @@ def asof_join(
     return filled.filter(is_left).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[_payload(c) for c in rcols],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+    tolerance: Optional[str] = None,
+) -> DataFrame:
+    """Nearest-direction as-of: union-tag, one sort, backward + forward
+    fills side by side, per-row delta compare.  Shares the asof_join
+    payload caveat: fills skip NULL right payloads independently of the
+    matched timestamp."""
+    rcols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lcols = left.columns
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    rt = F.when(F.col("__side") == 0, F.col("__t"))
+    filled = unioned.select(
+        "*",
+        F.last(rt, ignorenulls=True).over(wb).alias("__bt"),
+        F.first(rt, ignorenulls=True).over(wf).alias("__ft"),
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in rcols
+        ],
+        *[
+            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in rcols
+        ],
+    )
+    t_us = F.unix_micros(F.col("__t"))
+    db = t_us - F.unix_micros(F.col("__bt"))
+    df_ = F.unix_micros(F.col("__ft")) - t_us
+    b_ok = F.col("__bt").isNotNull()
+    f_ok = F.col("__ft").isNotNull()
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        b_ok = b_ok & (F.col("__bt") >= F.col("__t") - tol)
+        f_ok = f_ok & (F.col("__ft") <= F.col("__t") + tol)
+    use_b = b_ok & (~f_ok | (db <= df_))
+    use_f = f_ok & ~use_b
+
+    def _pick(c: str):
+        return (
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(use_f, F.col(f"__f_{c}"))
+            .alias(f"asof_{c}")
+        )
+
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[_pick(c) for c in rcols],
     )
 
 
@@ -256,8 +348,44 @@ FROM events e
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase in either direction (merge_asof direction='nearest'):
+    closest by |delta|, ties to the earlier (backward) row."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        e,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        F.round("asof_purchase_value", 4).alias("nearest_purchase_value"),
+    )
+
+
+SQL_ASOF_NEAREST = """
+SELECT e.event_id,
+       round((
+         SELECT p.value FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+         ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)) ASC, p.ts ASC,
+                  p.event_id ASC
+         LIMIT 1
+       ), 4) AS nearest_purchase_value
+FROM events e
+"""
+
+
 QUERIES = {
     "asof_join_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "asof_join_tolerance": (q_asof_tolerance, SQL_ASOF_TOLERANCE),
     "asof_join_forward": (q_asof_forward, SQL_ASOF_FORWARD),
+    "asof_join_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
 }

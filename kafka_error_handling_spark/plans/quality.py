@@ -418,3 +418,123 @@ GROUP BY e.event_type
 """
 
 QUERIES["quality_winsorize"] = (q_winsorize, SQL_WINSORIZE)
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor (PSI): the check a production pipeline runs
+# before trusting a new data batch.  The reference window is the first
+# half of the stream (event_id ≤ median), the current window the second;
+# bin edges are the REFERENCE deciles (discrete percentiles — actual data
+# values, engine-exact), every event is binned by counting edges below
+# its value (a pure array expression), and PSI per event_type is
+# Σ (p_cur − p_ref)·ln(p_cur/p_ref) with +0.5 Laplace smoothing so empty
+# bins stay finite.  Scale shape: two scans' worth of work in ONE pass
+# (conditional aggregation by side), per-type stats are tiny broadcast
+# frames, ln is the only transcendental (same cross-engine discipline as
+# the green BM25 gate).  PSI > 0.2 is the conventional "investigate"
+# threshold — emitted as data, not a verdict, so pipelines can gate.
+# ---------------------------------------------------------------------------
+
+_PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    split_col: str = "event_id",
+) -> DataFrame:
+    """(group, n_ref, n_cur, psi) — population stability index of
+    ``value_col`` between the first and second half of ``split_col``."""
+    med = df.agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {split_col})"
+        ).alias("med")
+    )
+    sided = df.crossJoin(F.broadcast(med)).withColumn(
+        "is_ref", F.col(split_col) <= F.col("med")
+    )
+    edges = (
+        sided.filter("is_ref")
+        .groupBy(group_col)
+        .agg(
+            F.array(
+                *[
+                    F.expr(
+                        f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+                    )
+                    for p in _PSI_DECILES
+                ]
+            ).alias("edges")
+        )
+    )
+    binned = sided.join(F.broadcast(edges), group_col).withColumn(
+        "bin",
+        F.size(F.filter("edges", lambda b: F.col(value_col) > b)),
+    )
+    per_bin = binned.groupBy(group_col, "bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("c_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("c_cur"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col)
+    p_ref = (F.col("c_ref") + 0.5) / (F.sum("c_ref").over(w) + 5.0)
+    p_cur = (F.col("c_cur") + 0.5) / (F.sum("c_cur").over(w) + 5.0)
+    return (
+        per_bin.withColumn("term", (p_cur - p_ref) * F.log(p_cur / p_ref))
+        .groupBy(group_col)
+        .agg(
+            F.sum("c_ref").alias("n_ref"),
+            F.sum("c_cur").alias("n_cur"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return psi_drift(e, "event_type", "value")
+
+
+_PSI_EDGE_LIST = ", ".join(
+    f"percentile_disc({p}) WITHIN GROUP (ORDER BY value)" for p in _PSI_DECILES
+)
+
+SQL_PSI_DRIFT = f"""
+WITH med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY event_id) AS med
+  FROM events
+), sided AS (
+  SELECT e.event_type, e.value, e.event_id <= m.med AS is_ref
+  FROM events e CROSS JOIN med m
+), edges AS (
+  SELECT event_type, [{_PSI_EDGE_LIST}] AS edges
+  FROM sided WHERE is_ref GROUP BY event_type
+), binned AS (
+  SELECT s.event_type, s.is_ref,
+         len(list_filter(x.edges, b -> s.value > b)) AS bin
+  FROM sided s JOIN edges x USING (event_type)
+), per_bin AS (
+  SELECT event_type, bin,
+         count(CASE WHEN is_ref THEN 1 END) AS c_ref,
+         count(CASE WHEN NOT is_ref THEN 1 END) AS c_cur
+  FROM binned GROUP BY event_type, bin
+), terms AS (
+  SELECT event_type, c_ref, c_cur,
+         ((c_cur + 0.5) / (sum(c_cur) OVER (PARTITION BY event_type) + 5.0)
+          - (c_ref + 0.5) / (sum(c_ref) OVER (PARTITION BY event_type) + 5.0))
+         * ln(((c_cur + 0.5) / (sum(c_cur) OVER (PARTITION BY event_type) + 5.0))
+              / ((c_ref + 0.5) / (sum(c_ref) OVER (PARTITION BY event_type) + 5.0)))
+           AS term
+  FROM per_bin
+)
+SELECT event_type,
+       CAST(sum(c_ref) AS BIGINT) AS n_ref,
+       CAST(sum(c_cur) AS BIGINT) AS n_cur,
+       round(sum(term), 6) AS psi
+FROM terms
+GROUP BY event_type
+"""
+
+QUERIES["quality_psi_drift"] = (q_psi_drift, SQL_PSI_DRIFT)

@@ -79,6 +79,10 @@ _PRIORITY = [
     "chunk_sliding_window",
     "dedup_containment",
     "sample_temperature",
+    "text_tfidf_keywords",
+    "sample_global_shuffle",
+    "quality_psi_drift",
+    "asof_join_nearest",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",

@@ -216,3 +216,117 @@ def test_temperature_sample_deterministic(spark):
     b = sorted(r.doc_id for r in temperature_sample(df).collect())
     assert a == b
     assert all(i >= 1000 for i in a[-10:]) or len([x for x in a if x >= 1000]) == 10
+
+
+# ---------------------------------------------------------------------------
+# batch 2: tfidf keywords, global shuffle, PSI drift, nearest as-of
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from kafka_error_handling_spark.datapipe.ranking import tfidf_keywords
+
+    docs = [(1, "the the the zebra"), (2, "the cat"), (3, "the dog")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = {r.doc_id: r.token for r in tfidf_keywords(df, k=1).collect()}
+    # 'the' appears in every doc (idf ln(4/4)=0); unique terms win
+    assert top == {1: "zebra", 2: "cat", 3: "dog"}
+
+
+def test_global_shuffle_partitions_and_orders(spark):
+    from kafka_error_handling_spark.datapipe.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = global_shuffle(df, n_shards=4).collect()
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append((r.pos, r.h))
+    assert set(shards) == {0, 1, 2, 3}
+    for s, rows in shards.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(len(rows)))  # dense 0..n-1
+        assert [h for _, h in rows] == sorted(h for _, h in rows)  # md5 order
+    # deterministic across invocations
+    again = global_shuffle(df, n_shards=4).collect()
+    assert sorted((r.doc_id, r.shard, r.pos) for r in again) == sorted(
+        (r.doc_id, r.shard, r.pos) for r in out
+    )
+
+
+def test_psi_detects_shifted_distribution(spark):
+    from kafka_error_handling_spark.plans.quality import psi_drift
+
+    # ref half (ids 0..999): values ~ i%100; cur half: shifted by +50
+    rows = [(i, "a", float(i % 100)) for i in range(1000)] + [
+        (i + 1000, "a", float(i % 100 + 50)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    psi = psi_drift(df, "event_type", "value").first()
+    assert psi.n_ref == 1000 and psi.n_cur == 1000  # median id 999 splits evenly
+    assert psi.psi > 0.2  # conventional "investigate" threshold
+
+
+def test_psi_near_zero_for_identical_halves(spark):
+    from kafka_error_handling_spark.plans.quality import psi_drift
+
+    rows = [(i, "a", float(i % 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    psi = psi_drift(df, "event_type", "value").first()
+    assert abs(psi.psi) < 0.01
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    from kafka_error_handling_spark.plans.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (1, "2024-01-01 00:00:50")],
+        "k long, s string",
+    ).select("k", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0),   # 10s before first left row
+         (1, "2024-01-01 00:00:14", 2.0),   # 4s after it (closer)
+         (1, "2024-01-01 00:00:45", 3.0),   # 5s before second left row
+         (1, "2024-01-01 00:00:55", 4.0)],  # 5s after it (tie -> backward)
+        "k long, s string, v double",
+    ).select("k", F.to_timestamp("s").alias("rts"), "v")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["v"], direction="nearest",
+    ).orderBy("ts").collect()
+    assert [r.asof_v for r in out] == [2.0, 3.0]
+
+
+def test_asof_nearest_exact_match_and_no_candidates(spark):
+    from kafka_error_handling_spark.plans.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:00:10")],
+        "k long, s string",
+    ).select("k", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", 9.0)], "k long, s string, v double"
+    ).select("k", F.to_timestamp("s").alias("rts"), "v")
+    out = {r.k: r.asof_v for r in asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["v"], direction="nearest",
+    ).collect()}
+    assert out[1] == 9.0   # delta-0 exact match
+    assert out[2] is None  # key with no right rows
+
+
+def test_asof_nearest_tolerance_masks_far_matches(spark):
+    from kafka_error_handling_spark.plans.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00")], "k long, s string"
+    ).select("k", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k long, s string, v double"
+    ).select("k", F.to_timestamp("s").alias("rts"), "v")
+    near = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     right_cols=["v"], direction="nearest").first()
+    assert near.asof_v == 1.0
+    masked = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                       right_cols=["v"], direction="nearest",
+                       tolerance="30 minutes").first()
+    assert masked.asof_v is None
