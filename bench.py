@@ -138,6 +138,10 @@ EXTENDED = [
     "sample_global_shuffle",
     "quality_psi_drift",
     "asof_join_nearest",
+    "cdc_snapshot_diff",
+    "retention_cohorts",
+    "pareto_supplier_revenue",
+    "attribution_last_touch",
 ]
 
 

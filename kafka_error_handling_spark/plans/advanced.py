@@ -610,3 +610,184 @@ GROUP BY event_type
 """
 
 QUERIES["events_rate_limit"] = (q_rate_limit, SQL_RATE_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity day, activity counted
+# by day offset — the standard triangle. Two shuffles total: one
+# groupBy(user) for the cohort anchor (map-side combinable min), one for
+# the (cohort, offset) rollup; the anchor frame joins back broadcast at
+# dimension size... no — user-level anchors are corpus-sized, so the join
+# stays shuffle-keyed on user_id, which ALSO serves the first groupBy:
+# with bucketing on user_id both exchanges disappear.
+# ---------------------------------------------------------------------------
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    anchors = df.groupBy(user_col).agg(
+        F.date_trunc("day", F.min(ts_col)).alias("cohort_day")
+    )
+    j = df.join(anchors, user_col)
+    offset = F.datediff(F.date_trunc("day", F.col(ts_col)), F.col("cohort_day"))
+    return (
+        j.select(user_col, "cohort_day", offset.alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(e).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH anchors AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+       datediff('day', a.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN anchors a USING (user_id)
+GROUP BY a.cohort_day, datediff('day', a.cohort_day, date_trunc('day', e.ts))
+"""
+
+QUERIES["retention_cohorts"] = (q_retention_cohorts, SQL_RETENTION_COHORTS)
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-share: "how concentrated is revenue across
+# suppliers" — rank by revenue, running share of the total.  All money is
+# exact integer cent-basis-points (price_cents × (1−disc) in bps) so the
+# cumulative sums and the ppm shares hash identically on both engines
+# (SURVEY §8 float discipline: displayed division is floor, never round).
+# One groupBy(supplier) + one window over the tiny supplier-level frame.
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    unit = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(unit).alias("rev_cbps"))
+    w = Window.orderBy(F.desc("rev_cbps"), F.asc("l_suppkey"))
+    total = Window.partitionBy()
+    return (
+        per_supp.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share_ppm",
+            # cum × 1e6 overflows int64 (cent-bps totals ~1e16), so the
+            # share goes through doubles — SAME op order both engines
+            # ((cum AS DOUBLE) × 1e6 ÷ (total AS DOUBLE)), which is
+            # bit-identical IEEE arithmetic, then floor
+            F.floor(
+                F.sum("rev_cbps")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                * 1_000_000.0
+                / F.sum("rev_cbps").over(total).cast("double")
+            ),
+        )
+        .filter(F.col("rank") <= 50)
+        .select("rank", "l_suppkey", "rev_cbps", "cum_share_ppm")
+    )
+
+
+SQL_PARETO_SUPPLIER = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_cbps
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT l_suppkey, CAST(rev_cbps AS BIGINT) AS rev_cbps,
+         row_number() OVER (ORDER BY rev_cbps DESC, l_suppkey ASC) AS rank,
+         CAST(floor(CAST(sum(rev_cbps) OVER (ORDER BY rev_cbps DESC,
+                                             l_suppkey ASC
+                                             ROWS UNBOUNDED PRECEDING)
+                         AS DOUBLE)
+                    * 1000000.0
+                    / CAST(sum(rev_cbps) OVER () AS DOUBLE)) AS BIGINT)
+           AS cum_share_ppm
+  FROM per_supp
+)
+SELECT rank, l_suppkey, rev_cbps, cum_share_ppm
+FROM ranked WHERE rank <= 50
+"""
+
+QUERIES["pareto_supplier_revenue"] = (
+    q_pareto_supplier_revenue,
+    SQL_PARETO_SUPPLIER,
+)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: every purchase credits the most recent click by
+# the same user within the attribution window (1 day) — a direct consumer
+# of the as-of join (strict backward + tolerance), aggregated to the
+# purchase day.  Same single-shuffle asof plan; the rollup is tiny.
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        strict=True,
+        tolerance="1 day",
+    )
+    return (
+        j.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("asof_click_id").isNotNull().alias("attributed"),
+            "value",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(F.col("attributed"), 1)).alias("n_attributed"),
+            F.round(F.sum(F.when(F.col("attributed"), F.col("value"))), 2).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH attributed AS (
+  SELECT p.ts, p.value,
+         (SELECT c.event_id FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 DAY
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+  FROM events p WHERE p.event_type = 'purchase'
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_purchases,
+       count(CASE WHEN click_id IS NOT NULL THEN 1 END) AS n_attributed,
+       round(sum(CASE WHEN click_id IS NOT NULL THEN value END), 2)
+         AS attributed_value
+FROM attributed
+GROUP BY date_trunc('day', ts)
+"""
+
+QUERIES["attribution_last_touch"] = (q_attribution_last_touch, SQL_ATTRIBUTION)

@@ -154,3 +154,93 @@ QUERIES = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2),
 }
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: the recrawl-reconciliation report.  Given two versions of
+# a keyed table, classify every key as added / removed / changed /
+# unchanged — the audit a pipeline runs BEFORE a merge_upsert to bound
+# blast radius (a recrawl that "changes" 90% of keys is a bug, not an
+# update).  One full-outer join keyed on the id, change detection via a
+# digest of the payload columns so arbitrarily wide rows diff as one
+# string compare.  Single exchange; at 100 TB both sides shuffle once on
+# the key (or zero times if both snapshots are bucketed on it).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], payload_cols: list[str]
+) -> DataFrame:
+    """(key..., diff_status): added | removed | changed | unchanged."""
+    def digest(df):
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws("\x1f", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in payload_cols
+            ])).alias("__d"),
+        )
+
+    o = digest(old).withColumnRenamed("__d", "__d_old")
+    n = digest(new).withColumnRenamed("__d", "__d_new")
+    j = o.join(n, key_cols, "full_outer")
+    return j.select(
+        *key_cols,
+        F.when(F.col("__d_old").isNull(), F.lit("added"))
+        .when(F.col("__d_new").isNull(), F.lit("removed"))
+        .when(F.col("__d_old") != F.col("__d_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("diff_status"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: diff the events snapshot against a synthetic recrawl (every
+    7th event re-valued, every 11th dropped, 50 new ids appended)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    new = (
+        e.filter(F.col("event_id") % 11 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 7 == 0, F.col("value") * 2).otherwise(
+                F.col("value")
+            ),
+        )
+        .unionByName(
+            e.limit(0).unionByName(
+                spark.range(50).select(
+                    (F.col("id") + 90_000_000).alias("event_id"),
+                    F.lit("recrawl").alias("event_type"),
+                    F.lit(1.0).alias("value"),
+                )
+            )
+        )
+    )
+    d = snapshot_diff(e, new, ["event_id"], ["event_type", "value"])
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT event_id, event_type, value FROM events
+), new AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+  FROM events WHERE event_id % 11 <> 0
+  UNION ALL
+  SELECT 90000000 + i AS event_id, 'recrawl', 1.0
+  FROM range(0, 50) t(i)
+), j AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         CASE
+           WHEN o.event_id IS NULL THEN 'added'
+           WHEN n.event_id IS NULL THEN 'removed'
+           WHEN o.event_type <> n.event_type OR o.value <> n.value THEN 'changed'
+           ELSE 'unchanged'
+         END AS diff_status
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT diff_status, count(*) AS n FROM j GROUP BY diff_status
+"""
+
+QUERIES["cdc_snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)

@@ -83,6 +83,10 @@ _PRIORITY = [
     "sample_global_shuffle",
     "quality_psi_drift",
     "asof_join_nearest",
+    "cdc_snapshot_diff",
+    "retention_cohorts",
+    "pareto_supplier_revenue",
+    "attribution_last_touch",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",

@@ -330,3 +330,67 @@ def test_asof_nearest_tolerance_masks_far_matches(spark):
                        right_cols=["v"], direction="nearest",
                        tolerance="30 minutes").first()
     assert masked.asof_v is None
+
+
+# ---------------------------------------------------------------------------
+# batch 3: snapshot diff, retention cohorts, pareto share
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from kafka_error_handling_spark.plans.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged
+         (2, "b", 99.0),     # changed
+         (3, "c", None),     # unchanged (NULL payload stable)
+         (5, "e", 5.0)],     # added; id 4 removed
+        "id long, s string, v double",
+    )
+    got = {r.id: r.diff_status
+           for r in snapshot_diff(old, new, ["id"], ["s", "v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    from kafka_error_handling_spark.plans.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, s string")
+    new = spark.createDataFrame([(1, "")], "id long, s string")
+    got = snapshot_diff(old, new, ["id"], ["s"]).first()
+    assert got.diff_status == "changed"  # the \\x00 sentinel keeps them apart
+
+
+def test_retention_cohorts_triangle(spark):
+    from kafka_error_handling_spark.plans.advanced import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (2, "2024-01-01 23:59:59"), (2, "2024-01-03 00:00:01"),
+        (3, "2024-01-02 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").select(
+        "user_id", F.to_timestamp("s").alias("ts")
+    )
+    out = {(r.cohort_day.strftime("%m-%d"), r.day_offset): r.n_users
+           for r in retention_cohorts(df).collect()}
+    assert out[("01-01", 0)] == 2      # users 1 and 2 on day 0
+    assert out[("01-01", 1)] == 1      # user 1 returns next day
+    assert out[("01-01", 2)] == 1      # user 2 returns on day 2
+    assert out[("01-02", 0)] == 1      # user 3's own cohort
+
+
+def test_pareto_cum_share_monotone_and_complete(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_pareto_supplier_revenue
+
+    rows = q_pareto_supplier_revenue(spark, sf_dir).orderBy("rank").collect()
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)  # cumulative share is monotone
+    assert all(0 < s <= 1_000_000 for s in shares)
+    ranks = [r.rank for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
