@@ -142,6 +142,9 @@ EXTENDED = [
     "retention_cohorts",
     "pareto_supplier_revenue",
     "attribution_last_touch",
+    "corpus_pretrain_mix",
+    "dedup_minhash_est_error",
+    "embedding_threshold_sweep",
 ]
 
 

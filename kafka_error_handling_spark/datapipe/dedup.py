@@ -685,6 +685,88 @@ LIMIT 100
 """
 
 
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality report: for every strong candidate pair (signature
+    agreement ≥ 1/2), the MinHash Jaccard ESTIMATE (matching-slot
+    fraction) next to the exact shingle-set Jaccard and their absolute
+    error — the tuning artifact that justifies (bands, rows, threshold)
+    choices before a corpus-wide run.  Per-pair detail (the consumer
+    aggregates); fully distributed: signature frame is persisted once
+    and reused on both pair sides, exact sets join shuffle-keyed — no
+    collects, no IN-prune (a report wants ALL pairs, not survivors)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d).persist()
+    pairs = lsh_candidate_pairs(sig)
+    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)])
+    slim = sig.select("doc_id", mh_arr.alias("mh"))
+    est_n = F.size(F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t))
+    strong = (
+        pairs.join(slim.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("ma")), "id_a")
+        .join(slim.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mb")), "id_b")
+        .select("id_a", "id_b", est_n.alias("est_n"))
+        .filter(F.col("est_n") >= NUM_PERM // 2)
+    )
+    sets = shingle_sets(d)
+    exact = F.round(
+        F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb")), 4
+    )
+    return (
+        strong.join(sets.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("ha")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("est_n") / F.lit(float(NUM_PERM)), 4).alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("est_n") / F.lit(float(NUM_PERM)) - exact), 4
+            ).alias("abs_err"),
+        )
+    )
+
+
+def _sql_minhash_est_error() -> str:
+    band_keys = []
+    for b in range(LSH_BANDS):
+        cols = "||'_'||".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        band_keys.append(f"SELECT doc_id, {b} AS band, {cols} AS bkey FROM sig")
+    banded = " UNION ALL ".join(band_keys)
+    est = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+    )
+    half = NUM_PERM // 2
+    ex = (
+        "round(len(list_intersect(xa.hs, xb.hs))::DOUBLE"
+        " / len(list_distinct(list_concat(xa.hs, xb.hs))), 4)"
+    )
+    return f"""
+WITH sh AS MATERIALIZED ({_duck_shingles()}),
+sig AS MATERIALIZED ({_duck_signature().replace(_duck_shingles(), 'SELECT * FROM sh')}),
+banded AS MATERIALIZED ({banded}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+strong AS (
+  SELECT id_a, id_b, ({est}) AS est_n
+  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE ({est}) >= {half}
+),
+sets AS MATERIALIZED (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       round(est_n / {float(NUM_PERM)}, 4) AS est_jaccard,
+       {ex} AS exact_jaccard,
+       round(abs(est_n / {float(NUM_PERM)} - {ex}), 4) AS abs_err
+FROM strong
+JOIN sets xa ON xa.doc_id = id_a
+JOIN sets xb ON xb.doc_id = id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_signature": (q_minhash_signature_sample, _sql_minhash_sample()),
@@ -692,6 +774,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
     "dedup_ngram_jaccard": (q_ngram_jaccard_neighbors, _sql_ngram_jaccard()),
     "dedup_containment": (q_containment_neighbors, _sql_containment()),
+    "dedup_minhash_est_error": (q_minhash_est_error, _sql_minhash_est_error()),
 }
 
 

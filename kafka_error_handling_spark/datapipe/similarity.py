@@ -289,6 +289,40 @@ def q_embedding_neardup(
     )
 
 
+def q_embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning sweep for embedding near-dup: in-bucket pair
+    counts at a ladder of cosine thresholds in ONE pass (the pair stream
+    is computed once; each pair increments every rung it clears via a
+    conditional-sum aggregate, no per-threshold re-scan).  This is the
+    dial-setting artifact run before committing a corpus-wide near-dup
+    threshold."""
+    pairs = q_embedding_neardup(spark, sf_dir, threshold=0.0)
+    rungs = [0.10, 0.15, 0.20, 0.25, 0.30, 0.35]
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            F.count(F.when(F.col("cos_sim") >= t, 1)).alias(
+                f"ge_{str(t).replace('0.', '')}"
+            )
+            for t in rungs
+        ],
+    )
+
+
+def _sql_embedding_threshold_sweep() -> str:
+    rungs = [0.10, 0.15, 0.20, 0.25, 0.30, 0.35]
+    conds = ",\n       ".join(
+        f"count(CASE WHEN cos_sim >= {t} THEN 1 END) AS ge_{str(t).replace('0.', '')}"
+        for t in rungs
+    )
+    return f"""
+WITH pairs AS ({_sql_embedding_neardup(threshold=0.0)})
+SELECT count(*) AS n_pairs,
+       {conds}
+FROM pairs
+"""
+
+
 def _sql_embedding_neardup(threshold: float = 0.25) -> str:
     buckets = _sql_lsh_buckets()
     return f"""
@@ -302,6 +336,10 @@ WHERE {_DUCK_COS} >= {threshold}
 
 
 QUERIES["embedding_neardup"] = (q_embedding_neardup, _sql_embedding_neardup())
+QUERIES["embedding_threshold_sweep"] = (
+    q_embedding_threshold_sweep,
+    _sql_embedding_threshold_sweep(),
+)
 
 
 def q_embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:

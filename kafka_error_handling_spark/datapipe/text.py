@@ -907,3 +907,75 @@ QUERIES["corpus_pipeline_priority"] = (
     q_corpus_pipeline_priority,
     _sql_corpus_pipeline_priority(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition #4: the pretraining-mix build.  Gopher rule gate →
+# temperature-scaled source rebalance (rates computed over the SURVIVING
+# corpus, not the raw one) → deterministic split assignment → per-
+# (source, split) document and token accounting.  ONE declarative plan:
+# the rule flags and the BPE-ish token count fuse into the scan, the
+# only shuffles are the per-source count (for temperature rates, a tiny
+# broadcast-back frame) and the final rollup.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    from .sampling import assign_split, temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"))
+    viol = _reduce(lambda a, b: a | b, rules.values())
+    ok = d.filter(~viol)
+    mixed = temperature_sample(ok)
+    s = assign_split(mixed, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("n_bpe_tokens"),
+    )
+
+
+def _sql_corpus_pretrain_mix() -> str:
+    g = _sql_gopher_flags()
+    b = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 1000000"
+    )
+    t_hi, v_hi = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n, length(text) AS n_chars
+  FROM documents
+), pass AS (
+  SELECT doc_id, source, toks FROM t
+  WHERE NOT {g["v_wc"]} AND NOT {g["v_ml"]}
+    AND NOT {g["v_sw"]} AND NOT {g["v_rep"]}
+), counts AS (
+  SELECT source, count(*) AS n_docs FROM pass GROUP BY source
+), rates AS (
+  SELECT source,
+         CAST(floor(1000000.0 * pow((min(n_docs) OVER ()) * 1.0 / n_docs,
+                                    0.30000000000000004)) AS BIGINT) AS thr_ppm
+  FROM counts
+), kept AS (
+  SELECT p.doc_id, p.source, p.toks
+  FROM pass p JOIN rates r USING (source)
+  WHERE {b} < r.thr_ppm
+)
+SELECT source,
+       CASE WHEN {b} < {t_hi} THEN 'train'
+            WHEN {b} < {v_hi} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(list_sum(list_transform(toks,
+              x -> CAST(ceil(length(x) / 4.0) AS INT)))) AS BIGINT)
+         AS n_bpe_tokens
+FROM kept
+GROUP BY 1, 2
+"""
+
+
+QUERIES["corpus_pretrain_mix"] = (q_corpus_pretrain_mix, _sql_corpus_pretrain_mix())

@@ -87,6 +87,9 @@ _PRIORITY = [
     "retention_cohorts",
     "pareto_supplier_revenue",
     "attribution_last_touch",
+    "corpus_pretrain_mix",
+    "dedup_minhash_est_error",
+    "embedding_threshold_sweep",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
