@@ -938,12 +938,18 @@ def q_corpus_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_pretrain_mix() -> str:
+    # late import (sampling lazily imports text for token_count — module-
+    # level would be circular); the f-string renders the exact binary
+    # double 1.0 - TEMP_ALPHA that the Spark side's F.pow literal uses
+    from .sampling import TEMP_ALPHA
+
     g = _sql_gopher_flags()
     b = (
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         " % 1000000"
     )
     t_hi, v_hi = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
+    exp = repr(1.0 - TEMP_ALPHA)
     return f"""
 WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks,
@@ -958,7 +964,7 @@ WITH t AS (
 ), rates AS (
   SELECT source,
          CAST(floor(1000000.0 * pow((min(n_docs) OVER ()) * 1.0 / n_docs,
-                                    0.30000000000000004)) AS BIGINT) AS thr_ppm
+                                    {exp})) AS BIGINT) AS thr_ppm
   FROM counts
 ), kept AS (
   SELECT p.doc_id, p.source, p.toks
