@@ -937,19 +937,21 @@ def q_corpus_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_corpus_pretrain_mix() -> str:
-    # late import (sampling lazily imports text for token_count — module-
-    # level would be circular); the f-string renders the exact binary
-    # double 1.0 - TEMP_ALPHA that the Spark side's F.pow literal uses
-    from .sampling import TEMP_ALPHA
+# mirrors sampling.TEMP_ALPHA (sampling imports text at module load, so
+# text cannot import sampling back — cross-checked by
+# test_pretrain_mix_exponent_matches_sampling_alpha); the repr renders the
+# exact binary double 1.0 - alpha that the Spark side's F.pow literal uses
+_PRETRAIN_MIX_ALPHA = 0.7
 
+
+def _sql_corpus_pretrain_mix() -> str:
     g = _sql_gopher_flags()
     b = (
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         " % 1000000"
     )
     t_hi, v_hi = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
-    exp = repr(1.0 - TEMP_ALPHA)
+    exp = repr(1.0 - _PRETRAIN_MIX_ALPHA)
     return f"""
 WITH t AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks,

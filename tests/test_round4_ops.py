@@ -394,3 +394,12 @@ def test_pareto_cum_share_monotone_and_complete(spark, sf_dir):
     assert all(0 < s <= 1_000_000 for s in shares)
     ranks = [r.rank for r in rows]
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_pretrain_mix_exponent_matches_sampling_alpha():
+    """text._PRETRAIN_MIX_ALPHA mirrors sampling.TEMP_ALPHA (text cannot
+    import sampling at module load — sampling imports text)."""
+    from kafka_error_handling_spark.datapipe.sampling import TEMP_ALPHA
+    from kafka_error_handling_spark.datapipe.text import _PRETRAIN_MIX_ALPHA
+
+    assert _PRETRAIN_MIX_ALPHA == TEMP_ALPHA
