@@ -384,3 +384,39 @@ def test_dlq_replay_runs_each_capture_once(spark, sf_dir):
 
     plan = _plan(q_dlq_replay(spark, sf_dir))
     assert plan.count("ArrowEvalPython") == 2
+
+
+def test_tfidf_unhinted_join_degrades_to_shuffle_at_scale(spark, sf_dir):
+    """The tf ⋈ df join carries no broadcast hint: at test SF Catalyst
+    broadcasts the small df frame, and at web-scale vocab sizes the same
+    plan falls back to a token-keyed shuffle join — pin that the fallback
+    actually materializes when broadcast is off, and that the 1-row
+    n_docs scalar broadcasts either way."""
+    from kafka_error_handling_spark.datapipe.ranking import q_tfidf_keywords
+
+    plan = _plan(q_tfidf_keywords(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the n_docs scalar
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scale_plan = _plan(q_tfidf_keywords(spark, sf_dir))
+        assert "SortMergeJoin" in scale_plan or "ShuffledHashJoin" in scale_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_global_shuffle_single_exchange(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.sampling import q_global_shuffle
+
+    plan = _plan(q_global_shuffle(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1  # shard key only
+
+
+def test_pretrain_mix_group_stats_broadcast(spark, sf_dir):
+    """Temperature rates and split thresholds ride in as broadcasts; the
+    corpus never shuffles to meet them."""
+    from kafka_error_handling_spark.datapipe.text import q_corpus_pretrain_mix
+
+    plan = _plan(q_corpus_pretrain_mix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
