@@ -145,6 +145,7 @@ EXTENDED = [
     "corpus_pretrain_mix",
     "dedup_minhash_est_error",
     "embedding_threshold_sweep",
+    "events_time_to_convert",
 ]
 
 

@@ -791,3 +791,86 @@ GROUP BY date_trunc('day', ts)
 """
 
 QUERIES["attribution_last_touch"] = (q_attribution_last_touch, SQL_ATTRIBUTION)
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert: per user, the delay from first signup to the first
+# purchase AFTER it; reported as discrete percentiles of the delay in
+# seconds (BIGINT — engine-exact).  One groupBy(user) computes both
+# anchors with conditional min aggregates (no join, no window): the
+# first-purchase-after-signup is min(ts WHERE purchase AND ts >= signup)
+# — expressed as a min over a conditional that references the signup min
+# via a second pass... avoided: min_by tricks don't apply, so the plan is
+# two tiny passes fused by Catalyst into ONE aggregate over (user) using
+# a conditional struct min.  Scale: one user-keyed exchange, map-side
+# combinable.
+# ---------------------------------------------------------------------------
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        purchases.join(F.broadcast(per_user.filter(F.col("signup_ts").isNotNull())),
+                       "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min("signup_ts").alias("signup_ts"),
+            F.min("ts").alias("first_purchase_ts"),
+        )
+        .withColumn(
+            "delay_s",
+            # unix_micros requires TIMESTAMP (events load as NTZ; session
+            # TZ is pinned UTC so the cast is a relabel, not a shift)
+            # integer floor-division of the microsecond delta: DuckDB's
+            # double->BIGINT cast ROUNDS while Spark's truncates (SURVEY
+            # §8 float discipline), so the seconds value must never pass
+            # through a double cast
+            F.floor(
+                (
+                    F.unix_micros(F.col("first_purchase_ts").cast("timestamp"))
+                    - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+                )
+                / F.lit(1_000_000)
+            ).cast("long"),
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s)")
+        .cast("long")
+        .alias("p50_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s)")
+        .cast("long")
+        .alias("p90_s"),
+        F.max("delay_s").cast("long").alias("max_s"),
+    )
+
+
+SQL_TIME_TO_CONVERT = """
+WITH signup AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT p.user_id,
+         min(s.signup_ts) AS signup_ts,
+         min(p.ts) AS first_purchase_ts
+  FROM events p JOIN signup s USING (user_id)
+  WHERE p.event_type = 'purchase' AND p.ts >= s.signup_ts
+  GROUP BY p.user_id
+), delays AS (
+  SELECT epoch_us(first_purchase_ts - signup_ts) // 1000000 AS delay_s
+  FROM conv
+)
+SELECT count(*) AS n_converted,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_s) AS BIGINT) AS p50_s,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_s) AS BIGINT) AS p90_s,
+       CAST(max(delay_s) AS BIGINT) AS max_s
+FROM delays
+"""
+
+QUERIES["events_time_to_convert"] = (q_time_to_convert, SQL_TIME_TO_CONVERT)

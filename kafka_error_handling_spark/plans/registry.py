@@ -90,6 +90,7 @@ _PRIORITY = [
     "corpus_pretrain_mix",
     "dedup_minhash_est_error",
     "embedding_threshold_sweep",
+    "events_time_to_convert",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
