@@ -328,10 +328,31 @@ CDC_DIV = 4  # boundary divisor: P(boundary) = 1/4 -> ~4-token avg chunks
 _CDC_PRIME = (1 << 31) - 1
 
 
-def _gram_hash(toks, i):
-    """md5-derived hash of the CDC_W-token gram ending at 1-based pos i."""
-    gram = F.concat_ws(" ", F.slice(toks, i - (CDC_W - 1), CDC_W))
-    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % _CDC_PRIME
+_CDC_COMB = 1_000_003  # Horner base combining per-token hashes into a gram hash
+
+
+def _tok_hash(t):
+    """md5-derived per-token hash in [0, _CDC_PRIME)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % _CDC_PRIME
+
+
+def _gram_hash_at(th_col, i):
+    """Gram hash ending at 1-based pos i from PRE-COMPUTED token hashes:
+    Horner fold ((h[i-2]·B % P + h[i-1])·B % P + h[i]) % P.  Each product
+    is ≤ (P−1)·B ≈ 2^51 — int64-safe.  The old shape built the gram
+    STRING (slice + concat) and md5'd it per index inside the interpreted
+    boundary filter — hashing every token CDC_W times plus string
+    machinery per index; this hashes each token once and does three
+    multiply-adds per index (measured ~2× on the gate)."""
+    # try_element_at: the clamped boundary sequence probes i = CDC_W even
+    # for docs shorter than the gram width, and ANSI element_at raises on
+    # out-of-bounds BEFORE the i < n conjunct can mask it (& does not
+    # short-circuit).  NULL propagates through the fold and the boundary
+    # filter drops it — same emptying the old out-of-range slice gave.
+    h = lambda j: F.try_element_at(th_col, j)  # noqa: E731
+    acc = h(i - 2) % _CDC_PRIME
+    acc = (acc * _CDC_COMB + h(i - 1)) % _CDC_PRIME
+    return (acc * _CDC_COMB + h(i)) % _CDC_PRIME
 
 
 def cdc_chunks(
@@ -343,20 +364,29 @@ def cdc_chunks(
     (id, chunk_pos, chunk)."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
+    # stage 1: materialize the token array + per-token hashes (each token
+    # hashed ONCE — see _gram_hash_at)
+    hashed = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.transform(toks, _tok_hash).alias("_th"),
+    )
     # boundary AFTER token i for i in [CDC_W, n-1] iff gram hash % DIV == 0.
     # The stop is clamped to >= CDC_W because Spark's sequence() DESCENDS
     # when stop < start (SURVEY §8 — it would fabricate i=CDC_W-1 with an
     # out-of-range slice); the i < n guard then empties short docs.
     bpos = F.filter(
-        F.sequence(F.lit(CDC_W), F.greatest(n - 1, F.lit(CDC_W))),
-        lambda i: (_gram_hash(toks, i) % CDC_DIV == 0) & (i < n),
+        F.sequence(F.lit(CDC_W), F.greatest(F.col("_n") - 1, F.lit(CDC_W))),
+        lambda i: (_gram_hash_at(F.col("_th"), i) % CDC_DIV == 0)
+        & (i < F.col("_n")),
     )
-    # materialize (toks, bpos) BELOW the Generate: the generator expression
-    # references bpos twice (starts, ends) and HOF lambdas sit outside
-    # codegen subexpression elimination — without this Project boundary the
-    # expensive gram-hash filter runs twice per doc (measured 2x the stage)
-    staged = docs.select(
-        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"), bpos.alias("_bpos")
+    # stage 2: materialize bpos BELOW the Generate: the generator
+    # expression references bpos twice (starts, ends) and HOF lambdas sit
+    # outside codegen subexpression elimination — without this Project
+    # boundary the boundary filter runs twice per doc (measured 2x)
+    staged = hashed.select(
+        F.col(id_col), F.col("_toks"), F.col("_n"), bpos.alias("_bpos")
     )
     starts = F.concat(F.array(F.lit(0)), F.col("_bpos"))
     ends = F.concat(F.col("_bpos"), F.array(F.col("_n")))
@@ -404,21 +434,22 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_cdc_chunk_dedup() -> str:
-    gram = (
-        f"array_to_string(list_slice(toks, i - {CDC_W - 1}, i), ' ')"
-    )
+    P, B = _CDC_PRIME, _CDC_COMB
     ghash = (
-        f"CAST(concat('0x', substr(md5({gram}), 1, 15)) AS BIGINT) % {_CDC_PRIME}"
+        f"((((th[i-2] % {P}) * {B} + th[i-1]) % {P}) * {B} + th[i]) % {P}"
     )
     return f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
-         len(string_split(text, ' ')) AS n
+         len(string_split(text, ' ')) AS n,
+         list_transform(string_split(text, ' '),
+           x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % {P})
+           AS th
   FROM documents
 ), b AS (
   SELECT doc_id, toks, n,
          list_filter(range({CDC_W}, greatest(n, {CDC_W})),
-                     i -> {ghash} % {CDC_DIV} = 0) AS bpos
+                     i -> ({ghash}) % {CDC_DIV} = 0) AS bpos
   FROM t
 ), spans AS (
   SELECT doc_id,
