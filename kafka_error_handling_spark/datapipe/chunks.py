@@ -252,10 +252,10 @@ def q_pipeline_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pipeline_chunked_corpus() -> str:
-    # same ppm bucket macro as sampling.py
+    # the SALTED split bucket (mirrors assign_split)
     b = (
-        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-        " % 1000000"
+        "CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 1000000"
     )
     t, v = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
     return f"""
@@ -338,21 +338,24 @@ def _tok_hash(t):
 
 def _gram_hash_at(th_col, i):
     """Gram hash ending at 1-based pos i from PRE-COMPUTED token hashes:
-    Horner fold ((h[i-2]·B % P + h[i-1])·B % P + h[i]) % P.  Each product
-    is ≤ (P−1)·B ≈ 2^51 — int64-safe.  The old shape built the gram
-    STRING (slice + concat) and md5'd it per index inside the interpreted
-    boundary filter — hashing every token CDC_W times plus string
-    machinery per index; this hashes each token once and does three
-    multiply-adds per index (measured ~2× on the gate)."""
+    Horner fold over the CDC_W taps h[i-(CDC_W-1)..i], mod _CDC_PRIME at
+    every step.  Each product is ≤ (P−1)·B ≈ 2^51 — int64-safe.  The old
+    shape built the gram STRING (slice + concat) and md5'd it per index
+    inside the interpreted boundary filter — hashing every token CDC_W
+    times plus string machinery per index; this hashes each token once
+    and does CDC_W multiply-adds per index (measured ~3× on the gate).
+    The fold is GENERATED from CDC_W so tuning the gram width cannot
+    silently diverge from the boundary semantics (round-4 review)."""
     # try_element_at: the clamped boundary sequence probes i = CDC_W even
     # for docs shorter than the gram width, and ANSI element_at raises on
     # out-of-bounds BEFORE the i < n conjunct can mask it (& does not
     # short-circuit).  NULL propagates through the fold and the boundary
     # filter drops it — same emptying the old out-of-range slice gave.
     h = lambda j: F.try_element_at(th_col, j)  # noqa: E731
-    acc = h(i - 2) % _CDC_PRIME
-    acc = (acc * _CDC_COMB + h(i - 1)) % _CDC_PRIME
-    return (acc * _CDC_COMB + h(i)) % _CDC_PRIME
+    acc = h(i - (CDC_W - 1)) % _CDC_PRIME
+    for off in range(CDC_W - 2, -1, -1):
+        acc = (acc * _CDC_COMB + h(i - off)) % _CDC_PRIME
+    return acc
 
 
 def cdc_chunks(
@@ -435,9 +438,11 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_cdc_chunk_dedup() -> str:
     P, B = _CDC_PRIME, _CDC_COMB
-    ghash = (
-        f"((((th[i-2] % {P}) * {B} + th[i-1]) % {P}) * {B} + th[i]) % {P}"
-    )
+    # generated from CDC_W, mirroring _gram_hash_at's Horner fold
+    ghash = f"th[i-{CDC_W - 1}] % {P}"
+    for off in range(CDC_W - 2, -1, -1):
+        tap = f"th[i-{off}]" if off else "th[i]"
+        ghash = f"(({ghash}) * {B} + {tap}) % {P}"
     return f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,

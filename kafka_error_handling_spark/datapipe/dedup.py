@@ -340,8 +340,13 @@ _BKEYS_SQL = ", ".join(
 # over well before the string gets expensive.
 MAX_STRONG_PAIRS = 20_000
 
-# monotonic suffix for per-call temp view names (see q_dedup_minhash_lsh)
-_MH_CALL_SEQ = 0
+# monotonic suffix for per-call temp view names (see q_dedup_minhash_lsh).
+# itertools.count: next() on a C-level iterator is a single atomic bytecode
+# under the GIL, where `GLOBAL += 1` is a racy load/add/store — two threads
+# sharing a SparkSession could draw the same suffix (round-4 review)
+import itertools as _itertools
+
+_MH_CALL_SEQ = _itertools.count(1)
 
 
 def _shingle_sql(source: str) -> str:
@@ -384,10 +389,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # per-call unique view names: session-global createOrReplaceTempView
     # would collide across concurrent/nested callers in one SparkSession
-    global _MH_CALL_SEQ
-    _MH_CALL_SEQ += 1
-    docs_v = f"_mh_docs_{_MH_CALL_SEQ}"
-    sig_v = f"_mh_sig_{_MH_CALL_SEQ}"
+    seq = next(_MH_CALL_SEQ)
+    docs_v = f"_mh_docs_{seq}"
+    sig_v = f"_mh_sig_{seq}"
     d.createOrReplaceTempView(docs_v)
     sig = spark.sql(
         f"""
@@ -580,9 +584,13 @@ def _windowed_candidate_pairs(spark, sf_dir: str) -> DataFrame:
     blocking makes the equi-key selective so memory stays bounded at any
     corpus size (the 100 TB shape)."""
     d = load_table(spark, sf_dir, "documents")
-    # persisted: both sides of the bounded self-join read the same per-doc
-    # shingle sets — without it the explode+md5 pass runs twice
-    sets = shingle_sets(d).join(d.select("doc_id", "source"), "doc_id").persist()
+    # both sides of the bounded self-join read the same per-doc shingle
+    # sets; an eager localCheckpoint materializes them ONCE and, unlike a
+    # bare persist, releases its blocks when the DataFrame is collected
+    # (callers never get a handle to unpersist)
+    cached = shingle_sets(d).join(d.select("doc_id", "source"), "doc_id").persist()
+    sets = cached.localCheckpoint(eager=True)
+    cached.unpersist()
     blk = (F.col("doc_id") / F.lit(CAND_WINDOW)).cast("long")
     a = sets.select(
         F.col("doc_id").alias("id_a"),
@@ -633,7 +641,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.hs, b.hs))::DOUBLE
              / len(list_distinct(list_concat(a.hs, b.hs))), 4) AS jaccard
 FROM sets a JOIN sets b
-  ON a.src = b.src AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50
+  ON a.src = b.src AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {CAND_WINDOW}
 ORDER BY jaccard DESC, id_a ASC, id_b ASC
 LIMIT 100
 """
@@ -678,7 +686,7 @@ FROM (
          round(len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs), 4) AS cont_a,
          round(len(list_intersect(a.hs, b.hs))::DOUBLE / len(b.hs), 4) AS cont_b
   FROM sets a JOIN sets b
-    ON a.src = b.src AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50
+    ON a.src = b.src AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {CAND_WINDOW}
 )
 ORDER BY max_cont DESC, id_a ASC, id_b ASC
 LIMIT 100
@@ -696,7 +704,13 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reused on both pair sides, exact sets join shuffle-keyed — no
     collects, no IN-prune (a report wants ALL pairs, not survivors)."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d).persist()
+    # eager localCheckpoint (not a bare persist): the returned DataFrame
+    # references this frame lazily and callers never see a handle to
+    # unpersist — a persist() would pin cache blocks for the rest of the
+    # session (the leak q_dedup_minhash_lsh's fallback already fixes)
+    cached = minhash_signature(d).persist()
+    sig = cached.localCheckpoint(eager=True)
+    cached.unpersist()
     pairs = lsh_candidate_pairs(sig)
     mh_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)])
     slim = sig.select("doc_id", mh_arr.alias("mh"))

@@ -67,7 +67,13 @@ def assign_split(
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split weights sum to {total} > 1")
-    b = hash_bucket(F.col(key_col))
+    # SALTED bucket ('split|' prefix, same pattern as the curriculum's
+    # 'qb|'): upstream keep/sample decisions use the unsalted
+    # hash_bucket(key), and an unsalted split would be fully correlated
+    # with them — e.g. a temperature-damped source (keep iff bucket <
+    # thr_ppm) would land its survivors 100% in 'train' and contribute
+    # nothing to val/test (found by round-4 code review)
+    b = hash_bucket(F.concat(F.lit("split|"), F.col(key_col).cast("string")))
     expr = F.lit(None).cast("string")
     hi = 0
     cases = []
@@ -86,6 +92,12 @@ def assign_split(
 _DUCK_BUCKET = (
     "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
     f" % {DENOM}"
+)
+
+# the salted split-assignment bucket (mirrors assign_split)
+_DUCK_SPLIT_BUCKET = (
+    "CAST(concat('0x', substr(md5('split|' || CAST({k} AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) % {DENOM}"
 )
 
 
@@ -114,7 +126,7 @@ def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_split_counts() -> str:
-    b = _DUCK_BUCKET.format(k="doc_id")
+    b = _DUCK_SPLIT_BUCKET.format(k="doc_id")
     t, v, te = int(0.80 * DENOM), int(0.90 * DENOM), int(0.95 * DENOM)
     return f"""
 SELECT CASE WHEN {b} < {t} THEN 'train'

@@ -909,6 +909,11 @@ def knn_int8(
 
         qid, qc, qnorm = bq.value
         nq = len(qid)
+        if nq == 0:
+            # empty query set: (0,)-shaped Qc breaks the matmul and
+            # np.concatenate([]) raises — yield nothing, matching the
+            # empty result the old crossJoin(broadcast(q)) shape produced
+            return
         for pdf in batches:
             if not len(pdf):
                 continue

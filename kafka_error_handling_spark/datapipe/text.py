@@ -303,12 +303,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_pipeline() -> str:
-    # same ppm bucket macro as sampling.py (single source of truth there
-    # is format-string identical; duplicated here to avoid a circular
-    # import at module-load time)
+    # the SALTED split bucket (mirrors assign_split; duplicated from
+    # sampling.py to avoid a circular import at module-load time)
     b = (
-        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-        " % 1000000"
+        "CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 1000000"
     )
     t, v = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
     return f"""
@@ -946,9 +945,15 @@ _PRETRAIN_MIX_ALPHA = 0.7
 
 def _sql_corpus_pretrain_mix() -> str:
     g = _sql_gopher_flags()
+    # keep decision: UNSALTED bucket (mirrors temperature_sample);
+    # split decision: SALTED bucket (mirrors assign_split) — independent
     b = (
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         " % 1000000"
+    )
+    sb = (
+        "CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 1000000"
     )
     t_hi, v_hi = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
     exp = repr(1.0 - _PRETRAIN_MIX_ALPHA)
@@ -974,8 +979,8 @@ WITH t AS (
   WHERE {b} < r.thr_ppm
 )
 SELECT source,
-       CASE WHEN {b} < {t_hi} THEN 'train'
-            WHEN {b} < {v_hi} THEN 'val'
+       CASE WHEN {sb} < {t_hi} THEN 'train'
+            WHEN {sb} < {v_hi} THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
        CAST(sum(list_sum(list_transform(toks,

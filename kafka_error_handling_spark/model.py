@@ -192,7 +192,12 @@ def _stack_trace(exc: BaseException) -> str:
     t = tb
     while t is not None:
         code = t.tb_frame.f_code
-        sig.append((code.co_filename, code.co_name, t.tb_lineno))
+        # tb_lasti (instruction offset) must be part of the key: on
+        # Python 3.11+ two raise sites on the SAME line render different
+        # fine-grained ~^~ caret anchors — a (file, fn, lineno)-only key
+        # replays the first site's carets for the second (round-4 review,
+        # reproduced live)
+        sig.append((code.co_filename, code.co_name, t.tb_lineno, t.tb_lasti))
         t = t.tb_next
     key = tuple(sig)
     frames = _TB_CACHE.get(key)

@@ -592,7 +592,7 @@ def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_RATE_LIMIT = """
+SQL_RATE_LIMIT = f"""
 WITH ranked AS (
   SELECT event_type, user_id,
          row_number() OVER (
@@ -602,9 +602,10 @@ WITH ranked AS (
   FROM events
 )
 SELECT event_type,
-       count(CASE WHEN rn <= 3 THEN 1 END) AS n_kept,
-       count(CASE WHEN rn > 3 THEN 1 END) AS n_dropped,
-       count(DISTINCT CASE WHEN rn > 3 THEN user_id END) AS n_throttled_users
+       count(CASE WHEN rn <= {RATE_LIMIT_PER_MINUTE} THEN 1 END) AS n_kept,
+       count(CASE WHEN rn > {RATE_LIMIT_PER_MINUTE} THEN 1 END) AS n_dropped,
+       count(DISTINCT CASE WHEN rn > {RATE_LIMIT_PER_MINUTE} THEN user_id END)
+         AS n_throttled_users
 FROM ranked
 GROUP BY event_type
 """
@@ -814,8 +815,11 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     conv = (
-        purchases.join(F.broadcast(per_user.filter(F.col("signup_ts").isNotNull())),
-                       "user_id")
+        # NO broadcast hint: the anchor frame is one row per user —
+        # corpus-sized at scale (same reasoning as retention_cohorts);
+        # the join shuffles on user_id, which the first groupBy already
+        # keyed, and bucketing removes both exchanges
+        purchases.join(per_user.filter(F.col("signup_ts").isNotNull()), "user_id")
         .filter(F.col("ts") >= F.col("signup_ts"))
         .groupBy("user_id")
         .agg(

@@ -191,14 +191,22 @@ def _asof_nearest(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
     unioned = r_tagged.unionByName(l_tagged)
+    # payload columns as trailing sort keys: among right rows tied on
+    # (__t, __side) the fill would otherwise pick a partition-order-
+    # dependent row — run-to-run nondeterminism (round-4 review).  Rows
+    # tied on timestamp AND payload are interchangeable, so this makes
+    # the projected result fully deterministic.  (Timestamp ties between
+    # DIFFERENT payloads remain a documented oracle caveat, as in the
+    # backward/forward paths — impossible at µs event resolution.)
+    order = ["__t", "__side", *[f"__r_{c}" for c in rcols]]
     wb = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
     rt = F.when(F.col("__side") == 0, F.col("__t"))

@@ -207,12 +207,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .unionByName(
-            e.limit(0).unionByName(
-                spark.range(50).select(
-                    (F.col("id") + 90_000_000).alias("event_id"),
-                    F.lit("recrawl").alias("event_type"),
-                    F.lit(1.0).alias("value"),
-                )
+            spark.range(50).select(
+                (F.col("id") + 90_000_000).alias("event_id"),
+                F.lit("recrawl").alias("event_type"),
+                F.lit(1.0).alias("value"),
             )
         )
     )

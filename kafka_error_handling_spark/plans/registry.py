@@ -71,6 +71,11 @@ def _modules():
 # byte-identical output, driver row re-confirms).  Everything else (r2/r3
 # green, untouched since) follows in registry order.
 _PRIORITY = [
+    # block 0a: results CHANGED in round 4 (salted split assignment) —
+    # their previous green driver rows no longer describe current output
+    "sample_split_assignment",
+    "corpus_pipeline",
+    "pipeline_chunked_corpus",
     # block 0: new in round 4 — no driver row exists yet
     "dlq_replay",
     "events_anomaly_mad",
