@@ -420,3 +420,13 @@ def test_pretrain_mix_group_stats_broadcast(spark, sf_dir):
     plan = _plan(q_corpus_pretrain_mix(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_time_to_convert_anchor_join_not_broadcast(spark, sf_dir):
+    """The per-user signup-anchor frame is corpus-sized at scale: it must
+    NOT broadcast (review fix) — the join shuffles on user_id, the key
+    the anchor aggregation already produced."""
+    from kafka_error_handling_spark.plans.advanced import q_time_to_convert
+
+    plan = _plan(q_time_to_convert(spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan

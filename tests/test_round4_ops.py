@@ -403,3 +403,22 @@ def test_pretrain_mix_exponent_matches_sampling_alpha():
     from kafka_error_handling_spark.datapipe.text import _PRETRAIN_MIX_ALPHA
 
     assert _PRETRAIN_MIX_ALPHA == TEMP_ALPHA
+
+
+def test_split_is_independent_of_keep_decision(spark):
+    """assign_split's salted bucket must decorrelate from the unsalted
+    keep hash: a temperature-damped source's survivors still spread
+    across train/val/test (the unsalted form put 100% in train)."""
+    from kafka_error_handling_spark.datapipe.sampling import (
+        assign_split,
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(3000)] + [(i + 3000, "small") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df)  # 'big' damped to ~25% keep
+    s = assign_split(kept, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    big_splits = {
+        r.split for r in s.filter("source = 'big'").select("split").distinct().collect()
+    }
+    assert {"train", "val", "test"} <= big_splits
