@@ -422,11 +422,19 @@ def test_pretrain_mix_group_stats_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_time_to_convert_anchor_join_not_broadcast(spark, sf_dir):
-    """The per-user signup-anchor frame is corpus-sized at scale: it must
-    NOT broadcast (review fix) — the join shuffles on user_id, the key
-    the anchor aggregation already produced."""
+def test_time_to_convert_anchor_join_unhinted(spark, sf_dir):
+    """The per-user signup-anchor frame is corpus-sized at scale, so the
+    join must carry NO broadcast hint (review fix): Catalyst may still
+    auto-broadcast it at test SF from size stats, but with broadcast
+    disabled the same plan must degrade to a user_id-keyed shuffle join
+    — a forced F.broadcast() would pin it regardless."""
     from kafka_error_handling_spark.plans.advanced import q_time_to_convert
 
-    plan = _plan(q_time_to_convert(spark, sf_dir))
-    assert "BroadcastHashJoin" not in plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(q_time_to_convert(spark, sf_dir))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
