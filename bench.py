@@ -146,6 +146,8 @@ EXTENDED = [
     "dedup_minhash_est_error",
     "embedding_threshold_sweep",
     "events_time_to_convert",
+    "basket_pair_counts",
+    "events_markov_transitions",
 ]
 
 

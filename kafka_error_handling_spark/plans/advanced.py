@@ -878,3 +878,89 @@ FROM delays
 """
 
 QUERIES["events_time_to_convert"] = (q_time_to_convert, SQL_TIME_TO_CONVERT)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence: which parts ship together in one
+# order — frequent-itemset-lite.  The self-join is keyed on the ORDER
+# (bounded fan-out: k items per order → k(k-1)/2 pairs, never corpus-
+# quadratic), distinct parts per order first so multiplicity doesn't
+# inflate support.  Top-50 pairs with full deterministic tie-break.
+# ---------------------------------------------------------------------------
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )
+
+
+SQL_BASKET_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 50
+"""
+
+QUERIES["basket_pair_counts"] = (q_basket_pairs, SQL_BASKET_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov): per user in event-time
+# order, count (from_type → to_type) transitions across the corpus and
+# each from-state's transition share in ppm (integer — engine-exact).
+# One user_id-keyed window pass (lag) + a tiny (|types|²) rollup.
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.floor(F.col("n") * 1_000_000 / F.sum("n").over(row_total)).alias(
+            "share_ppm"
+        ),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY from_type))
+            AS BIGINT) AS share_ppm
+FROM counts
+"""
+
+QUERIES["events_markov_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)

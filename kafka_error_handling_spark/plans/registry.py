@@ -96,6 +96,8 @@ _PRIORITY = [
     "dedup_minhash_est_error",
     "embedding_threshold_sweep",
     "events_time_to_convert",
+    "basket_pair_counts",
+    "events_markov_transitions",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
