@@ -721,7 +721,21 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", est_n.alias("est_n"))
         .filter(F.col("est_n") >= NUM_PERM // 2)
     )
-    sets = shingle_sets(d)
+    # strong is referenced three times below (two id projections + the
+    # final join): eager localCheckpoint, not persist (no caller handle)
+    strong = strong.localCheckpoint(eager=True)
+    # exact sets ONLY for pair participants (left-semi prune before the
+    # second shingle explode).  Locally this is ~1s SLOWER than the lazy
+    # full-corpus pass (the two checkpoint barriers serialize stages the
+    # lazy plan overlapped), but it is the 100 TB shape: the unpruned
+    # second explode scales with the CORPUS while this scales with the
+    # strong-pair participant count
+    ids = (
+        strong.select(F.col("id_a").alias("doc_id"))
+        .union(strong.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = shingle_sets(d.join(F.broadcast(ids), "doc_id", "left_semi"))
     exact = F.round(
         F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb")), 4
     )
