@@ -148,6 +148,8 @@ EXTENDED = [
     "events_time_to_convert",
     "basket_pair_counts",
     "events_markov_transitions",
+    "dedup_cluster_stats",
+    "embedding_norm_stats",
 ]
 
 

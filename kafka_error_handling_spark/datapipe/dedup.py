@@ -889,6 +889,57 @@ WHERE label <> id
 QUERIES["dedup_neardup_keep"] = (q_dedup_neardup_keep, _sql_neardup_keep())
 
 
+def q_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over near-dup components: for each cluster
+    size, how many clusters and how many docs would be DROPPED (size−1
+    per cluster) — the blast-radius report a dedup run publishes before
+    applying keep/drop.  Built on the same verified-pair CC as
+    dedup_neardup_keep; the histogram itself is two tiny rollups."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
+    comp = neardup_components(pairs, d)
+    clusters = (
+        comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > 1)
+    )
+    return clusters.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        ((F.col("size") - 1) * F.count(F.lit(1))).alias("n_dropped"),
+    )
+
+
+def _sql_neardup_cluster_stats() -> str:
+    lsh = _sql_minhash_lsh()
+    prop = "SELECT doc_id AS id, doc_id AS label FROM documents"
+    for _ in range(CC_ROUNDS):
+        prop = (
+            f"SELECT src AS id, min(label) AS label FROM edges "
+            f"JOIN ({prop}) l ON edges.dst = l.id GROUP BY src"
+        )
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({lsh})),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+  UNION ALL SELECT doc_id, doc_id FROM documents
+),
+comp AS (SELECT id AS doc_id, label AS keep_id FROM ({prop})),
+clusters AS (
+  SELECT keep_id, count(*) AS size FROM comp GROUP BY keep_id
+  HAVING count(*) > 1
+)
+SELECT size, count(*) AS n_clusters,
+       CAST((size - 1) * count(*) AS BIGINT) AS n_dropped
+FROM clusters GROUP BY size
+"""
+
+
+QUERIES["dedup_cluster_stats"] = (
+    q_neardup_cluster_stats,
+    _sql_neardup_cluster_stats(),
+)
+
+
 # ---------------------------------------------------------------------------
 # SimHash hamming near-dup: pigeonhole byte-banding + bit_count verify
 # ---------------------------------------------------------------------------

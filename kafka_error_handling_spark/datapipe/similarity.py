@@ -336,6 +336,58 @@ WHERE {_DUCK_COS} >= {threshold}
 
 
 QUERIES["embedding_neardup"] = (q_embedding_neardup, _sql_embedding_neardup())
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality QA: per-label vector-norm distribution (n, dim,
+    min/max/discrete-median norm) — catches unnormalized or degenerate
+    vectors before they poison cosine pipelines.  One scan, one tiny
+    per-label agg; the norm is a codegen HOF fold (no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", F.size("embedding").alias("dim"), norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("dim").alias("dim"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.round(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY nrm)"), 4
+            ).alias("median_norm"),
+        )
+    )
+
+
+SQL_EMBEDDING_NORM_STATS = """
+WITH t AS (
+  SELECT label, len(embedding) AS dim,
+         sqrt(list_aggregate(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       min(dim) AS dim,
+       round(min(nrm), 4) AS min_norm,
+       round(max(nrm), 4) AS max_norm,
+       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY nrm), 4)
+         AS median_norm
+FROM t
+GROUP BY label
+"""
+
+QUERIES["embedding_norm_stats"] = (
+    q_embedding_norm_stats,
+    SQL_EMBEDDING_NORM_STATS,
+)
+
+
 QUERIES["embedding_threshold_sweep"] = (
     q_embedding_threshold_sweep,
     _sql_embedding_threshold_sweep(),

@@ -98,6 +98,8 @@ _PRIORITY = [
     "events_time_to_convert",
     "basket_pair_counts",
     "events_markov_transitions",
+    "dedup_cluster_stats",
+    "embedding_norm_stats",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
