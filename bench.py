@@ -150,6 +150,7 @@ EXTENDED = [
     "events_markov_transitions",
     "dedup_cluster_stats",
     "embedding_norm_stats",
+    "quality_reconcile_orders",
 ]
 
 

@@ -538,3 +538,71 @@ GROUP BY event_type
 """
 
 QUERIES["quality_psi_drift"] = (q_psi_drift, SQL_PSI_DRIFT)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table value reconciliation: does the header total actually equal
+# the sum of its lines?  FK orphan checks (above) verify EXISTENCE; this
+# verifies VALUE consistency — the check that catches partial loads,
+# double-applied deltas, and currency/tax drift.  Emits a distribution
+# report (not a pass/fail): ratio percentiles are discrete (actual data
+# values, engine-exact), the join is one exchange on the order key.
+# ---------------------------------------------------------------------------
+
+
+def reconcile_totals(
+    header: DataFrame, lines: DataFrame, header_key: str, line_key: str,
+    header_total: str, line_amount,
+) -> DataFrame:
+    per_key = lines.groupBy(line_key).agg(F.sum(line_amount).alias("calc_total"))
+    j = header.join(per_key, header.__getattr__(header_key) == per_key[line_key])
+    ratio = F.col(header_total) / F.col("calc_total")
+    return j.select(F.col(header_key), F.col(header_total).alias("stated"),
+                    "calc_total", ratio.alias("ratio"))
+
+
+def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    r = reconcile_totals(o, l, "o_orderkey", "l_orderkey", "o_totalprice", amount)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(
+            F.when(F.abs(F.col("stated") - F.col("calc_total")) / F.col("stated")
+                   < 0.01, 1)
+        ).alias("n_within_1pct"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ratio)"), 4
+        ).alias("p50_ratio"),
+        F.round(
+            F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY ratio)"), 4
+        ).alias("p05_ratio"),
+        F.round(
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY ratio)"), 4
+        ).alias("p95_ratio"),
+    )
+
+
+SQL_RECONCILE_ORDERS = """
+WITH per_key AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS calc_total
+  FROM lineitem GROUP BY l_orderkey
+), r AS (
+  SELECT o.o_totalprice AS stated, p.calc_total,
+         o.o_totalprice / p.calc_total AS ratio
+  FROM orders o JOIN per_key p ON o.o_orderkey = p.l_orderkey
+)
+SELECT count(*) AS n_orders,
+       count(CASE WHEN abs(stated - calc_total) / stated < 0.01 THEN 1 END)
+         AS n_within_1pct,
+       round(percentile_disc(0.5) WITHIN GROUP (ORDER BY ratio), 4) AS p50_ratio,
+       round(percentile_disc(0.05) WITHIN GROUP (ORDER BY ratio), 4) AS p05_ratio,
+       round(percentile_disc(0.95) WITHIN GROUP (ORDER BY ratio), 4) AS p95_ratio
+FROM r
+"""
+
+QUERIES["quality_reconcile_orders"] = (q_reconcile_orders, SQL_RECONCILE_ORDERS)

@@ -100,6 +100,7 @@ _PRIORITY = [
     "events_markov_transitions",
     "dedup_cluster_stats",
     "embedding_norm_stats",
+    "quality_reconcile_orders",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
