@@ -1,0 +1,168 @@
+"""Property-based checks of the round-4 operators against brute-force
+Python models (same one-job-per-example discipline as
+test_capture_properties)."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------------------
+# sliding chunks: full coverage, window count, span math
+# ---------------------------------------------------------------------------
+
+_doc = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=60
+)
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=6),
+    width=st.integers(min_value=2, max_value=10),
+    stride_frac=st.integers(min_value=1, max_value=10),
+)
+def test_sliding_chunks_cover_every_token(spark, docs, width, stride_frac):
+    from kafka_error_handling_spark.datapipe.chunks import sliding_chunks
+
+    stride = max(1, min(width, stride_frac))
+    rows = [(i, " ".join(f"t{c}" for c in d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sliding_chunks(df, width=width, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, d in enumerate(docs):
+        n = len(d)
+        wins = sorted(by_doc[i], key=lambda r: r.win_idx)
+        assert len(wins) == math.ceil(n / stride)
+        covered = set()
+        for r in wins:
+            assert r.start_pos == r.win_idx * stride
+            assert 1 <= r.n_tokens <= width
+            covered.update(range(r.start_pos, r.start_pos + r.n_tokens))
+        assert covered == set(range(n))  # every token in >= 1 window
+
+
+# ---------------------------------------------------------------------------
+# rate limit vs a Python model
+# ---------------------------------------------------------------------------
+
+
+@_SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # user
+            st.integers(min_value=0, max_value=180),   # second offset
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_rate_limit_matches_model(spark, events, n):
+    from kafka_error_handling_spark.plans.advanced import rate_limit
+
+    rows = [
+        (i, u, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}")
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s string")
+    df = df.withColumn("ts", F.to_timestamp("s"))
+    got = {
+        r.event_id: r.rl_kept for r in rate_limit(df, "user_id", "ts", n).collect()
+    }
+    # model: first n per (user, minute) ordered by (ts, event_id)
+    buckets = {}
+    for i, (u, s) in sorted(enumerate(events), key=lambda t: (t[1][1], t[0])):
+        key = (u, s // 60)
+        buckets.setdefault(key, []).append(i)
+    want = {
+        i: i in set(ids[:n])
+        for ids in buckets.values()
+        for i in ids
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff vs a Python model
+# ---------------------------------------------------------------------------
+
+_payload = st.one_of(st.none(), st.text(alphabet="abc", max_size=2))
+
+
+@_SETTINGS
+@given(
+    old=st.dictionaries(st.integers(0, 9), _payload, max_size=8),
+    new=st.dictionaries(st.integers(0, 9), _payload, max_size=8),
+)
+def test_snapshot_diff_matches_model(spark, old, new):
+    from kafka_error_handling_spark.plans.cdc import snapshot_diff
+
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        [(k, v) for k, v in d.items()] or [(None, None)], "id long, v string"
+    ).filter(F.col("id").isNotNull())
+    got = {
+        r.id: r.diff_status
+        for r in snapshot_diff(mk(old), mk(new), ["id"], ["v"]).collect()
+    }
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# nearest as-of vs a Python model (unique timestamps, as the data contract)
+# ---------------------------------------------------------------------------
+
+
+@_SETTINGS
+@given(
+    left_ts=st.lists(st.integers(0, 500), min_size=1, max_size=12, unique=True),
+    right_ts=st.lists(st.integers(0, 500), min_size=0, max_size=12, unique=True),
+)
+def test_asof_nearest_matches_model(spark, left_ts, right_ts):
+    from kafka_error_handling_spark.plans.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}") for s in left_ts],
+        "k long, s string",
+    ).select("k", F.to_timestamp("s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", float(s)) for s in right_ts]
+        or [(2, "2024-01-01 00:00:00", 0.0)],
+        "k long, s string, v double",
+    ).select("k", F.to_timestamp("s").alias("rts"), "v")
+    out = {
+        r.ts.second + r.ts.minute * 60: r.asof_v
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    for s in left_ts:
+        if not right_ts:
+            assert out[s] is None
+            continue
+        # nearest by |delta|; tie -> earlier (backward)
+        best = min(right_ts, key=lambda r: (abs(r - s), r))
+        assert out[s] == float(best), (s, best, out[s])
