@@ -151,6 +151,7 @@ EXTENDED = [
     "dedup_cluster_stats",
     "embedding_norm_stats",
     "quality_reconcile_orders",
+    "sample_upsample",
 ]
 
 

@@ -687,3 +687,65 @@ FROM documents
 
 
 QUERIES["sample_global_shuffle"] = (q_global_shuffle, _sql_global_shuffle())
+
+
+# ---------------------------------------------------------------------------
+# Deterministic up-sampling: the other half of source mixing
+# (``mix_sources`` documents that rates > 1 need an upstream up-sampler —
+# this is it).  rate = 2.3 means every row appears twice and a
+# deterministic 30% of rows a third time: explode ceil(rate) copy
+# indices, keep copy i < floor(rate) always, the fractional copy iff the
+# (key, copy)-salted bucket clears the remainder.  Scan-fused explode,
+# no shuffle; copy_idx is emitted so downstream epoch interleaving
+# (global_shuffle over (key, copy_idx)) stays deterministic.
+# ---------------------------------------------------------------------------
+
+
+def upsample(
+    df: DataFrame, rate: float, key_col: str = "doc_id",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    if rate <= 0:
+        raise ValueError(f"rate must be > 0, got {rate}")
+    whole = int(rate)
+    frac_ppm = int(round((rate - whole) * DENOM))
+    n_copies = whole + (1 if frac_ppm else 0)
+    if n_copies == 0:
+        raise ValueError("rate < 1 is down-sampling — use hash_sample")
+    copies = F.explode(F.array(*[F.lit(i) for i in range(n_copies)]))
+    out = df.withColumn(copy_col, copies)
+    frac_bucket = hash_bucket(
+        F.concat(F.lit("up|"), F.col(key_col).cast("string"))
+    )
+    return out.filter(
+        (F.col(copy_col) < whole) | (frac_bucket < frac_ppm)
+    )
+
+
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = upsample(d.filter(F.col("source") == "src0"), 2.3)
+    return u.groupBy("copy_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_distinct"),
+    )
+
+
+def _sql_upsample() -> str:
+    b = (
+        "CAST(concat('0x', substr(md5('up|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {DENOM}"
+    )
+    frac = int(round(0.3 * DENOM))
+    return f"""
+SELECT copy_idx, count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct
+FROM (
+  SELECT doc_id, unnest(range(0, 3)) AS copy_idx
+  FROM documents WHERE source = 'src0'
+)
+WHERE copy_idx < 2 OR {b} < {frac}
+GROUP BY copy_idx
+"""
+
+
+QUERIES["sample_upsample"] = (q_upsample, _sql_upsample())

@@ -101,6 +101,7 @@ _PRIORITY = [
     "dedup_cluster_stats",
     "embedding_norm_stats",
     "quality_reconcile_orders",
+    "sample_upsample",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",

@@ -422,3 +422,24 @@ def test_split_is_independent_of_keep_decision(spark):
         r.split for r in s.filter("source = 'big'").select("split").distinct().collect()
     }
     assert {"train", "val", "test"} <= big_splits
+
+
+def test_upsample_copy_semantics(spark):
+    from kafka_error_handling_spark.datapipe.sampling import upsample
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = upsample(df, 2.3).collect()
+    per_copy = {}
+    for r in out:
+        per_copy.setdefault(r.copy_idx, set()).add(r.doc_id)
+    assert per_copy[0] == per_copy[1] == set(range(500))  # whole copies
+    frac = len(per_copy[2]) / 500
+    assert 0.2 < frac < 0.4  # deterministic ~30% third copy
+    again = upsample(df, 2.3).collect()
+    assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
+        (r.doc_id, r.copy_idx) for r in out
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsample(df, 0.5)
