@@ -705,13 +705,13 @@ def upsample(
     df: DataFrame, rate: float, key_col: str = "doc_id",
     copy_col: str = "copy_idx",
 ) -> DataFrame:
-    if rate <= 0:
-        raise ValueError(f"rate must be > 0, got {rate}")
+    if rate < 1:
+        raise ValueError(
+            f"rate {rate} < 1 is down-sampling — use hash_sample"
+        )
     whole = int(rate)
     frac_ppm = int(round((rate - whole) * DENOM))
     n_copies = whole + (1 if frac_ppm else 0)
-    if n_copies == 0:
-        raise ValueError("rate < 1 is down-sampling — use hash_sample")
     copies = F.explode(F.array(*[F.lit(i) for i in range(n_copies)]))
     out = df.withColumn(copy_col, copies)
     frac_bucket = hash_bucket(
