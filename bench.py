@@ -152,6 +152,8 @@ EXTENDED = [
     "embedding_norm_stats",
     "quality_reconcile_orders",
     "sample_upsample",
+    "events_interarrival_stats",
+    "text_source_kl",
 ]
 
 

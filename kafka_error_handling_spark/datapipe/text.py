@@ -992,3 +992,65 @@ GROUP BY 1, 2
 
 
 QUERIES["corpus_pretrain_mix"] = (q_corpus_pretrain_mix, _sql_corpus_pretrain_mix())
+
+
+# ---------------------------------------------------------------------------
+# Source-vs-corpus distribution divergence over tokens: KL(source‖corpus)
+# with add-one smoothing — the lexical analog of the PSI monitor (is one
+# source's language drifting from the mix?).  One token explode feeds
+# BOTH distributions (per-source counts roll up to corpus counts); the
+# KL join is shuffle-keyed on the token (corpus-sized vocab discipline,
+# like the LM/TF-IDF joins), and the per-source sum is a tiny rollup.
+# ---------------------------------------------------------------------------
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    per_src = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_s"))
+    corpus = per_src.groupBy("token").agg(F.sum("c_s").alias("c_all"))
+    vocab = corpus.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c_all").alias("n_all")
+    )
+    from pyspark.sql.window import Window
+
+    n_src = Window.partitionBy("source")
+    j = per_src.join(corpus, "token").crossJoin(F.broadcast(vocab))
+    p = (F.col("c_s") + 1) / (F.sum("c_s").over(n_src) + F.col("v"))
+    q = (F.col("c_all") + 1) / (F.col("n_all") + F.col("v"))
+    return (
+        j.withColumn("term", p * F.log(p / q))
+        .groupBy("source")
+        .agg(
+            F.sum("c_s").alias("n_tokens"),
+            F.round(F.sum("term"), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+SQL_SOURCE_KL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), per_src AS (
+  SELECT source, token, count(*) AS c_s FROM toks GROUP BY source, token
+), corpus AS (
+  SELECT token, sum(c_s) AS c_all FROM per_src GROUP BY token
+), vocab AS (
+  SELECT count(*) AS v, sum(c_all) AS n_all FROM corpus
+), j AS (
+  SELECT p.source, p.c_s, c.c_all, vocab.v, vocab.n_all,
+         sum(p.c_s) OVER (PARTITION BY p.source) AS n_src
+  FROM per_src p JOIN corpus c USING (token) CROSS JOIN vocab
+)
+SELECT source,
+       CAST(sum(c_s) AS BIGINT) AS n_tokens,
+       round(sum(((c_s + 1.0) / (n_src + v))
+                 * ln(((c_s + 1.0) / (n_src + v))
+                      / ((c_all + 1.0) / (n_all + v)))), 6) AS kl_vs_corpus
+FROM j
+GROUP BY source
+"""
+
+QUERIES["text_source_kl"] = (q_source_kl_divergence, SQL_SOURCE_KL)

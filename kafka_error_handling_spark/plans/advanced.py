@@ -964,3 +964,57 @@ FROM counts
 """
 
 QUERIES["events_markov_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time distribution per event type: the capacity-planning /
+# anomaly baseline (is traffic bursty? did a producer stall?).  Gaps are
+# integer microseconds (floor semantics end-to-end — no double casts),
+# discrete percentiles keep both engines bit-identical.  One window pass
+# keyed by (type ordered by ts) + a tiny per-type rollup.
+# ---------------------------------------------------------------------------
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "gap_us",
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("prev_ts").cast("timestamp")),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("long")
+        .alias("p99_us"),
+        F.max("gap_us").alias("max_us"),
+    )
+
+
+SQL_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts - lag(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)
+         AS p50_us,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)
+         AS p99_us,
+       max(gap_us) AS max_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["events_interarrival_stats"] = (q_interarrival_stats, SQL_INTERARRIVAL)

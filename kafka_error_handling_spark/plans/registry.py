@@ -102,6 +102,8 @@ _PRIORITY = [
     "embedding_norm_stats",
     "quality_reconcile_orders",
     "sample_upsample",
+    "events_interarrival_stats",
+    "text_source_kl",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
