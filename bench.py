@@ -154,6 +154,7 @@ EXTENDED = [
     "sample_upsample",
     "events_interarrival_stats",
     "text_source_kl",
+    "embedding_ivf_recall",
 ]
 
 

@@ -685,6 +685,38 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 QUERIES["embedding_knn_ivf"] = (q_knn_ivf, _sql_knn_ivf())
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF (multi-probe) ranking against the
+    exact brute-force ranking — the probe-count tuning artifact, same
+    sketch-accuracy-gate pattern as embedding_int8_recall."""
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_knn_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        (F.count("an") / 5.0).alias("recall_at_5")
+    )
+
+
+def _sql_ivf_recall() -> str:
+    return f"""
+WITH exact AS ({SQL_KNN_BRUTEFORCE}),
+approx AS ({_sql_knn_ivf()})
+SELECT e.query_id, count(a.neighbor_id) / 5.0 AS recall_at_5
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES["embedding_ivf_recall"] = (q_ivf_recall, _sql_ivf_recall())
+
+
 # ---------------------------------------------------------------------------
 # Arrow/BLAS scale path for brute-force scoring
 # ---------------------------------------------------------------------------

@@ -104,6 +104,7 @@ _PRIORITY = [
     "sample_upsample",
     "events_interarrival_stats",
     "text_source_kl",
+    "embedding_ivf_recall",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
