@@ -155,6 +155,7 @@ EXTENDED = [
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
+    "embedding_lsh_recall",
 ]
 
 

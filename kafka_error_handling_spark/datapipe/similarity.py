@@ -717,6 +717,39 @@ GROUP BY e.query_id
 QUERIES["embedding_ivf_recall"] = (q_ivf_recall, _sql_ivf_recall())
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the SINGLE-PROBE hyperplane-LSH ranking vs
+    exact brute force — completes the recall trilogy (int8 / IVF / LSH):
+    the docstrings say single-probe recall < 1 by design; this gate
+    MEASURES it, which is what justifies the multiprobe variant."""
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_knn_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        (F.count("an") / 5.0).alias("recall_at_5")
+    )
+
+
+def _sql_lsh_recall() -> str:
+    return f"""
+WITH exact AS ({SQL_KNN_BRUTEFORCE}),
+approx AS ({_sql_knn_lsh()})
+SELECT e.query_id, count(a.neighbor_id) / 5.0 AS recall_at_5
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+QUERIES["embedding_lsh_recall"] = (q_lsh_recall, _sql_lsh_recall())
+
+
 # ---------------------------------------------------------------------------
 # Arrow/BLAS scale path for brute-force scoring
 # ---------------------------------------------------------------------------

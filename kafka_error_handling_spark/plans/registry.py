@@ -105,6 +105,7 @@ _PRIORITY = [
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
+    "embedding_lsh_recall",
     # block 1: changed after last green driver row
     "dedup_ngram_jaccard",
     "embedding_knn_int8",
