@@ -700,9 +700,11 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction) next to the exact shingle-set Jaccard and their absolute
     error — the tuning artifact that justifies (bands, rows, threshold)
     choices before a corpus-wide run.  Per-pair detail (the consumer
-    aggregates); fully distributed: signature frame is persisted once
-    and reused on both pair sides, exact sets join shuffle-keyed — no
-    collects, no IN-prune (a report wants ALL pairs, not survivors)."""
+    aggregates); fully distributed — no driver-side collects: the
+    signature frame is checkpointed once and reused on both pair sides,
+    and exact sets are computed only for strong-pair PARTICIPANTS
+    (left-semi prune; output unchanged — the final joins restrict to
+    strong pairs anyway)."""
     d = load_table(spark, sf_dir, "documents")
     # eager localCheckpoint (not a bare persist): the returned DataFrame
     # references this frame lazily and callers never see a handle to
@@ -735,7 +737,9 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(strong.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sets = shingle_sets(d.join(F.broadcast(ids), "doc_id", "left_semi"))
+    # no broadcast hint: the participant set is small when duplication
+    # is rare but UNBOUNDED in general — Catalyst's size check decides
+    sets = shingle_sets(d.join(ids, "doc_id", "left_semi"))
     exact = F.round(
         F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb")), 4
     )
@@ -896,7 +900,12 @@ def q_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     applying keep/drop.  Built on the same verified-pair CC as
     dedup_neardup_keep; the histogram itself is two tiny rollups."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
+    # eager localCheckpoint, not a bare persist: the CC loop references
+    # the pair stream once per round and callers never get a handle to
+    # unpersist (same leak fix as q_minhash_est_error above)
+    cached = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
+    pairs = cached.localCheckpoint(eager=True)
+    cached.unpersist()
     comp = neardup_components(pairs, d)
     clusters = (
         comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("size"))

@@ -94,11 +94,15 @@ _DUCK_BUCKET = (
     f" % {DENOM}"
 )
 
-# the salted split-assignment bucket (mirrors assign_split)
-_DUCK_SPLIT_BUCKET = (
-    "CAST(concat('0x', substr(md5('split|' || CAST({k} AS VARCHAR)), 1, 15))"
+# salted bucket template: one source of truth for every salted md5 ppm
+# bucket in the oracles (the salt must include its trailing separator)
+_DUCK_SALTED_BUCKET = (
+    "CAST(concat('0x', substr(md5('<SALT>' || CAST({k} AS VARCHAR)), 1, 15))"
     f" AS BIGINT) % {DENOM}"
 )
+
+# the salted split-assignment bucket (mirrors assign_split)
+_DUCK_SPLIT_BUCKET = _DUCK_SALTED_BUCKET.replace("<SALT>", "split|")
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,8 +698,9 @@ QUERIES["sample_global_shuffle"] = (q_global_shuffle, _sql_global_shuffle())
 # (``mix_sources`` documents that rates > 1 need an upstream up-sampler —
 # this is it).  rate = 2.3 means every row appears twice and a
 # deterministic 30% of rows a third time: explode ceil(rate) copy
-# indices, keep copy i < floor(rate) always, the fractional copy iff the
-# (key, copy)-salted bucket clears the remainder.  Scan-fused explode,
+# indices, keep copy i < floor(rate) always, the single fractional copy
+# iff the 'up|'-salted key bucket clears the remainder (the copy index
+# itself is not hashed — there is at most ONE fractional copy).  Scan-fused explode,
 # no shuffle; copy_idx is emitted so downstream epoch interleaving
 # (global_shuffle over (key, copy_idx)) stays deterministic.
 # ---------------------------------------------------------------------------
@@ -732,10 +737,7 @@ def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_upsample() -> str:
-    b = (
-        "CAST(concat('0x', substr(md5('up|' || CAST(doc_id AS VARCHAR)), 1, 15))"
-        f" AS BIGINT) % {DENOM}"
-    )
+    b = _DUCK_SALTED_BUCKET.replace("<SALT>", "up|").format(k="doc_id")
     frac = int(round(0.3 * DENOM))
     return f"""
 SELECT copy_idx, count(*) AS n_docs, count(DISTINCT doc_id) AS n_distinct

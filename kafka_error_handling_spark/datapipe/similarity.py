@@ -685,12 +685,14 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 QUERIES["embedding_knn_ivf"] = (q_knn_ivf, _sql_knn_ivf())
 
 
-def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of the IVF (multi-probe) ranking against the
-    exact brute-force ranking — the probe-count tuning artifact, same
-    sketch-accuracy-gate pattern as embedding_int8_recall."""
+def _recall_gate(spark, sf_dir, approx_fn) -> DataFrame:
+    """Per-query recall@5 of an approximate ranking against the exact
+    brute-force ranking — quantization/probe loss measured, not guessed
+    (same sketch-accuracy-gate pattern as approx_distinct); shared by
+    the int8 / IVF / LSH recall gates so the semantics live in ONE
+    place (round-4 review: three verbatim copies)."""
     exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = q_knn_ivf(spark, sf_dir).select(
+    approx = approx_fn(spark, sf_dir).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
     hits = exact.join(
@@ -703,10 +705,10 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_recall() -> str:
+def _sql_recall(approx_sql: str) -> str:
     return f"""
 WITH exact AS ({SQL_KNN_BRUTEFORCE}),
-approx AS ({_sql_knn_ivf()})
+approx AS ({approx_sql})
 SELECT e.query_id, count(a.neighbor_id) / 5.0 AS recall_at_5
 FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
@@ -714,40 +716,21 @@ GROUP BY e.query_id
 """
 
 
-QUERIES["embedding_ivf_recall"] = (q_ivf_recall, _sql_ivf_recall())
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (multi-probe) recall@5 vs exact — the probe-count tuner."""
+    return _recall_gate(spark, sf_dir, q_knn_ivf)
+
+
+QUERIES["embedding_ivf_recall"] = (q_ivf_recall, _sql_recall(_sql_knn_ivf()))
 
 
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of the SINGLE-PROBE hyperplane-LSH ranking vs
-    exact brute force — completes the recall trilogy (int8 / IVF / LSH):
-    the docstrings say single-probe recall < 1 by design; this gate
-    MEASURES it, which is what justifies the multiprobe variant."""
-    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = q_knn_lsh(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    hits = exact.join(
-        approx,
-        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
-        "left",
-    )
-    return hits.groupBy("query_id").agg(
-        (F.count("an") / 5.0).alias("recall_at_5")
-    )
+    """SINGLE-PROBE hyperplane-LSH recall@5 vs exact — measures the
+    recall loss the docstrings only assert, justifying multiprobe."""
+    return _recall_gate(spark, sf_dir, q_knn_lsh)
 
 
-def _sql_lsh_recall() -> str:
-    return f"""
-WITH exact AS ({SQL_KNN_BRUTEFORCE}),
-approx AS ({_sql_knn_lsh()})
-SELECT e.query_id, count(a.neighbor_id) / 5.0 AS recall_at_5
-FROM exact e
-LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-GROUP BY e.query_id
-"""
-
-
-QUERIES["embedding_lsh_recall"] = (q_lsh_recall, _sql_lsh_recall())
+QUERIES["embedding_lsh_recall"] = (q_lsh_recall, _sql_recall(_sql_knn_lsh()))
 
 
 # ---------------------------------------------------------------------------
@@ -1111,38 +1094,11 @@ QUERIES["embedding_knn_int8"] = (q_knn_int8, SQL_KNN_INT8)
 
 
 def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query recall@5 of the int8 ranking against the exact float
-    ranking — quantization loss measured, not guessed (the same
-    sketch-accuracy-gate pattern as approx_distinct/approx_quantiles)."""
-    exact = q_knn_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    approx = q_knn_int8(spark, sf_dir).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    hits = exact.join(
-        approx,
-        (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
-        "left",
-    )
-    return (
-        hits.groupBy("query_id")
-        .agg((F.count("an") / 5.0).alias("recall_at_5"))
-    )
+    """int8 scalar-quantization recall@5 vs exact float ranking."""
+    return _recall_gate(spark, sf_dir, q_knn_int8)
 
 
-def _sql_int8_recall() -> str:
-    return f"""
-WITH exact AS ({SQL_KNN_BRUTEFORCE}),
-approx AS ({SQL_KNN_INT8})
-SELECT e.query_id, count(a.neighbor_id) / 5.0 AS recall_at_5
-FROM exact e
-LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-GROUP BY e.query_id
-"""
-
-
-QUERIES["embedding_int8_recall"] = (q_int8_recall, _sql_int8_recall())
+QUERIES["embedding_int8_recall"] = (q_int8_recall, _sql_recall(SQL_KNN_INT8))
 
 
 def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:

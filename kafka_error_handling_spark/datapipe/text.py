@@ -1014,11 +1014,22 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = corpus.agg(
         F.count(F.lit(1)).alias("v"), F.sum("c_all").alias("n_all")
     )
-    from pyspark.sql.window import Window
-
-    n_src = Window.partitionBy("source")
-    j = per_src.join(corpus, "token").crossJoin(F.broadcast(vocab))
-    p = (F.col("c_s") + 1) / (F.sum("c_s").over(n_src) + F.col("v"))
+    totals = per_src.groupBy("source").agg(F.sum("c_s").alias("n_src"))
+    # the KL sum runs over the FULL vocab × source grid: under add-one
+    # smoothing a token ABSENT from the source still carries probability
+    # 1/(n_src+v) and must contribute its term — summing only present
+    # tokens under-counts the retained mass and the statistic is neither
+    # the smoothed KL nor guaranteed >= 0 (round-4 review #3: a 1-token
+    # source measured 7x its true divergence).  Scale note: the grid is
+    # |vocab| × |sources| — at web scale cap the vocab to the top-K
+    # tokens by corpus frequency first; everything else is unchanged.
+    grid = corpus.crossJoin(F.broadcast(totals))
+    j = (
+        grid.join(per_src, ["source", "token"], "left")
+        .withColumn("c_s", F.coalesce(F.col("c_s"), F.lit(0)))
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("c_s") + 1) / (F.col("n_src") + F.col("v"))
     q = (F.col("c_all") + 1) / (F.col("n_all") + F.col("v"))
     return (
         j.withColumn("term", p * F.log(p / q))
@@ -1039,10 +1050,14 @@ WITH toks AS (
   SELECT token, sum(c_s) AS c_all FROM per_src GROUP BY token
 ), vocab AS (
   SELECT count(*) AS v, sum(c_all) AS n_all FROM corpus
+), totals AS (
+  SELECT source, sum(c_s) AS n_src FROM per_src GROUP BY source
 ), j AS (
-  SELECT p.source, p.c_s, c.c_all, vocab.v, vocab.n_all,
-         sum(p.c_s) OVER (PARTITION BY p.source) AS n_src
-  FROM per_src p JOIN corpus c USING (token) CROSS JOIN vocab
+  SELECT t.source, coalesce(p.c_s, 0) AS c_s, c.c_all,
+         vocab.v, vocab.n_all, t.n_src
+  FROM corpus c CROSS JOIN totals t
+  LEFT JOIN per_src p ON p.source = t.source AND p.token = c.token
+  CROSS JOIN vocab
 )
 SELECT source,
        CAST(sum(c_s) AS BIGINT) AS n_tokens,

@@ -554,8 +554,14 @@ def reconcile_totals(
     header: DataFrame, lines: DataFrame, header_key: str, line_key: str,
     header_total: str, line_amount,
 ) -> DataFrame:
+    # LEFT join: a header whose lines are entirely missing is the WORST
+    # partial-load failure — an inner join would silently drop it from
+    # the very report that exists to catch it (round-4 review #2).  Such
+    # headers surface with calc_total NULL / ratio NULL.
     per_key = lines.groupBy(line_key).agg(F.sum(line_amount).alias("calc_total"))
-    j = header.join(per_key, header.__getattr__(header_key) == per_key[line_key])
+    j = header.join(
+        per_key, header.__getattr__(header_key) == per_key[line_key], "left"
+    )
     ratio = F.col(header_total) / F.col("calc_total")
     return j.select(F.col(header_key), F.col(header_total).alias("stated"),
                     "calc_total", ratio.alias("ratio"))
@@ -570,6 +576,7 @@ def q_reconcile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = reconcile_totals(o, l, "o_orderkey", "l_orderkey", "o_totalprice", amount)
     return r.agg(
         F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("calc_total").isNull(), 1)).alias("n_no_lines"),
         F.count(
             F.when(F.abs(F.col("stated") - F.col("calc_total")) / F.col("stated")
                    < 0.01, 1)
@@ -594,9 +601,10 @@ WITH per_key AS (
 ), r AS (
   SELECT o.o_totalprice AS stated, p.calc_total,
          o.o_totalprice / p.calc_total AS ratio
-  FROM orders o JOIN per_key p ON o.o_orderkey = p.l_orderkey
+  FROM orders o LEFT JOIN per_key p ON o.o_orderkey = p.l_orderkey
 )
 SELECT count(*) AS n_orders,
+       count(CASE WHEN calc_total IS NULL THEN 1 END) AS n_no_lines,
        count(CASE WHEN abs(stated - calc_total) / stated < 0.01 THEN 1 END)
          AS n_within_1pct,
        round(percentile_disc(0.5) WITHIN GROUP (ORDER BY ratio), 4) AS p50_ratio,
