@@ -1069,3 +1069,69 @@ GROUP BY source
 """
 
 QUERIES["text_source_kl"] = (q_source_kl_divergence, SQL_SOURCE_KL)
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy — the cheapest "is this real text" signal
+# ---------------------------------------------------------------------------
+
+ENTROPY_LOW_BITS = 2.0
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution, in bits
+    — the classic cheap filter for binary junk / mojibake / repeated-char
+    spam (natural language sits ~3.5-4.5 bits of char unigram entropy;
+    base64 blobs near 6, 'aaaa...' near 0).  Flags docs below
+    ``ENTROPY_LOW_BITS``.
+
+    Shape: explode to (doc, char) → count → one per-doc aggregate using the
+    algebraic identity H = log2(T) - (Σ c·log2 c)/T, which needs only
+    per-char counts and the total — both combine map-side, so the exchange
+    carries (doc, char) partial counts, ~doc_len unique keys per doc,
+    NOT one row per character.  Pure codegen column exprs (module rule:
+    UDF-free).  Entropy itself is a float sum whose addend order differs
+    across engines; round(4) absorbs the ~1e-15 reassociation noise
+    (same policy as every float aggregate gate in this module).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = (
+        d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = chars.groupBy("doc_id").agg(
+        F.sum("c").alias("tot"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("slc"),
+    )
+    ent = F.log2("tot") - F.col("slc") / F.col("tot")
+    return per_doc.select(
+        "doc_id",
+        F.col("tot").alias("n_chars"),
+        "n_distinct_chars",
+        F.round(ent, 4).alias("entropy_bits"),
+        (ent < ENTROPY_LOW_BITS).alias("low_entropy"),
+    )
+
+
+SQL_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, ch, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE text IS NOT NULL AND len(text) > 0)
+  GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS tot, count(*) AS n_distinct_chars,
+         sum(c * log2(c)) AS slc
+  FROM chars GROUP BY doc_id
+)
+SELECT doc_id, CAST(tot AS BIGINT) AS n_chars, n_distinct_chars,
+       round(log2(tot) - slc / tot, 4) AS entropy_bits,
+       (log2(tot) - slc / tot) < {ENTROPY_LOW_BITS} AS low_entropy
+FROM per_doc
+"""
+
+QUERIES["text_char_entropy"] = (q_char_entropy, SQL_CHAR_ENTROPY)

@@ -242,3 +242,97 @@ SELECT diff_status, count(*) AS n FROM j GROUP BY diff_status
 """
 
 QUERIES["cdc_snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)
+
+
+# ---------------------------------------------------------------------------
+# Kafka log compaction: latest-per-key with tombstone deletes
+# ---------------------------------------------------------------------------
+
+
+def log_compact(
+    changelog: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    tombstone,
+) -> DataFrame:
+    """Kafka-style log compaction of a changelog: keep only the LATEST
+    record per key, and drop the key entirely when that latest record is a
+    tombstone (Kafka: a null-value record marks the key deleted once it is
+    the newest — the compactor then removes the key from the log).
+
+    This is the missing half of :func:`merge_upsert`: upsert merges two
+    snapshots, compaction collapses an unbounded append-only topic — the
+    reference's actual storage model (its DLQ topics are append-only Kafka
+    logs; a downstream table view of them IS this operation).
+
+    Plan: ONE groupBy(key) with ``max_by`` of the payload over the ordering
+    tuple — partial aggregation combines map-side, so the exchange carries
+    one candidate per key per map task regardless of how many superseded
+    versions the log holds (the row_number() window formulation would sort
+    every version).  The tombstone filter runs AFTER the winner is picked
+    (a tombstone only deletes if nothing newer re-created the key).
+
+    ``tombstone`` is a Column predicate evaluated on the winning row's
+    payload struct (e.g. ``lambda r: r["event_type"] == "delete"``).
+    """
+    payload = [c for c in changelog.columns]
+    row = F.struct(*[F.col(c) for c in payload])
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    compacted = changelog.groupBy(*key_cols).agg(
+        F.max_by(row, ordering).alias("__row"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_superseded"),
+    )
+    return compacted.filter(~tombstone(F.col("__row"))).select(
+        *key_cols,
+        *[
+            F.col(f"__row.{c}").alias(c)
+            for c in payload
+            if c not in key_cols
+        ],
+        "n_superseded",
+    )
+
+
+def q_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: compact the events stream as a per-user changelog (ordered by
+    (ts, event_id)); an 'error' record in the newest position tombstones
+    the user (the synthetic marker standing in for Kafka's null value).
+    Output: surviving users with their live record + superseded count."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    c = log_compact(
+        e,
+        ["user_id"],
+        ["ts", "event_id"],
+        tombstone=lambda r: r["event_type"] == "error",
+    )
+    return c.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "event_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 2).alias("last_value"),
+        "n_superseded",
+    )
+
+
+SQL_LOG_COMPACTION = """
+WITH winner AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         count(*) OVER (PARTITION BY user_id) - 1 AS n_superseded
+  FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id,
+       event_type AS last_type,
+       round(value, 2) AS last_value,
+       n_superseded
+FROM winner
+WHERE event_type <> 'error'
+"""
+
+QUERIES["cdc_log_compaction"] = (q_log_compaction, SQL_LOG_COMPACTION)

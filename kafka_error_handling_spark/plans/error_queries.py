@@ -494,3 +494,76 @@ WHERE k = 0 OR k % 7 = 0
 
 
 QUERIES["dlq_replay"] = (q_dlq_replay, SQL_DLQ_REPLAY)
+
+
+def q_dlq_age_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ operational aging report — the dashboard a dead-letter topic's
+    on-call reads: dead letters bucketed by exception class x age, with the
+    id range for triage.  The reference leaves DLQ *consumption* to the
+    operator (its processors only produce the topic,
+    ``DeadLetterProcessor.java:77-111``); this is the first artifact any
+    consumer builds.
+
+    Age is measured against the newest event timestamp in the corpus (NOT
+    wall clock — deterministic and replayable), in whole days via integer
+    microsecond floor division (cross-engine exact; a double cast would
+    round on one engine and truncate on the other, SURVEY round-4 notes).
+    One aggregate over the error branch; the corpus max-ts scalar rides
+    along as a broadcast 1-row frame.
+    """
+    ev = _events(spark, sf_dir)
+    p1 = capture_map_values(ev, _parse_rate_v1, DoubleType(), value_col="props")
+    dlq = dead_letters(
+        errors(p1), "rate pipeline v1", key_cols=["event_id"], timestamp_col="ts"
+    )
+    mx = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).agg(F.max("us").alias("max_us"))
+    aged = dlq.crossJoin(F.broadcast(mx)).select(
+        F.col("dead_letter.cause.error_class").alias("error_class"),
+        "event_id",
+        F.expr(
+            "(max_us - unix_micros(CAST(dead_letter.input_timestamp AS TIMESTAMP)))"
+            " DIV 86400000000"
+        ).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") < 7, F.lit("0-6d"))
+        .when(F.col("age_days") < 30, F.lit("7-29d"))
+        .otherwise(F.lit("30d+"))
+    )
+    return (
+        aged.select("error_class", bucket.alias("age_bucket"), "event_id")
+        .groupBy("error_class", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_dead"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+
+
+SQL_DLQ_AGE_REPORT = """
+WITH dead AS (
+  SELECT event_id, ts,
+         CASE WHEN k = 0 THEN 'ZeroDivisionError' ELSE 'ValueError' END
+           AS error_class,
+         (epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts))
+           // 86400000000 AS age_days
+  FROM (SELECT event_id, ts,
+               CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) AS k
+        FROM events)
+  WHERE k = 0 OR (k <> 0 AND k % 7 = 0)
+)
+SELECT error_class,
+       CASE WHEN age_days < 7 THEN '0-6d'
+            WHEN age_days < 30 THEN '7-29d'
+            ELSE '30d+' END AS age_bucket,
+       count(*) AS n_dead,
+       min(event_id) AS first_event_id,
+       max(event_id) AS last_event_id
+FROM dead
+GROUP BY 1, 2
+"""
+
+QUERIES["dlq_age_report"] = (q_dlq_age_report, SQL_DLQ_AGE_REPORT)

@@ -56,6 +56,12 @@ def _modules():
         mods += [cdc, quality]
     except ImportError:
         pass
+    try:
+        from . import graph
+
+        mods.append(graph)
+    except ImportError:
+        pass
     return mods
 
 
@@ -71,6 +77,11 @@ def _modules():
 # byte-identical output, driver row re-confirms).  Everything else (r2/r3
 # green, untouched since) follows in registry order.
 _PRIORITY = [
+    # block 00: new in round-4 continuation — no driver row exists yet
+    "graph_pagerank",
+    "cdc_log_compaction",
+    "dlq_age_report",
+    "text_char_entropy",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

@@ -1,0 +1,136 @@
+"""Round-4 continuation ops: integer PageRank, log compaction, DLQ aging,
+char entropy — semantics pinned against hand-computed / brute-force models."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from kafka_error_handling_spark.plans.graph import (
+    PR_SCALE,
+    copurchase_edges,
+    pagerank_scaled,
+)
+from kafka_error_handling_spark.plans.cdc import log_compact
+
+
+def _brute_pagerank(edges, iters=3, scale=PR_SCALE):
+    """Driver-side integer-PageRank model (same floor-division formula)."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    nodes = sorted(out)
+    n = len(nodes)
+    rank = {v: scale // n for v in nodes}
+    tele = (15 * (scale // n)) // 100
+    for _ in range(iters):
+        incoming = defaultdict(int)
+        for u in nodes:
+            c = rank[u] // len(out[u])
+            for v in out[u]:
+                incoming[v] += c
+        rank = {v: tele + (85 * incoming[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_brute_force_model(spark):
+    # path + triangle graph, undirected (both directions)
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    directed = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(edges, iters=3).collect()
+    }
+    want = _brute_pagerank(directed)
+    assert got == want
+    # hub (node 3, degree 3) must outrank the leaf (node 4, degree 1)
+    assert got[3] > got[4]
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1)]
+    directed = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    ranks = [r["rank_scaled"] for r in pagerank_scaled(edges, iters=3).collect()]
+    total = sum(ranks)
+    # floor-division loses < (deg sum + teleport rounding) ulps per round
+    assert abs(total - PR_SCALE) < PR_SCALE * 0.001
+    assert all(r > 0 for r in ranks)
+
+
+def test_copurchase_edges_symmetric_no_self_loops(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 12), (3, 13)],
+        "l_orderkey long, l_partkey long",
+    )
+    e = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
+    # order 1 links 10-11, order 2 links 10-12; order 3 is a singleton;
+    # duplicate (1,10) lineitem must not produce a self loop
+    assert e == {(10, 11), (11, 10), (10, 12), (12, 10)}
+
+
+def test_log_compact_tombstone_and_resurrection(spark):
+    rows = [
+        # key 1: update then tombstone -> dropped
+        Row(k=1, ts=1, ev="a", seq=1),
+        Row(k=1, ts=2, ev="delete", seq=2),
+        # key 2: tombstone then newer update -> resurrected, kept
+        Row(k=2, ts=1, ev="delete", seq=3),
+        Row(k=2, ts=2, ev="b", seq=4),
+        # key 3: single live record, nothing superseded
+        Row(k=3, ts=5, ev="c", seq=5),
+        # key 4: ts tie broken by seq -> delete wins, dropped
+        Row(k=4, ts=7, ev="d", seq=6),
+        Row(k=4, ts=7, ev="delete", seq=7),
+    ]
+    df = spark.createDataFrame(rows)
+    out = log_compact(
+        df, ["k"], ["ts", "seq"], tombstone=lambda r: r["ev"] == "delete"
+    )
+    got = {r["k"]: (r["ev"], r["n_superseded"]) for r in out.collect()}
+    assert got == {2: ("b", 1), 3: ("c", 0)}
+
+
+def test_dlq_age_report_buckets(spark, sf_dir):
+    from kafka_error_handling_spark.plans.error_queries import q_dlq_age_report
+
+    rows = q_dlq_age_report(spark, sf_dir).collect()
+    assert rows, "corpus contains k=0 and k%7 events"
+    classes = {r["error_class"] for r in rows}
+    assert classes <= {"ZeroDivisionError", "ValueError"}
+    for r in rows:
+        assert r["age_bucket"] in {"0-6d", "7-29d", "30d+"}
+        assert r["n_dead"] > 0
+        assert r["first_event_id"] <= r["last_event_id"]
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaaa", "en", "s", 4),          # 0 bits
+            (1, "abab", "en", "s", 4),          # 1 bit
+            (2, "abcd", "en", "s", 4),          # 2 bits
+            (3, None, "en", "s", 0),            # dropped
+            (4, "", "en", "s", 0),              # dropped
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from kafka_error_handling_spark.datapipe.text import q_char_entropy
+
+    out = {r["doc_id"]: r for r in q_char_entropy(spark, d).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["entropy_bits"] == pytest.approx(0.0)
+    assert out[1]["entropy_bits"] == pytest.approx(1.0)
+    assert out[2]["entropy_bits"] == pytest.approx(2.0)
+    assert out[0]["low_entropy"] is True
+    assert out[2]["low_entropy"] is False
+    assert out[2]["n_distinct_chars"] == 4
+    assert math.isclose(out[1]["n_chars"], 4)
