@@ -751,3 +751,126 @@ GROUP BY copy_idx
 
 
 QUERIES["sample_upsample"] = (q_upsample, _sql_upsample())
+
+
+# ---------------------------------------------------------------------------
+# Token-budget water-filling: exact per-source allocation under a cap
+# ---------------------------------------------------------------------------
+
+BUDGET_FRACTION_PPM = 500_000  # allocate half the corpus' tokens
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer WATER-FILLING of a token budget across sources — the
+    allocation step of a pretraining mix: given budget B (here 50% of
+    corpus tokens), small sources keep everything they have, large sources
+    are clamped to a common waterline L chosen so the total exactly fits:
+    alloc_s = min(tok_s, L), L = max integer with sum(alloc) <= B.
+
+    Solved in CLOSED FORM, no iteration: sort sources ascending by token
+    count; source i (1-based, of n) is fully satisfied iff
+    ``prefix(i-1) + tok_i * (n - i + 1) <= B`` (its own count times the
+    remaining slots still fits) — satisfaction is monotone in i, so one
+    prefix-sum window decides every source, and the waterline is
+    ``(B - prefix(k)) DIV (n - k)`` over the k satisfied sources.  All
+    floor-division integer arithmetic: cross-engine exact, no float.
+
+    The per-source token totals shuffle map-combined on source; the
+    water-fill itself runs on the #sources-row frame (bounded — a corpus
+    has dozens of sources, not millions), where the single-partition
+    window is free.  Tokens are the module-standard deterministic BPE-ish
+    estimate (``text.bpe_ish_token_count``).
+    """
+    from pyspark.sql.window import Window
+
+    from .text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.filter(F.col("text").isNotNull())
+        .select("source", bpe_ish_token_count(F.col("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("tok"))
+    )
+    totals = per_src.agg(
+        F.count(F.lit(1)).alias("n_src"),
+        F.sum("tok").alias("tok_total"),
+    )
+    w_ord = Window.orderBy("tok", "source")
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        per_src.crossJoin(F.broadcast(totals))
+        .withColumn("budget", F.expr(f"(tok_total * {BUDGET_FRACTION_PPM}) DIV 1000000"))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("pfx", F.sum("tok").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            "satisfied",
+            (F.col("pfx") - F.col("tok"))
+            + F.col("tok") * (F.col("n_src") - F.col("rn") + 1)
+            <= F.col("budget"),
+        )
+    )
+    k = F.sum(F.col("satisfied").cast("long")).over(w_all)
+    pk = F.sum(F.when(F.col("satisfied"), F.col("tok")).otherwise(0)).over(w_all)
+    line = F.when(
+        k < F.col("n_src"),
+        F.expr("(budget - __pk) DIV (n_src - __k)"),
+    )
+    final = (
+        staged.withColumn("__k", k)
+        .withColumn("__pk", pk)
+        .withColumn("waterline", line)
+    )
+    return final.select(
+        "source",
+        F.col("tok").alias("tokens_available"),
+        F.when(F.col("satisfied"), F.col("tok"))
+        .otherwise(F.col("waterline"))
+        .alias("tokens_allocated"),
+        "satisfied",
+        "waterline",
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(list_sum(list_transform(string_split(text, ' '),
+                  t -> CAST(ceil(length(t) / 4.0) AS INT)))) AS BIGINT) AS tok
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source
+),
+tot AS (
+  SELECT count(*) AS n_src, CAST(sum(tok) AS BIGINT) AS tok_total FROM per_src
+),
+staged AS (
+  SELECT source, tok, n_src,
+         (tok_total * {BUDGET_FRACTION_PPM}) // 1000000 AS budget,
+         row_number() OVER (ORDER BY tok, source) AS rn,
+         CAST(sum(tok) OVER (ORDER BY tok, source
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+  FROM per_src CROSS JOIN tot
+),
+flagged AS (
+  SELECT *,
+         ((pfx - tok) + tok * (n_src - rn + 1)) <= budget AS satisfied
+  FROM staged
+),
+scal AS (
+  SELECT *,
+         CAST(sum(CASE WHEN satisfied THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+         CAST(sum(CASE WHEN satisfied THEN tok ELSE 0 END) OVER () AS BIGINT) AS pk
+  FROM flagged
+)
+SELECT source,
+       tok AS tokens_available,
+       CASE WHEN satisfied THEN tok
+            ELSE (budget - pk) // (n_src - k) END AS tokens_allocated,
+       satisfied,
+       CASE WHEN k < n_src THEN (budget - pk) // (n_src - k) END AS waterline
+FROM scal
+"""
+
+QUERIES["corpus_token_budget"] = (q_token_budget, SQL_TOKEN_BUDGET)

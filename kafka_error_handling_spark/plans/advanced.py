@@ -1018,3 +1018,87 @@ GROUP BY event_type
 """
 
 QUERIES["events_interarrival_stats"] = (q_interarrival_stats, SQL_INTERARRIVAL)
+
+
+# ---------------------------------------------------------------------------
+# Debounce: collapse per-key event bursts to their first record
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_GAP_S = 7200  # 2h; corpus median per-user gap is ~7.4h, p10 ~1.1h
+
+
+def debounce(events: DataFrame, gap_s: int = DEBOUNCE_GAP_S) -> DataFrame:
+    """Keep the FIRST event of every per-user burst (events closer than
+    ``gap_s`` to their predecessor collapse into the burst), reporting how
+    many records each kept event absorbed.
+
+    Debounce vs the existing throttles: ``events_rate_limit`` keeps the
+    first N per FIXED (user, minute) bucket; ``sessionize`` aggregates
+    bursts; debounce EMITS A RECORD STREAM — the kept representative per
+    dynamic burst — which is the duplicate-webhook / retry-storm collapse
+    semantics (same record fired 5x in a burst → 1 downstream record).
+
+    Plan: the lag window, the running burst counter, and the final
+    groupBy all key on user_id — ONE exchange serves all three (the same
+    single-shuffle discipline as ``sessionize``, which this extends).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")  # floor-to-second, engine-stable
+    new_burst = (
+        F.when(sec - F.lag(sec).over(w) > gap_s, 1).otherwise(0)
+    )
+    with_idx = events.withColumn(
+        "burst_idx",
+        F.sum(new_burst).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    first = F.min(F.struct("ts", "event_id", "event_type", "value"))
+    return with_idx.groupBy("user_id", "burst_idx").agg(
+        first.alias("__f"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_collapsed"),
+        (F.max(sec) - F.min(sec)).alias("burst_span_s"),
+    ).select(
+        "user_id",
+        "burst_idx",
+        F.col("__f.event_id").alias("event_id"),
+        F.date_format("__f.ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("__f.event_type").alias("event_type"),
+        F.round("__f.value", 2).alias("value"),
+        "n_collapsed",
+        "burst_span_s",
+    )
+
+
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return debounce(_t(spark, sf_dir, "events"))
+
+
+SQL_DEBOUNCE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         floor(epoch(ts)) AS sec,
+         CASE WHEN floor(epoch(ts))
+                   - lag(floor(epoch(ts))) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                   > {DEBOUNCE_GAP_S}
+              THEN 1 ELSE 0 END AS new_burst
+  FROM events
+), idx AS (
+  SELECT user_id, event_id, event_type, value, ts, sec,
+         CAST(sum(new_burst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_idx
+  FROM seq
+)
+SELECT user_id, burst_idx,
+       first(event_id ORDER BY ts, event_id) AS event_id,
+       strftime(first(ts ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS ts,
+       first(event_type ORDER BY ts, event_id) AS event_type,
+       round(first(value ORDER BY ts, event_id), 2) AS value,
+       count(*) - 1 AS n_collapsed,
+       CAST(max(sec) - min(sec) AS BIGINT) AS burst_span_s
+FROM idx
+GROUP BY user_id, burst_idx
+"""
+
+QUERIES["events_debounce"] = (q_debounce, SQL_DEBOUNCE)

@@ -614,3 +614,68 @@ FROM r
 """
 
 QUERIES["quality_reconcile_orders"] = (q_reconcile_orders, SQL_RECONCILE_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# Error-rate SLO monitor: tumbling-window breach report
+# ---------------------------------------------------------------------------
+
+SLO_WINDOW_S = 21600  # 6h tumbling buckets
+SLO_BREACH_PPM = 250_000  # alert above 25% errors (corpus base rate ~20%)
+
+
+def q_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alert rule an error-handling deployment actually pages on:
+    per 6-hour tumbling window, total records vs records that would hit
+    the DLQ ('error' events), the error rate in INTEGER ppm (floor
+    division — cross-engine exact, no float ratio in the gate), and the
+    breach flag against the SLO threshold.
+
+    The reference library ROUTES errors; the operator consuming its DLQ
+    needs exactly this artifact to notice a bad deploy (error ppm jumping
+    across windows).  Window key is plain integer epoch bucketing
+    (``epoch_s DIV window``) rather than ``F.window``/``time_bucket`` so
+    both engines compute byte-identical keys.  One aggregate, map-side
+    combined; at 100 TB the exchange carries one partial row per
+    (window, map task).
+    """
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    bucket = F.expr(f"unix_timestamp(ts) DIV {SLO_WINDOW_S}")
+    agg = (
+        e.select(bucket.alias("b"), (F.col("event_type") == "error").alias("is_err"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("is_err").cast("long")).alias("n_errors"),
+        )
+    )
+    ppm = F.expr("(n_errors * 1000000) DIV n_total")
+    return agg.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("b") * SLO_WINDOW_S), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        "n_total",
+        "n_errors",
+        ppm.alias("error_ppm"),
+        (ppm > SLO_BREACH_PPM).alias("breach"),
+    )
+
+
+SQL_ERROR_RATE_SLO = f"""
+WITH agg AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // {SLO_WINDOW_S} AS b,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT strftime(to_timestamp(b * {SLO_WINDOW_S}), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       n_total, n_errors,
+       (n_errors * 1000000) // n_total AS error_ppm,
+       ((n_errors * 1000000) // n_total) > {SLO_BREACH_PPM} AS breach
+FROM agg
+"""
+
+QUERIES["quality_error_slo"] = (q_error_rate_slo, SQL_ERROR_RATE_SLO)

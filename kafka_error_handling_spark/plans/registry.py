@@ -82,6 +82,9 @@ _PRIORITY = [
     "cdc_log_compaction",
     "dlq_age_report",
     "text_char_entropy",
+    "events_debounce",
+    "quality_error_slo",
+    "corpus_token_budget",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

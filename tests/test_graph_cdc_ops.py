@@ -134,3 +134,69 @@ def test_char_entropy_known_values(spark, tmp_path):
     assert out[2]["low_entropy"] is False
     assert out[2]["n_distinct_chars"] == 4
     assert math.isclose(out[1]["n_chars"], 4)
+
+
+def test_debounce_collapses_bursts(spark):
+    from kafka_error_handling_spark.plans.advanced import debounce
+
+    rows = []
+    # user 1: 3 events 10s apart (one burst), then one 3h later
+    for i, off in enumerate([0, 10, 20, 3 * 3600 + 20]):
+        rows.append((i, f"2024-01-01 00:00:{0:02d}", 1, "click", 1.0, off))
+    df = spark.createDataFrame(
+        [(eid, 1, "click", 1.5, off) for eid, _, _, _, _, off in rows],
+        "event_id long, user_id long, event_type string, value double, off long",
+    ).selectExpr(
+        "event_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,off) AS ts",
+        "user_id", "event_type", "value",
+    )
+    out = sorted(
+        debounce(df, gap_s=60).collect(), key=lambda r: r["burst_idx"]
+    )
+    assert len(out) == 2
+    assert out[0]["n_collapsed"] == 2 and out[0]["event_id"] == 0
+    assert out[0]["burst_span_s"] == 20
+    assert out[1]["n_collapsed"] == 0 and out[1]["event_id"] == 3
+
+
+def test_error_slo_ppm_and_breach(spark, sf_dir):
+    from kafka_error_handling_spark.plans.quality import (
+        SLO_BREACH_PPM,
+        q_error_rate_slo,
+    )
+
+    rows = q_error_rate_slo(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["error_ppm"] <= 1_000_000
+        assert r["n_errors"] <= r["n_total"]
+        assert r["breach"] == (r["error_ppm"] > SLO_BREACH_PPM)
+
+
+def test_token_budget_waterfill_exactness(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.sampling import (
+        BUDGET_FRACTION_PPM,
+        q_token_budget,
+    )
+
+    rows = q_token_budget(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["tokens_available"] for r in rows)
+    budget = (total * BUDGET_FRACTION_PPM) // 1_000_000
+    alloc = sum(r["tokens_allocated"] for r in rows)
+    assert alloc <= budget
+    # exactness: raising the waterline by 1 for every clamped source
+    # must exceed the budget (otherwise the waterline was not maximal)
+    n_clamped = sum(1 for r in rows if not r["satisfied"])
+    if n_clamped:
+        assert alloc + n_clamped > budget
+        line = {r["waterline"] for r in rows if not r["satisfied"]}
+        assert len(line) == 1  # one common waterline
+        # every clamped source holds MORE than the waterline; every
+        # satisfied source fits under it
+        for r in rows:
+            if r["satisfied"]:
+                assert r["tokens_allocated"] == r["tokens_available"]
+            else:
+                assert r["tokens_available"] > r["tokens_allocated"]
