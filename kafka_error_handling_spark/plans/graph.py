@@ -47,26 +47,22 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     order key — at 100 TB this is the standard basket-expansion shuffle,
     bounded by (items per order)² per order, not corpus².
     """
-    # ONE shuffle (groupBy order) + codegen pair expansion over the per-
-    # order item array beats the two-scan self-join formulation (measured
-    # 1.7s vs 2.1s warm at sf0.1): the array never exceeds (items per
-    # order), so the expansion is bounded per row, and only the distinct
-    # pays a second exchange — of the PAIRS, whose count is the output
-    parts = lineitem.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
+    # Codegen self-join on the order key, NOT an array-HOF pair expansion:
+    # the interpreted transform/filter lambdas measured 35s cold at the
+    # 24M-edge 10x stress where this whole-stage-codegen join takes ~8s
+    # (the engineering-notes rule — interpreted HOFs off the hot path).
+    # The undirected pair set is checkpointed HERE, once (12M narrow rows,
+    # ~2s): both direction projections and every PageRank iteration then
+    # re-read the checkpoint (0.4s/pass) instead of re-running the join —
+    # the union below would otherwise execute the distinct TWICE.
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     und = (
-        parts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, x -> filter("
-                    "transform(ps, y -> struct(x AS src, y AS dst)),"
-                    " s -> s.src < s.dst)))"
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
@@ -94,14 +90,11 @@ def pagerank_scaled(
     iteration then reuses one co-partitioned exchange layout.
     """
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
-    # checkpoint the EDGE LIST once — everything downstream (degrees, the
-    # per-iteration joins) re-reads the checkpoint, never the upstream
-    # edge-construction plan.  Without this, deg / n_df / the initial
-    # ranks each re-executed the co-purchase expansion (measured: 4x,
-    # 9s of a 19s wall).  The per-iteration edge+deg broadcast join is
-    # cheap codegen over the checkpoint, NOT worth a second 2.4M-row
-    # checkpoint of its own
-    edges = edges.localCheckpoint(eager=True)
+    # callers hand in edges whose expensive construction is already cut by
+    # a checkpoint (see copurchase_edges); re-reading that per pass is
+    # cheaper than materializing the 2x-size directed list again, so no
+    # edge-level cache here — only the SMALL frames (deg: one row per
+    # node; per-iteration ranks) get checkpointed
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.localCheckpoint(eager=True)  # one row per node — tiny
     ed = edges.join(hint(deg), "src")
@@ -127,6 +120,11 @@ def pagerank_scaled(
                 + F.expr("(85 * msum) DIV 100")
             ).alias("rank"),
         )
+        # checkpoint each iteration's ranks (one SMALL row per node):
+        # without the lineage cut, iteration t's broadcast subtree
+        # re-executes iterations 1..t-1 — the chain goes quadratic in
+        # join count (measured 23s/87s at 1x/10x vs linear with it)
+        ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.join(hint(deg).select(F.col("src").alias("node"), "deg"), "node")
         .select("node", "deg", F.col("rank").alias("rank_scaled"))
