@@ -156,6 +156,14 @@ EXTENDED = [
     "text_source_kl",
     "embedding_ivf_recall",
     "embedding_lsh_recall",
+    # round-4 second continuation
+    "graph_pagerank",
+    "cdc_log_compaction",
+    "dlq_age_report",
+    "text_char_entropy",
+    "events_debounce",
+    "quality_error_slo",
+    "corpus_token_budget",
 ]
 
 
