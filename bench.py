@@ -164,6 +164,8 @@ EXTENDED = [
     "events_debounce",
     "quality_error_slo",
     "corpus_token_budget",
+    "basket_association_rules",
+    "graph_degree_stats",
 ]
 
 

@@ -1102,3 +1102,107 @@ GROUP BY user_id, burst_idx
 """
 
 QUERIES["events_debounce"] = (q_debounce, SQL_DEBOUNCE)
+
+
+# ---------------------------------------------------------------------------
+# Association rules: support / confidence / lift over co-purchase pairs
+# ---------------------------------------------------------------------------
+
+RULE_MIN_SUPPORT = 2  # orders; pairs seen once are noise
+RULE_TOPK = 50
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic market-basket association rules a→b ranked by lift — the
+    statistical layer ABOVE ``basket_pair_counts``: a pair can co-occur
+    often purely because both items are popular; lift divides that out.
+
+    All ratios are INTEGER ppm with floor division (engine-exact):
+      confidence_ppm(a→b) = 1e6·n_ab DIV n_a
+      lift_ppm(a→b)       = confidence_ppm·N DIV n_b   (≈ 1e6·lift)
+    Directional rules are emitted both ways from each undirected pair.
+
+    Plan: the distinct (order, part) projection feeds the pair self-join
+    (bounded per order, the basket-expansion shuffle) and the per-part
+    order counts; counts join back BROADCAST (catalog-sized, not
+    corpus-sized), and the order-count scalar rides a 1-row broadcast.
+    Top-k via TakeOrdered — no global sort.
+    """
+    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    # both directions: a→b and b→a have different confidence
+    rules = pairs.unionByName(
+        pairs.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "n_ab",
+        )
+    )
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    tot = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = (
+        rules.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    conf = F.expr("(n_ab * 1000000) DIV n_a")
+    lift = F.expr("(((n_ab * 1000000) DIV n_a) * n_orders) DIV n_b")
+    return (
+        joined.select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").alias("support_n"),
+            conf.alias("confidence_ppm"),
+            lift.alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), F.asc("part_a"), F.asc("part_b"))
+        .limit(RULE_TOPK)
+    )
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {RULE_MIN_SUPPORT}
+),
+rules AS (
+  SELECT part_a, part_b, n_ab FROM pairs
+  UNION ALL SELECT part_b, part_a, n_ab FROM pairs
+),
+part_n AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT part_a, part_b,
+       CAST(n_ab AS BIGINT) AS support_n,
+       (n_ab * 1000000) // na.n_part AS confidence_ppm,
+       (((n_ab * 1000000) // na.n_part) * n_orders) // nb.n_part AS lift_ppm
+FROM rules
+JOIN part_n na ON na.l_partkey = part_a
+JOIN part_n nb ON nb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY lift_ppm DESC, part_a ASC, part_b ASC
+LIMIT {RULE_TOPK}
+"""
+
+QUERIES["basket_association_rules"] = (q_association_rules, SQL_ASSOCIATION_RULES)

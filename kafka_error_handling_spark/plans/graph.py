@@ -181,3 +181,53 @@ LIMIT {PR_TOPK}
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, _sql_pagerank()),
 }
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution QA: the pre-flight check before any graph algorithm
+# ---------------------------------------------------------------------------
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude degree histogram of the co-purchase graph — the
+    QA artifact read BEFORE running PageRank/CC at scale: a heavy tail
+    here is what forces skew salting or high-degree-vertex mirroring.
+    Buckets are decimal-digit counts (len(str(deg))) — pure integer
+    string length, engine-exact, where floor(log2(deg)) would ride on
+    float rounding at bucket boundaries.  One aggregate over the degree
+    frame (one row per node)."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (
+        copurchase_edges(li)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.groupBy(F.length(F.col("deg").cast("string")).alias("deg_digits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("total_deg"),
+        )
+    )
+
+
+_SQL_DEGREE_STATS = """
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+SELECT CAST(length(CAST(deg AS VARCHAR)) AS INT) AS deg_digits,
+       count(*) AS n_nodes,
+       min(deg) AS min_deg,
+       max(deg) AS max_deg,
+       CAST(sum(deg) AS BIGINT) AS total_deg
+FROM deg
+GROUP BY 1
+"""
+
+QUERIES["graph_degree_stats"] = (q_graph_degree_stats, _SQL_DEGREE_STATS)

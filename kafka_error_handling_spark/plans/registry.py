@@ -85,6 +85,8 @@ _PRIORITY = [
     "events_debounce",
     "quality_error_slo",
     "corpus_token_budget",
+    "basket_association_rules",
+    "graph_degree_stats",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

@@ -200,3 +200,36 @@ def test_token_budget_waterfill_exactness(spark, sf_dir):
                 assert r["tokens_allocated"] == r["tokens_available"]
             else:
                 assert r["tokens_available"] > r["tokens_allocated"]
+
+
+def test_association_rules_lift_semantics(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_association_rules
+
+    rows = q_association_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["support_n"] >= 2
+        assert 0 < r["confidence_ppm"] <= 1_000_000
+        assert r["lift_ppm"] > 0
+    # ranked by lift desc with deterministic tie-break
+    lifts = [(-r["lift_ppm"], r["part_a"], r["part_b"]) for r in rows]
+    assert lifts == sorted(lifts)
+
+
+def test_degree_stats_cover_all_nodes(spark, sf_dir):
+    from kafka_error_handling_spark.plans.graph import (
+        copurchase_edges,
+        q_graph_degree_stats,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    rows = q_graph_degree_stats(spark, sf_dir).collect()
+    n_nodes = sum(r["n_nodes"] for r in rows)
+    total_deg = sum(r["total_deg"] for r in rows)
+    li = load_table(spark, sf_dir, "lineitem")
+    e = copurchase_edges(li)
+    assert total_deg == e.count()
+    assert n_nodes == e.select("src").distinct().count()
+    for r in rows:
+        assert len(str(r["min_deg"])) == r["deg_digits"]
+        assert len(str(r["max_deg"])) == r["deg_digits"]
