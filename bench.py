@@ -166,6 +166,7 @@ EXTENDED = [
     "corpus_token_budget",
     "basket_association_rules",
     "graph_degree_stats",
+    "customer_rfm_segments",
 ]
 
 

@@ -1206,3 +1206,90 @@ LIMIT {RULE_TOPK}
 """
 
 QUERIES["basket_association_rules"] = (q_association_rules, SQL_ASSOCIATION_RULES)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quintile scoring
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM customer segmentation — per customer: days since last
+    order (recency), order count (frequency), lifetime spend in integer
+    cents (monetary); each scored into quintiles 1..5 (5 = best) and
+    rolled up per 3-digit segment code (555 = champions, 111 = lost).
+
+    Determinism: recency via integer second floor-division against the
+    corpus max order date (broadcast 1-row frame, not wall clock);
+    monetary in floor cents; quintiles via ``ntile(5)`` over a TOTAL
+    order (metric + custkey tie-break) — ntile's remainder-to-early-
+    buckets distribution is SQL-standard and identical in both engines,
+    but only deterministic when the ORDER BY is total.  The three ntile
+    windows are unpartitioned — fine because they run over the per-
+    customer ROLLUP (one row per customer), not the order stream; at
+    cluster scale the same scores come from percent_rank against
+    broadcast quantile boundaries.
+    """
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate")).alias("last_sec"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("monetary_cents"),
+    )
+    mx = per_cust.agg(F.max("last_sec").alias("max_sec"))
+    base = per_cust.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.expr("(max_sec - last_sec) DIV 86400")
+    )
+    # 5 = best: most recent / most frequent / biggest spender
+    r_s = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+    f_s = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+    m_s = F.ntile(5).over(Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey")))
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.alias("r"),
+        f_s.alias("f"),
+        m_s.alias("m"),
+    )
+    return scored.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+        F.min("o_custkey").alias("example_cust"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(max(floor(epoch(o_orderdate))) AS BIGINT) AS last_sec,
+         count(*) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT *, (max_sec - last_sec) // 86400 AS recency_days
+  FROM per_cust CROSS JOIN (SELECT max(last_sec) AS max_sec FROM per_cust)
+),
+scored AS (
+  SELECT o_custkey, monetary_cents,
+         ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC) AS r,
+         ntile(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f,
+         ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS m
+  FROM base
+)
+SELECT (r * 100 + f * 10 + m) AS segment,
+       count(*) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+       min(o_custkey) AS example_cust
+FROM scored
+GROUP BY 1
+"""
+
+QUERIES["customer_rfm_segments"] = (q_rfm_segments, SQL_RFM_SEGMENTS)

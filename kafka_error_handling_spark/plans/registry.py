@@ -87,6 +87,7 @@ _PRIORITY = [
     "corpus_token_budget",
     "basket_association_rules",
     "graph_degree_stats",
+    "customer_rfm_segments",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

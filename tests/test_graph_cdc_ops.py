@@ -233,3 +233,26 @@ def test_degree_stats_cover_all_nodes(spark, sf_dir):
     for r in rows:
         assert len(str(r["min_deg"])) == r["deg_digits"]
         assert len(str(r["max_deg"])) == r["deg_digits"]
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_rfm_segments
+    from kafka_error_handling_spark.sources.files import load_table
+
+    rows = q_rfm_segments(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        seg = r["segment"]
+        rs, fs, ms = seg // 100, (seg // 10) % 10, seg % 10
+        assert 1 <= rs <= 5 and 1 <= fs <= 5 and 1 <= ms <= 5
+
+
+def test_verified_pairs_memo_shares_one_computation(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe import dedup
+
+    dedup._PAIRS_CACHE.clear()
+    a = dedup._verified_pairs_for(spark, sf_dir)
+    b = dedup._verified_pairs_for(spark, sf_dir)
+    assert a is b  # second consumer reads the published artifact
+    assert len(dedup._PAIRS_CACHE) == 1
