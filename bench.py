@@ -167,6 +167,8 @@ EXTENDED = [
     "basket_association_rules",
     "graph_degree_stats",
     "customer_rfm_segments",
+    "multimodal_dedup",
+    "events_decayed_engagement",
 ]
 
 

@@ -375,3 +375,62 @@ QUERIES = {
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed binary dedup: the CAS report for media payloads
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection over the opaque BINARY payload — the
+    content-addressable-store report a media pipeline publishes before
+    ingest: per source, how many payloads, how many distinct contents,
+    and how many bytes re-upload of identical bytes would waste.
+
+    The digest is ``md5`` of the raw payload bytes computed JVM-SIDE on
+    the binary column (codegen — the bytes never cross into Python; at
+    100 TB the payloads never leave their partitions and the exchange
+    carries 16-byte digests + counts).  Text dedup asks "same words";
+    this asks "same bytes" — the right key for images/audio where a
+    single flipped bit is a different asset.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    p = with_payload(d)
+    per_digest = (
+        p.select(
+            "source",
+            F.md5("payload").alias("digest"),
+            F.col("media.n_bytes").alias("nb"),
+        )
+        .groupBy("source", "digest")
+        .agg(F.count(F.lit(1)).alias("copies"), F.min("nb").alias("nb"))
+    )
+    return per_digest.groupBy("source").agg(
+        F.sum("copies").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("copies") - 1).alias("n_dup_payloads"),
+        F.sum(F.col("copies") * F.col("nb")).alias("bytes_total"),
+        F.sum((F.col("copies") - 1) * F.col("nb")).alias("bytes_dup"),
+    )
+
+
+SQL_MULTIMODAL_DEDUP = """
+WITH per_digest AS (
+  SELECT source, md5(text) AS digest,
+         count(*) AS copies,
+         min(CAST(octet_length(encode(text)) AS BIGINT)) AS nb
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(sum(copies) AS BIGINT) AS n_payloads,
+       count(*) AS n_distinct,
+       CAST(sum(copies - 1) AS BIGINT) AS n_dup_payloads,
+       CAST(sum(copies * nb) AS BIGINT) AS bytes_total,
+       CAST(sum((copies - 1) * nb) AS BIGINT) AS bytes_dup
+FROM per_digest
+GROUP BY source
+"""
+
+QUERIES["multimodal_dedup"] = (q_multimodal_dedup, SQL_MULTIMODAL_DEDUP)

@@ -1293,3 +1293,56 @@ GROUP BY 1
 """
 
 QUERIES["customer_rfm_segments"] = (q_rfm_segments, SQL_RFM_SEGMENTS)
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement: exponential decay in pure integer arithmetic
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_DAYS = 7
+DECAY_MAX_SHIFT = 40  # floor: 2^40 halvings zero out any int64 cent value
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with EXPONENTIAL TIME DECAY — the
+    recommender/feature-store staple (recent activity counts full, each
+    ``DECAY_HALF_LIFE_DAYS``-old week counts half).  The decay is a pure
+    integer RIGHT SHIFT: value_cents >> (age_days DIV half_life), which
+    IS floor(value / 2^k) for non-negative ints — so the score is exactly
+    reproducible across engines, where float exp(-lambda*t) would hash
+    differently.  Age anchors on the corpus max timestamp (broadcast
+    1-row frame), not wall clock.  One map-combined aggregate on user_id.
+    """
+    e = _t(spark, sf_dir, "events")
+    mx = e.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).agg(F.max("us").alias("max_us"))
+    scored = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "shiftright(CAST(floor(value * 100) AS BIGINT), "
+            f"CAST(least((max_us - unix_micros(CAST(ts AS TIMESTAMP))) DIV 86400000000 "
+            f"DIV {DECAY_HALF_LIFE_DAYS}, {DECAY_MAX_SHIFT}) AS INT))"
+        ).alias("decayed_cents"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("decayed_cents").alias("engagement_cents"),
+    )
+
+
+SQL_DECAYED_ENGAGEMENT = f"""
+WITH mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(
+         CAST(floor(value * 100) AS BIGINT)
+           >> least((max_us - epoch_us(ts)) // 86400000000
+                      // {DECAY_HALF_LIFE_DAYS}, {DECAY_MAX_SHIFT})
+       ) AS BIGINT) AS engagement_cents
+FROM events CROSS JOIN mx
+GROUP BY user_id
+"""
+
+QUERIES["events_decayed_engagement"] = (q_decayed_engagement, SQL_DECAYED_ENGAGEMENT)

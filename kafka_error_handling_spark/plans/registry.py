@@ -88,6 +88,8 @@ _PRIORITY = [
     "basket_association_rules",
     "graph_degree_stats",
     "customer_rfm_segments",
+    "multimodal_dedup",
+    "events_decayed_engagement",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

@@ -256,3 +256,47 @@ def test_verified_pairs_memo_shares_one_computation(spark, sf_dir):
     b = dedup._verified_pairs_for(spark, sf_dir)
     assert a is b  # second consumer reads the published artifact
     assert len(dedup._PAIRS_CACHE) == 1
+
+
+def test_multimodal_dedup_counts_duplicate_bytes(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same bytes", "en", "s1", 10),
+            (1, "same bytes", "en", "s1", 10),
+            (2, "unique", "en", "s1", 6),
+            (3, None, "en", "s1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from kafka_error_handling_spark.datapipe.multimodal import q_multimodal_dedup
+
+    r = q_multimodal_dedup(spark, d).collect()[0]
+    assert r["n_payloads"] == 3
+    assert r["n_distinct"] == 2
+    assert r["n_dup_payloads"] == 1
+    assert r["bytes_dup"] == len(b"same bytes")
+
+
+def test_decayed_engagement_halves_per_week(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_decayed_engagement
+    from kafka_error_handling_spark.sources.files import load_table
+    from pyspark.sql import functions as F2
+
+    out = q_decayed_engagement(spark, sf_dir)
+    rows = out.collect()
+    e = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    # every score is bounded by the undecayed cent sum per user
+    raw = {
+        r["user_id"]: r["cents"]
+        for r in e.groupBy("user_id")
+        .agg(F2.sum(F2.floor(F2.col("value") * 100)).alias("cents"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r["engagement_cents"] <= raw[r["user_id"]]
