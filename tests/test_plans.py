@@ -438,3 +438,70 @@ def test_time_to_convert_anchor_join_unhinted(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_debounce_single_exchange(spark, sf_dir):
+    """Lag window, running burst counter, and the final groupBy all key on
+    user_id — ONE exchange must serve all three."""
+    from kafka_error_handling_spark.plans.advanced import q_debounce
+
+    plan = _plan(q_debounce(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_association_rules_part_counts_broadcast(spark, sf_dir):
+    """Per-part order counts are catalog-sized: they must join back as
+    broadcasts, leaving only the basket-expansion SMJ on the order key."""
+    from kafka_error_handling_spark.plans.advanced import q_association_rules
+
+    plan = _plan(q_association_rules(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_dir):
+    """Each fixpoint iteration joins the checkpointed edge frame against a
+    BROADCAST rank frame (|V| << |E| regime) — the big side must never
+    reshuffle for the join; the only exchange is the contribution sum."""
+    from kafka_error_handling_spark.plans.graph import (
+        copurchase_edges,
+        pagerank_scaled,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = pagerank_scaled(copurchase_edges(li), iters=1)
+    plan = _plan(pr)
+    assert "BroadcastHashJoin" in plan
+    # the edge side arrives via the checkpoint scan, not a fresh SMJ
+    assert "Scan ExistingRDD" in plan
+
+
+def test_error_slo_single_aggregate(spark, sf_dir):
+    """One map-combined aggregate: exactly one exchange, keyed on the
+    integer window bucket."""
+    from kafka_error_handling_spark.plans.quality import q_error_rate_slo
+
+    plan = _plan(q_error_rate_slo(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_log_compaction_max_by_partial_agg(spark, sf_dir):
+    """The winner per key is picked with partial (map-side) max_by — the
+    plan must show a partial_max_by before the exchange, and no sort-based
+    row_number window."""
+    from kafka_error_handling_spark.plans.cdc import q_log_compaction
+
+    plan = _plan(q_log_compaction(spark, sf_dir))
+    assert "partial_max_by" in plan
+    assert "row_number" not in plan
+
+
+def test_decayed_engagement_single_aggregate(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_decayed_engagement
+
+    plan = _plan(q_decayed_engagement(spark, sf_dir))
+    # per-user rollup: one hashpartitioning exchange on user_id
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    # the corpus max-ts scalar rides a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
