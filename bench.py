@@ -169,6 +169,7 @@ EXTENDED = [
     "customer_rfm_segments",
     "multimodal_dedup",
     "events_decayed_engagement",
+    "sample_bootstrap_tokens",
 ]
 
 

@@ -874,3 +874,111 @@ FROM scal
 """
 
 QUERIES["corpus_token_budget"] = (q_token_budget, SQL_TOKEN_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: error bars on corpus statistics
+# ---------------------------------------------------------------------------
+
+BOOT_REPLICATES = 20
+# truncated Poisson(1) in ppm: P(0)=e^-1, P(1)=e^-1, tail mass on 2
+_BOOT_P0_PPM = 367_879
+_BOOT_P1_PPM = 735_759
+
+
+def q_bootstrap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-source mean token count —
+    the ERROR BARS a corpus-stats dashboard needs before anyone compares
+    two sources: each of ``BOOT_REPLICATES`` resamples draws every doc
+    0/1/2 times (truncated Poisson(1) — the streaming-friendly bootstrap
+    used at web scale, where true multinomial resampling would need a
+    global count), the replicate means spread into min/max/variance.
+
+    Everything is INTEGER: the per-doc weight comes from the module's
+    salted md5 ppm bucket ('boot|b|doc'), replicate means are micro-token
+    integers via floor division, and the variance uses the exact identity
+    (B·Σm² − (Σm)²) DIV (B·(B−1)) — no float ever enters the gate hash.
+    Plan: one explode (docs × B), two map-combined aggregates; exchange
+    keys (source, b) then source.
+    """
+    from .text import token_count
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    B = BOOT_REPLICATES
+    reps = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    u = hash_bucket(
+        F.concat(
+            F.lit("boot|"),
+            F.col("b").cast("string"),
+            F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = (
+        F.when(u < _BOOT_P0_PPM, 0)
+        .when(u < _BOOT_P1_PPM, 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    per_rep = (
+        reps.select("source", "b", (w * F.col("tok")).alias("wt"), w.alias("w"))
+        .groupBy("source", "b")
+        .agg(F.sum("wt").alias("tokens_b"), F.sum("w").alias("docs_b"))
+        .select(
+            "source",
+            F.expr("(tokens_b * 1000000) DIV docs_b").alias("m"),
+        )
+    )
+    return per_rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.expr(f"sum(m) DIV {B}").alias("mean_of_means_uptok"),
+        F.expr(f"({B} * sum(m * m) - sum(m) * sum(m)) DIV ({B} * {B - 1})").alias(
+            "var_uptok2"
+        ),
+        F.min("m").alias("min_uptok"),
+        F.max("m").alias("max_uptok"),
+    )
+
+
+_SQL_BOOTSTRAP = f"""
+WITH reps AS (
+  SELECT d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+         t.b,
+         CAST(concat('0x', substr(md5(
+           'boot|' || CAST(t.b AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)
+         ), 1, 15)) AS BIGINT) % {DENOM} AS u
+  FROM documents d CROSS JOIN range(0, {BOOT_REPLICATES}) t(b)
+  WHERE d.text IS NOT NULL
+),
+weighted AS (
+  SELECT source, b,
+         CASE WHEN u < {_BOOT_P0_PPM} THEN 0
+              WHEN u < {_BOOT_P1_PPM} THEN 1 ELSE 2 END AS w,
+         tok
+  FROM reps
+),
+per_rep AS (
+  SELECT source, b,
+         (CAST(sum(w * tok) AS BIGINT) * 1000000)
+           // CAST(sum(w) AS BIGINT) AS m
+  FROM weighted GROUP BY source, b
+)
+SELECT source,
+       count(*) AS n_replicates,
+       CAST(sum(m) AS BIGINT) // {BOOT_REPLICATES} AS mean_of_means_uptok,
+       ({BOOT_REPLICATES} * CAST(sum(m * m) AS BIGINT)
+          - CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT))
+         // ({BOOT_REPLICATES} * {BOOT_REPLICATES - 1}) AS var_uptok2,
+       min(m) AS min_uptok,
+       max(m) AS max_uptok
+FROM per_rep
+GROUP BY source
+"""
+
+QUERIES["sample_bootstrap_tokens"] = (q_bootstrap_tokens, _SQL_BOOTSTRAP)

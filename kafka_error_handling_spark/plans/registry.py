@@ -90,6 +90,7 @@ _PRIORITY = [
     "customer_rfm_segments",
     "multimodal_dedup",
     "events_decayed_engagement",
+    "sample_bootstrap_tokens",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

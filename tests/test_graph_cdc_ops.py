@@ -300,3 +300,30 @@ def test_decayed_engagement_halves_per_week(spark, sf_dir):
     }
     for r in rows:
         assert 0 <= r["engagement_cents"] <= raw[r["user_id"]]
+
+
+def test_bootstrap_interval_brackets_true_mean(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.sampling import q_bootstrap_tokens
+    from kafka_error_handling_spark.datapipe.text import token_count
+    from kafka_error_handling_spark.sources.files import load_table
+    from pyspark.sql import functions as F2
+
+    rows = {r["source"]: r for r in q_bootstrap_tokens(spark, sf_dir).collect()}
+    assert rows
+    d = load_table(spark, sf_dir, "documents").filter(F2.col("text").isNotNull())
+    truth = {
+        r["source"]: r
+        for r in d.groupBy("source")
+        .agg(
+            F2.sum(token_count(F2.col("text")).cast("long")).alias("tok"),
+            F2.count(F2.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for src, r in rows.items():
+        assert r["n_replicates"] == 20
+        assert r["min_uptok"] <= r["mean_of_means_uptok"] <= r["max_uptok"]
+        assert r["var_uptok2"] >= 0
+        true_uptok = truth[src]["tok"] * 1_000_000 // truth[src]["n"]
+        # the bootstrap range must bracket the plug-in estimate
+        assert r["min_uptok"] <= true_uptok <= r["max_uptok"]
