@@ -127,25 +127,15 @@ _CENTROID_CACHE: dict = {}
 def _centroids_for(spark: SparkSession, sf_dir: str) -> list:
     import os
 
-    key = (sf_dir, K, ITERS)
-    try:
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-        # (mtime_ns, size): same-second rewrites still differ in mtime_ns
-        # or size; a bare float mtime let them alias
-        stamp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        stamp = None
-    if stamp is not None:
-        hit = _CENTROID_CACHE.get(key)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-    e = load_table(spark, sf_dir, "embeddings")
-    centroids = lloyd_centroids(e)
-    if stamp is not None:
-        # un-stat-able path (non-standard layout): never cache — a stale
-        # None==None match could pin centroids across data changes
-        _CENTROID_CACHE[key] = (stamp, centroids)
-    return centroids
+    from ..memo import stamped_memo
+
+    return stamped_memo(
+        _CENTROID_CACHE,
+        # plain Python lists are session-independent: no applicationId here
+        (sf_dir, K, ITERS),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        lambda: lloyd_centroids(load_table(spark, sf_dir, "embeddings")),
+    )
 
 
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

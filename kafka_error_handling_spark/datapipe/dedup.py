@@ -870,22 +870,21 @@ _PAIRS_CACHE: dict = {}
 def _verified_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    try:
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-        stamp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        stamp = None
-    if stamp is not None:
-        hit = _PAIRS_CACHE.get(key)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-    cached = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
-    pairs = cached.localCheckpoint(eager=True)
-    cached.unpersist()
-    if stamp is not None:
-        _PAIRS_CACHE[key] = (stamp, pairs)
-    return pairs
+    from ..memo import stamped_memo
+
+    def _build() -> DataFrame:
+        cached = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").persist()
+        pairs = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        return pairs
+
+    return stamped_memo(
+        _PAIRS_CACHE,
+        # checkpointed DataFrames are session-bound: key on applicationId
+        (spark.sparkContext.applicationId, sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        _build,
+    )
 
 
 def q_dedup_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:

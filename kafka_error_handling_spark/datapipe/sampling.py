@@ -934,12 +934,27 @@ def q_bootstrap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(tokens_b * 1000000) DIV docs_b").alias("m"),
         )
     )
-    return per_rep.groupBy("source").agg(
+    # Variance via CENTERED deviations, not the raw identity
+    # (B·Σm² − (Σm)²): m is micro-tokens, so Σm² overflows int64 once a
+    # source's mean token count passes ~150 — any real web corpus.  The
+    # deviation from the floored mean is bootstrap noise (tiny), and the
+    # clamp bounds Σdev² ≤ B·(6e8)² < 2^63 even adversarially; a source
+    # whose replicate means spread >600 tokens saturates the clamp
+    # IDENTICALLY on both engines (deterministic, documented).  The
+    # window + final agg both key on source — the frame is sources×B
+    # rows, so the extra pass is free.
+    from pyspark.sql.window import Window
+
+    w_src = Window.partitionBy("source")
+    centered = per_rep.withColumn(
+        "mu", F.expr(f"sum(m) OVER (PARTITION BY source) DIV {B}")
+    ).withColumn(
+        "dev", F.expr("greatest(least(m - mu, 600000000), -600000000)")
+    )
+    return centered.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_replicates"),
         F.expr(f"sum(m) DIV {B}").alias("mean_of_means_uptok"),
-        F.expr(f"({B} * sum(m * m) - sum(m) * sum(m)) DIV ({B} * {B - 1})").alias(
-            "var_uptok2"
-        ),
+        F.expr(f"sum(dev * dev) DIV {B - 1}").alias("var_uptok2"),
         F.min("m").alias("min_uptok"),
         F.max("m").alias("max_uptok"),
     )
@@ -968,16 +983,22 @@ per_rep AS (
          (CAST(sum(w * tok) AS BIGINT) * 1000000)
            // CAST(sum(w) AS BIGINT) AS m
   FROM weighted GROUP BY source, b
+),
+centered AS (
+  SELECT source, m,
+         greatest(least(
+           m - (CAST(sum(m) OVER (PARTITION BY source) AS BIGINT)
+                  // {BOOT_REPLICATES}),
+           600000000), -600000000) AS dev
+  FROM per_rep
 )
 SELECT source,
        count(*) AS n_replicates,
        CAST(sum(m) AS BIGINT) // {BOOT_REPLICATES} AS mean_of_means_uptok,
-       ({BOOT_REPLICATES} * CAST(sum(m * m) AS BIGINT)
-          - CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT))
-         // ({BOOT_REPLICATES} * {BOOT_REPLICATES - 1}) AS var_uptok2,
+       CAST(sum(dev * dev) AS BIGINT) // {BOOT_REPLICATES - 1} AS var_uptok2,
        min(m) AS min_uptok,
        max(m) AS max_uptok
-FROM per_rep
+FROM centered
 GROUP BY source
 """
 

@@ -1112,7 +1112,10 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").alias("n_chars"),
         "n_distinct_chars",
         F.round(ent, 4).alias("entropy_bits"),
-        (ent < ENTROPY_LOW_BITS).alias("low_entropy"),
+        # the flag compares the ROUNDED value: the raw float differs across
+        # engines in the last ulps (summation order), and a boundary doc
+        # must not flip the boolean on one engine only
+        (F.round(ent, 4) < ENTROPY_LOW_BITS).alias("low_entropy"),
     )
 
 
@@ -1130,7 +1133,7 @@ per_doc AS (
 )
 SELECT doc_id, CAST(tot AS BIGINT) AS n_chars, n_distinct_chars,
        round(log2(tot) - slc / tot, 4) AS entropy_bits,
-       (log2(tot) - slc / tot) < {ENTROPY_LOW_BITS} AS low_entropy
+       round(log2(tot) - slc / tot, 4) < {ENTROPY_LOW_BITS} AS low_entropy
 FROM per_doc
 """
 

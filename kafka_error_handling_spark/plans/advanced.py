@@ -1128,7 +1128,16 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized), and the order-count scalar rides a 1-row broadcast.
     Top-k via TakeOrdered — no global sort.
     """
-    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # the distinct (order, part) projection feeds FOUR consumers (both
+    # pair-join sides, the per-part counts, the order total): checkpoint it
+    # once — same discipline as copurchase_edges, and the SQL twin already
+    # marks it MATERIALIZED
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     pairs = (

@@ -142,20 +142,15 @@ _EDGES_CACHE: dict = {}
 def _edges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    try:
-        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-        stamp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        stamp = None
-    if stamp is not None:
-        hit = _EDGES_CACHE.get(key)
-        if hit is not None and hit[0] == stamp:
-            return hit[1]
-    edges = copurchase_edges(_t(spark, sf_dir, "lineitem"))
-    if stamp is not None:
-        _EDGES_CACHE[key] = (stamp, edges)
-    return edges
+    from ..memo import stamped_memo
+
+    return stamped_memo(
+        _EDGES_CACHE,
+        # checkpointed DataFrames are session-bound: key on applicationId
+        (spark.sparkContext.applicationId, sf_dir),
+        os.path.join(sf_dir, "lineitem.parquet"),
+        lambda: copurchase_edges(_t(spark, sf_dir, "lineitem")),
+    )
 
 
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -640,7 +640,6 @@ def q_error_rate_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, map task).
     """
     e = _t(spark, sf_dir, "events")
-    sec = F.unix_timestamp("ts")
     bucket = F.expr(f"unix_timestamp(ts) DIV {SLO_WINDOW_S}")
     agg = (
         e.select(bucket.alias("b"), (F.col("event_type") == "error").alias("is_err"))
@@ -670,8 +669,10 @@ WITH agg AS (
            AS n_errors
   FROM events GROUP BY 1
 )
-SELECT strftime(to_timestamp(b * {SLO_WINDOW_S}), '%Y-%m-%d %H:%M:%S')
-         AS window_start,
+-- make_timestamp(µs) is TZ-NAIVE; to_timestamp would render in the
+-- host session TimeZone and break parity off-UTC
+SELECT strftime(make_timestamp(b * {SLO_WINDOW_S} * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
        n_total, n_errors,
        (n_errors * 1000000) // n_total AS error_ppm,
        ((n_errors * 1000000) // n_total) > {SLO_BREACH_PPM} AS breach
