@@ -592,3 +592,64 @@ def test_streaming_dlq_replay_lifecycle(spark, tmp_path):
 
     assert sorted((r.id, r.result) for r in got["recovered"]) == [(1, 5.0), (3, 10.0)]
     assert [(r.id, r.error_class) for r in got["dead"]] == [(2, "ZeroDivisionError")]
+
+
+def test_streaming_error_slo_matches_batch(spark, tmp_path):
+    """The error-rate SLO monitor as a STREAMING windowed aggregate: the
+    same integer-ppm bucketing runs incrementally over a file stream and
+    must agree with the batch computation on the same records."""
+    import json as _json
+
+    src = tmp_path / "slo_src"
+    src.mkdir()
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "ts": f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                "event_type": "error" if i % 5 == 0 else "click",
+            }
+        )
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").json(
+        str(src)
+    )
+    win = F.expr("unix_timestamp(ts) DIV 21600")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(win.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slo_stream")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["b"]: (r["n_total"], r["n_errors"], (r["n_errors"] * 1_000_000) // r["n_total"])
+        for r in spark.sql("select * from slo_stream").collect()
+    }
+    # batch reference over the identical records
+    batch = (
+        spark.read.schema("ts timestamp, event_type string")
+        .json(str(src))
+        .groupBy(win.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .collect()
+    )
+    want = {
+        r["b"]: (r["n_total"], r["n_errors"], (r["n_errors"] * 1_000_000) // r["n_total"])
+        for r in batch
+    }
+    assert got == want
+    assert any(ppm == 200_000 for (_, _, ppm) in got.values())
