@@ -170,6 +170,10 @@ EXTENDED = [
     "multimodal_dedup",
     "events_decayed_engagement",
     "sample_bootstrap_tokens",
+    "scd2_point_in_time",
+    "events_dau_wau",
+    "attribution_linear",
+    "embedding_dim_stats",
 ]
 
 

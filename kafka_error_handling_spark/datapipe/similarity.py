@@ -1113,3 +1113,48 @@ def q_knn_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_knn_arrow"] = (q_knn_bruteforce_arrow, SQL_KNN_BRUTEFORCE)
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (mean, variance, extremes) — the
+    complement of the per-vector norm QA: a dimension whose mean drifts
+    from 0 or whose variance collapses flags a broken encoder/projection
+    long before cosine recall degrades.  One posexplode + one map-combined
+    aggregate keyed on the dimension index (64 groups); variance via the
+    Σx²/n − mean² identity computed with the SAME op order on both
+    engines, round(4) absorbing reassociation noise."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    d = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("dim"), x.alias("xd")
+    )
+    mean = F.sum("xd") / F.count(F.lit(1))
+    meansq = F.sum(F.col("xd") * F.col("xd")) / F.count(F.lit(1))
+    # + 0.0 normalizes IEEE negative zero: a mean rounding to zero from
+    # below renders -0.0 in DuckDB but 0.0 in Spark and the hash differs
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(mean, 4) + F.lit(0.0)).alias("mean"),
+        (F.round(meansq - mean * mean, 4) + F.lit(0.0)).alias("variance"),
+        (F.round(F.min("xd"), 4) + F.lit(0.0)).alias("min_x"),
+        (F.round(F.max("xd"), 4) + F.lit(0.0)).alias("max_x"),
+    )
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH d AS (
+  SELECT t.i AS dim, embedding[t.i]::DOUBLE AS xd
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+)
+SELECT CAST(dim AS INT) AS dim,
+       count(*) AS n,
+       round(sum(xd) / count(*), 4) + 0.0 AS mean,
+       round(sum(xd * xd) / count(*)
+             - (sum(xd) / count(*)) * (sum(xd) / count(*)), 4) + 0.0 AS variance,
+       round(min(xd), 4) + 0.0 AS min_x,
+       round(max(xd), 4) + 0.0 AS max_x
+FROM d
+GROUP BY dim
+"""
+
+QUERIES["embedding_dim_stats"] = (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS)

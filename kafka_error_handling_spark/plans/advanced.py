@@ -1355,3 +1355,150 @@ GROUP BY user_id
 """
 
 QUERIES["events_decayed_engagement"] = (q_decayed_engagement, SQL_DECAYED_ENGAGEMENT)
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness: trailing-window distinct actives
+# ---------------------------------------------------------------------------
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives, trailing-7-day actives, and the DAU/WAU stickiness
+    ratio in integer ppm — the product-health metric every event pipeline
+    publishes.  Trailing DISTINCT users cannot be summed from daily
+    counts (users repeat); instead each (user, day) activity contributes
+    itself to the 7 window-ends it falls in — one 7-wide explode of the
+    already-distinct (user, day) frame, then a distinct count per window
+    end.  Window keys are integer epoch days (floor division) so both
+    engines bucket identically; the first 6 calendar days are partial
+    windows by construction and reported as-is.
+    """
+    e = _t(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.expr("unix_timestamp(ts) DIV 86400").alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("wend"),
+        )
+        .distinct()
+        .groupBy("wend")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.wend)
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("day") * 86400), "yyyy-MM-dd"
+            ).alias("day"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) DIV wau").alias("stickiness_ppm"),
+        )
+    )
+
+
+SQL_DAU_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT wend, count(*) AS wau FROM (
+    SELECT DISTINCT user_id, day + t.o AS wend
+    FROM ud CROSS JOIN range(0, 7) t(o)
+  ) GROUP BY wend
+)
+SELECT strftime(make_timestamp(d.day * 86400 * 1000000), '%Y-%m-%d') AS day,
+       dau, wau,
+       (dau * 1000000) // wau AS stickiness_ppm
+FROM dau d JOIN wau w ON w.wend = d.day
+"""
+
+QUERIES["events_dau_wau"] = (q_dau_wau, SQL_DAU_WAU)
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: every touch in the window shares credit
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW = "INTERVAL 1 DAY"
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — the fairness counterpart of
+    ``attribution_last_touch``: every click in the day before a purchase
+    shares the purchase's value EQUALLY.  Credit is integer micro-cents,
+    ``(value_cents · 1e6) DIV n_touches`` — cross-engine exact, and the
+    floor-division remainder (< n_touches µ¢ per purchase) is the
+    documented rounding loss.
+
+    Plan: equi-join on user_id with the window predicate as a filter (the
+    bounded range-join shape of ``range_join_followups``), then ONE window
+    count partitioned by purchase to learn n_touches without a second
+    join, then the per-day rollup.
+    """
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr(ATTR_WINDOW))
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    credited = j.select(
+        F.date_format(F.date_trunc("day", "cts"), "yyyy-MM-dd").alias("click_day"),
+        "click_id",
+        F.expr("value_cents * 1000000").alias("vc"),
+        n.alias("n_touches"),
+    ).withColumn("credit_ucents", F.expr("vc DIV n_touches"))
+    return credited.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.sum("credit_ucents").alias("credit_ucents"),
+    )
+
+
+SQL_ATTRIBUTION_LINEAR = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.purchase_id, p.value_cents, c.click_id, c.cts,
+         count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE c.cts < p.pts AND c.cts >= p.pts - INTERVAL 1 DAY
+)
+SELECT strftime(date_trunc('day', cts), '%Y-%m-%d') AS click_day,
+       count(*) AS n_credited_clicks,
+       CAST(sum((value_cents * 1000000) // n_touches) AS BIGINT)
+         AS credit_ucents
+FROM j
+GROUP BY 1
+"""
+
+QUERIES["attribution_linear"] = (q_attribution_linear, SQL_ATTRIBUTION_LINEAR)

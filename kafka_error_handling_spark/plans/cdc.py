@@ -336,3 +336,77 @@ WHERE event_type <> 'error'
 """
 
 QUERIES["cdc_log_compaction"] = (q_log_compaction, SQL_LOG_COMPACTION)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join facts to the SCD2 version VALID AT the fact's timestamp — the
+    data-warehouse temporal-join primitive (and the training-data analog:
+    label each example with the feature-store snapshot in force when it
+    was collected, preventing feature leakage from the future).
+
+    The dimension is the per-user purchase history as [valid_from,
+    valid_to) intervals (the same construction as ``scd2_intervals``);
+    each click fact matches AT MOST ONE version (intervals are disjoint
+    by construction), so the join is lossless to hash.  Plan: equi-join
+    on user_id carries the shuffle; the interval predicate is a post-join
+    FILTER, not a range-join condition — at 100 TB both sides
+    co-partition on the key and no interval machinery is needed.  Facts
+    before the first version have no interval and drop out of the inner
+    join — by design: the report covers version exposure, and the
+    uncovered-click count is derivable as clicks − Σ n_clicks_matched.
+    """
+    e = _t(spark, sf_dir, "events")
+    versions = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.col("event_id").alias("version_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("version_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "version_id")
+    dim = versions.withColumn("valid_to", F.lead("valid_from").over(w))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    matched = clicks.join(dim, "user_id").filter(
+        (F.col("cts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("cts") < F.col("valid_to")))
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_matched"),
+        F.count_distinct(F.col("version_id")).alias("n_versions_hit"),
+        F.sum("version_cents").alias("exposure_cents"),
+    )
+
+
+SQL_SCD2_PIT = """
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, event_id AS version_id,
+         CAST(floor(value * 100) AS BIGINT) AS version_cents,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT c.user_id, d.version_id, d.version_cents
+  FROM clicks c JOIN dim d ON c.user_id = d.user_id
+  WHERE c.cts >= d.valid_from
+    AND (d.valid_to IS NULL OR c.cts < d.valid_to)
+)
+SELECT user_id,
+       count(*) AS n_clicks_matched,
+       count(DISTINCT version_id) AS n_versions_hit,
+       CAST(sum(version_cents) AS BIGINT) AS exposure_cents
+FROM matched
+GROUP BY user_id
+"""
+
+QUERIES["scd2_point_in_time"] = (q_scd2_point_in_time, SQL_SCD2_PIT)

@@ -91,6 +91,10 @@ _PRIORITY = [
     "multimodal_dedup",
     "events_decayed_engagement",
     "sample_bootstrap_tokens",
+    "scd2_point_in_time",
+    "events_dau_wau",
+    "attribution_linear",
+    "embedding_dim_stats",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

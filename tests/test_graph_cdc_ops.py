@@ -327,3 +327,76 @@ def test_bootstrap_interval_brackets_true_mean(spark, sf_dir):
         true_uptok = truth[src]["tok"] * 1_000_000 // truth[src]["n"]
         # the bootstrap range must bracket the plug-in estimate
         assert r["min_uptok"] <= true_uptok <= r["max_uptok"]
+
+
+def test_scd2_point_in_time_no_leakage(spark):
+    from pyspark.sql import Row
+    from kafka_error_handling_spark.plans.cdc import q_scd2_point_in_time
+    import os
+
+    # synthesized via the events layout the gate reads
+    rows = [
+        # user 1: versions at t=10 (v100) and t=20 (v200)
+        Row(event_id=100, ts="2024-01-01 00:00:10", user_id=1,
+            event_type="purchase", value=1.0, props="{}"),
+        Row(event_id=200, ts="2024-01-01 00:00:20", user_id=1,
+            event_type="purchase", value=2.0, props="{}"),
+        # clicks: before any version (dropped), in v100, in v200
+        Row(event_id=1, ts="2024-01-01 00:00:05", user_id=1,
+            event_type="click", value=0.0, props="{}"),
+        Row(event_id=2, ts="2024-01-01 00:00:15", user_id=1,
+            event_type="click", value=0.0, props="{}"),
+        Row(event_id=3, ts="2024-01-01 00:00:25", user_id=1,
+            event_type="click", value=0.0, props="{}"),
+    ]
+    df = spark.createDataFrame(rows).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = q_scd2_point_in_time(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the pre-version click (t=5) must NOT leak into any version window
+    assert r["n_clicks_matched"] == 2
+    assert r["n_versions_hit"] == 2
+    assert r["exposure_cents"] == 100 + 200
+
+
+def test_dau_wau_stickiness_bounds(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_dau_wau
+
+    rows = q_dau_wau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"]
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
+
+
+def test_linear_attribution_conserves_value_minus_floor_loss(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_attribution_linear
+
+    rows = q_attribution_linear(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["credit_ucents"] for r in rows)
+    assert total > 0
+    # credits are micro-cents: every day's sum must be non-negative and
+    # each purchase contributes at most its full value
+    for r in rows:
+        assert r["credit_ucents"] >= 0
+
+
+def test_embedding_dim_stats_no_negative_zero(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.similarity import q_embedding_dim_stats
+    import math
+
+    rows = q_embedding_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["variance"] >= 0
+        for c in ("mean", "variance", "min_x", "max_x"):
+            v = r[c]
+            assert not (v == 0 and math.copysign(1, v) < 0), f"-0.0 in {c}"
