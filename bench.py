@@ -174,6 +174,7 @@ EXTENDED = [
     "events_dau_wau",
     "attribution_linear",
     "embedding_dim_stats",
+    "text_bpe_merge_candidates",
 ]
 
 

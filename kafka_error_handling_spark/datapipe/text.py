@@ -1138,3 +1138,62 @@ FROM per_doc
 """
 
 QUERIES["text_char_entropy"] = (q_char_entropy, SQL_CHAR_ENTROPY)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: the first step of tokenizer training
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent CHARACTER-pair frequencies over the corpus — exactly
+    the statistic the first byte-pair-encoding merge maximizes (Sennrich
+    et al. 2016: repeatedly merge the most frequent adjacent symbol
+    pair).  Emitting the top-k table instead of iterating keeps the gate
+    deterministic and bounded; a full tokenizer trainer would loop this
+    with the chosen merge applied — each round the same one aggregate.
+
+    Shape: per whitespace token, the k-1 adjacent char pairs via ONE
+    sequence+transform (codegen) and a single explode; counts combine
+    map-side so the exchange carries (pair, partial count).  Word-internal
+    pairs only — BPE never merges across token boundaries.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                # tokens shorter than 2 chars are filtered FIRST: Spark's
+                # sequence(1, 0) yields the DESCENDING [1, 0], not empty
+                # (DuckDB's half-open range(1, 1) is empty) — without the
+                # filter every 1-char token fabricates a phantom pair
+                "flatten(transform(filter(split(text, ' '), w -> length(w) >= 2), "
+                "w -> transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+SQL_BPE_MERGES = f"""
+WITH pairs AS (
+  SELECT unnest(flatten(list_transform(string_split(text, ' '),
+           w -> list_transform(range(1, greatest(length(w), 1)),
+                i -> substr(w, CAST(i AS INT), 2))))) AS pair
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOPK}
+"""
+
+QUERIES["text_bpe_merge_candidates"] = (q_bpe_merge_candidates, SQL_BPE_MERGES)

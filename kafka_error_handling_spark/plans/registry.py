@@ -95,6 +95,7 @@ _PRIORITY = [
     "events_dau_wau",
     "attribution_linear",
     "embedding_dim_stats",
+    "text_bpe_merge_candidates",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

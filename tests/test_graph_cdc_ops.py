@@ -400,3 +400,20 @@ def test_embedding_dim_stats_no_negative_zero(spark, sf_dir):
         for c in ("mean", "variance", "min_x", "max_x"):
             v = r[c]
             assert not (v == 0 and math.copysign(1, v) < 0), f"-0.0 in {c}"
+
+
+def test_bpe_merges_exclude_short_tokens(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa a b cc", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from kafka_error_handling_spark.datapipe.text import q_bpe_merge_candidates
+
+    got = {r["pair"]: r["n"] for r in q_bpe_merge_candidates(spark, d).collect()}
+    # 'aa' twice, 'cc' once; the 1-char tokens 'a'/'b' contribute NOTHING
+    assert got == {"aa": 2, "cc": 1}
