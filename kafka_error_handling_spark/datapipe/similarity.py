@@ -1123,7 +1123,9 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate keyed on the dimension index (64 groups); variance via the
     Σx²/n − mean² identity computed with the SAME op order on both
     engines, round(4) absorbing reassociation noise."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     x = F.col("x").cast("double")
     d = e.select(F.posexplode("embedding").alias("pos", "x")).select(
         (F.col("pos") + 1).alias("dim"), x.alias("xd")
@@ -1141,10 +1143,11 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_DIM_STATS = """
+SQL_EMBEDDING_DIM_STATS = f"""
 WITH d AS (
   SELECT t.i AS dim, embedding[t.i]::DOUBLE AS xd
-  FROM embeddings CROSS JOIN range(1, 65) t(i)
+  FROM embeddings CROSS JOIN range(1, {DIM + 1}) t(i)
+  WHERE embedding IS NOT NULL
 )
 SELECT CAST(dim AS INT) AS dim,
        count(*) AS n,

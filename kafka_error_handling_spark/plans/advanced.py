@@ -1448,8 +1448,6 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     count partitioned by purchase to learn n_touches without a second
     join, then the per-day rollup.
     """
-    from pyspark.sql.window import Window
-
     e = _t(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id",

@@ -92,12 +92,20 @@ QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, src DESC) = 1
 
 
 def scd2_intervals(
-    versions: DataFrame, key_cols: list[str], version_col: str
+    versions: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """SCD2 history: each version row gets [valid_from, valid_to) with
     valid_to = next version's timestamp (null for the current row) and an
-    ``is_current`` flag.  One window exchange on the key."""
-    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    ``is_current`` flag.  One window exchange on the key.
+
+    Pass ``tiebreak_cols`` (e.g. an id column) whenever two versions of a
+    key can share a ``version_col`` value — without a total order the
+    lead() chain is nondeterministic on ties."""
+    order = [version_col, *(tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return versions.select(
         *versions.columns,
         F.col(version_col).alias("valid_from"),
@@ -363,12 +371,15 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     versions = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.col("ts").alias("valid_from"),
+        F.col("ts").alias("vts"),
         F.col("event_id").alias("version_id"),
         F.floor(F.col("value") * 100).cast("long").alias("version_cents"),
     )
-    w = Window.partitionBy("user_id").orderBy("valid_from", "version_id")
-    dim = versions.withColumn("valid_to", F.lead("valid_from").over(w))
+    # the module's own interval builder, with the id tiebreak for a total
+    # order (two purchases CAN share a timestamp)
+    dim = scd2_intervals(
+        versions, ["user_id"], "vts", tiebreak_cols=["version_id"]
+    ).drop("vts", "is_current")
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
     )

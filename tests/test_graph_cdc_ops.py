@@ -378,13 +378,41 @@ def test_dau_wau_stickiness_bounds(spark, sf_dir):
 
 def test_linear_attribution_conserves_value_minus_floor_loss(spark, sf_dir):
     from kafka_error_handling_spark.plans.advanced import q_attribution_linear
+    from kafka_error_handling_spark.sources.files import load_table
+    from pyspark.sql import functions as F2
 
     rows = q_attribution_linear(spark, sf_dir).collect()
     assert rows
     total = sum(r["credit_ucents"] for r in rows)
-    assert total > 0
-    # credits are micro-cents: every day's sum must be non-negative and
-    # each purchase contributes at most its full value
+    n_credited = sum(r["n_credited_clicks"] for r in rows)
+
+    # reference: attributed value = sum of value_cents over purchases with
+    # >= 1 click in the trailing day — equal-split credit must conserve it
+    # up to the floor loss (< n_touches micro-cents per purchase, bounded
+    # by the total credited-click count)
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F2.col("event_type") == "purchase").select(
+        "user_id",
+        F2.col("event_id").alias("pid"),
+        F2.col("ts").alias("pts"),
+        F2.floor(F2.col("value") * 100).cast("long").alias("vc"),
+    )
+    c = e.filter(F2.col("event_type") == "click").select(
+        "user_id", F2.col("ts").alias("cts")
+    )
+    attributed = (
+        p.join(c, "user_id")
+        .filter(
+            (F2.col("cts") < F2.col("pts"))
+            & (F2.col("cts") >= F2.col("pts") - F2.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("pid")
+        .agg(F2.min("vc").alias("vc"))
+        .agg(F2.sum("vc").alias("total_vc"))
+        .collect()[0]["total_vc"]
+    )
+    expected = attributed * 1_000_000
+    assert expected - n_credited < total <= expected
     for r in rows:
         assert r["credit_ucents"] >= 0
 
