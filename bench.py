@@ -175,6 +175,10 @@ EXTENDED = [
     "attribution_linear",
     "embedding_dim_stats",
     "text_bpe_merge_candidates",
+    "orders_ship_delay_sla",
+    "events_cohort_ltv",
+    "quality_benford_digits",
+    "text_vocab_coverage",
 ]
 
 

@@ -1197,3 +1197,86 @@ LIMIT {BPE_TOPK}
 """
 
 QUERIES["text_bpe_merge_candidates"] = (q_bpe_merge_candidates, SQL_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage ladder: OOV rate vs vocab size, the tokenizer sizing
+# artifact
+# ---------------------------------------------------------------------------
+
+VOCAB_LADDER = (10, 100, 1000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of corpus TOKEN INSTANCES would a top-K vocabulary
+    cover, for each K on the ladder — the coverage/OOV curve that sizes a
+    tokenizer's vocab before training it.  One row per rung: vocab_size,
+    covered instances, coverage in integer ppm.
+
+    Tokens rank by (count desc, token asc) — a total order, so rung
+    membership is deterministic.  The ranking window runs over the
+    VOCABULARY (distinct tokens — bounded, Heaps-law-small relative to
+    the corpus), not the token stream; at web scale the same curve comes
+    from a frequency-threshold scan instead of a global rank, noted here
+    because the ladder output is identical.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    ranked = counts.withColumn("rk", rk)
+    rungs = [
+        F.struct(
+            F.lit(k).alias("vocab_size"),
+            F.sum(F.when(F.col("rk") <= k, F.col("n")).otherwise(0)).alias("covered"),
+        )
+        for k in VOCAB_LADDER
+    ]
+    agg = ranked.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.array(*rungs).alias("ladder"),
+    )
+    return agg.select(
+        F.explode("ladder").alias("r"), "total", "n_distinct_tokens"
+    ).select(
+        F.col("r.vocab_size").alias("vocab_size"),
+        F.col("r.covered").alias("covered_instances"),
+        "total",
+        "n_distinct_tokens",
+        F.expr("(r.covered * 1000000) DIV total").alias("coverage_ppm"),
+    )
+
+
+def _sql_vocab_coverage() -> str:
+    rungs = ", ".join(
+        f"({k}, (SELECT CAST(sum(CASE WHEN rk <= {k} THEN n ELSE 0 END) AS BIGINT) FROM ranked))"
+        for k in VOCAB_LADDER
+    )
+    return f"""
+WITH counts AS (
+  SELECT tok, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY tok
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM counts
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_distinct_tokens
+  FROM counts
+),
+ladder(vocab_size, covered_instances) AS (VALUES {rungs})
+SELECT vocab_size, covered_instances, total, n_distinct_tokens,
+       (covered_instances * 1000000) // total AS coverage_ppm
+FROM ladder CROSS JOIN tot
+"""
+
+
+QUERIES["text_vocab_coverage"] = (q_vocab_coverage, _sql_vocab_coverage())

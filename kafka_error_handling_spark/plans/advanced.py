@@ -1500,3 +1500,149 @@ GROUP BY 1
 """
 
 QUERIES["attribution_linear"] = (q_attribution_linear, SQL_ATTRIBUTION_LINEAR)
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship SLA: fulfillment-delay percentiles per month
+# ---------------------------------------------------------------------------
+
+
+def q_ship_delay_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per order month — the fulfillment
+    SLA report: p50/p90/max delay in WHOLE DAYS (integer floor division
+    of the second delta — cross-engine exact) plus the share of lineitems
+    shipped within 30 days in integer ppm.  (The synthetic testdata draws
+    shipdate independently of orderdate, so delays can be NEGATIVE; that
+    is safe because Spark's DIV and DuckDB's // both truncate toward
+    zero on negative operands — measured -7/2 = -3 on each — so the
+    day bucketing agrees sign-for-sign.)  Percentiles are
+    ``percentile_disc`` (a discrete member of the set, hash-safe — never
+    the interpolated percentile_cont).  One join orders→lineitem (orders
+    side grouped per month AFTER the join; the join key carries the
+    single shuffle) and one aggregate.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("odate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_shipdate").alias("sdate")
+    )
+    j = li.join(o, "o_orderkey").select(
+        F.date_format(F.date_trunc("month", "odate"), "yyyy-MM").alias("month"),
+        F.expr("(unix_timestamp(sdate) - unix_timestamp(odate)) DIV 86400").alias(
+            "delay_days"
+        ),
+    )
+    return j.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        # Spark percentile_disc returns DOUBLE even over integer input;
+        # cast back so the type class matches DuckDB's BIGINT
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_days) AS BIGINT)"
+        ).alias("p50_days"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_days) AS BIGINT)"
+        ).alias("p90_days"),
+        F.max("delay_days").alias("max_days"),
+        F.expr(
+            "(sum(CASE WHEN delay_days <= 30 THEN 1 ELSE 0 END) * 1000000)"
+            " DIV count(1)"
+        ).alias("within_30d_ppm"),
+    )
+
+
+SQL_SHIP_DELAY_SLA = """
+WITH j AS (
+  SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+         (CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+            - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) // 86400
+           AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT month,
+       count(*) AS n_lineitems,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_days) AS p50_days,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_days) AS p90_days,
+       max(delay_days) AS max_days,
+       (CAST(sum(CASE WHEN delay_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000) // count(*) AS within_30d_ppm
+FROM j
+GROUP BY month
+"""
+
+QUERIES["orders_ship_delay_sla"] = (q_ship_delay_sla, SQL_SHIP_DELAY_SLA)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: cumulative value per signup cohort over weeks-since
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the VALUE companion of
+    ``retention_cohorts``: users grouped by first-seen week, cumulative
+    purchase cents per cohort over weeks-since-signup.  Week indices are
+    integer epoch-week floor divisions; money is integer cents; the
+    cumulative sum is a window over the tiny (cohort × week) rollup, so
+    the only full-data exchanges are the per-user min and the per-cell
+    aggregate.
+    """
+    e = _t(spark, sf_dir, "events")
+    wk = F.expr("unix_timestamp(ts) DIV 604800")
+    anchors = e.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        wk.alias("w"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = (
+        purchases.join(anchors, "user_id")
+        .groupBy("cohort_wk", (F.col("w") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.count_distinct("user_id").alias("n_buyers"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    cum = F.sum("cents").over(
+        _W.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("cohort_wk") * 604800), "yyyy-MM-dd"
+        ).alias("cohort_week"),
+        "week_offset",
+        "n_buyers",
+        "cents",
+        cum.alias("cum_cents"),
+    )
+
+
+SQL_COHORT_LTV = """
+WITH anchors AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS cohort_wk
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT a.cohort_wk,
+         (CAST(floor(epoch(e.ts)) AS BIGINT) // 604800) - a.cohort_wk
+           AS week_offset,
+         CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         count(DISTINCT e.user_id) AS n_buyers
+  FROM events e JOIN anchors a USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(cohort_wk * 604800 * 1000000), '%Y-%m-%d')
+         AS cohort_week,
+       week_offset, n_buyers, cents,
+       CAST(sum(cents) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM cells
+"""
+
+QUERIES["events_cohort_ltv"] = (q_cohort_ltv, SQL_COHORT_LTV)

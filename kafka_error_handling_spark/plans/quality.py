@@ -680,3 +680,73 @@ FROM agg
 """
 
 QUERIES["quality_error_slo"] = (q_error_rate_slo, SQL_ERROR_RATE_SLO)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the anomaly screen for monetary columns
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in ppm, d = 1..9 (precomputed — no float in the gate)
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic screen for fabricated or truncated monetary data
+    (naturally-scaled amounts follow log10(1+1/d); synthetic uniform data
+    shows up immediately, as it does here).  The digit is extracted from
+    the INTEGER CENTS via string head — no float log10 anywhere; expected
+    shares are precomputed ppm constants, deviations integer ppm.  One
+    map-combined aggregate over 9 groups."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) DIV total").alias("observed_ppm"),
+            expected.alias("benford_ppm"),
+        )
+        .withColumn(
+            "abs_dev_ppm", F.abs(F.col("observed_ppm") - F.col("benford_ppm"))
+        )
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+)
+
+SQL_BENFORD_DIGITS = f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       (n * 1000000) // total AS observed_ppm,
+       CASE digit {_BENFORD_CASE} END AS benford_ppm,
+       abs((n * 1000000) // total - (CASE digit {_BENFORD_CASE} END))
+         AS abs_dev_ppm
+FROM counts CROSS JOIN tot
+"""
+
+QUERIES["quality_benford_digits"] = (q_benford_digits, SQL_BENFORD_DIGITS)

@@ -96,6 +96,10 @@ _PRIORITY = [
     "attribution_linear",
     "embedding_dim_stats",
     "text_bpe_merge_candidates",
+    "orders_ship_delay_sla",
+    "events_cohort_ltv",
+    "quality_benford_digits",
+    "text_vocab_coverage",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

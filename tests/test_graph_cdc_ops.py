@@ -445,3 +445,61 @@ def test_bpe_merges_exclude_short_tokens(spark, tmp_path):
     got = {r["pair"]: r["n"] for r in q_bpe_merge_candidates(spark, d).collect()}
     # 'aa' twice, 'cc' once; the 1-char tokens 'a'/'b' contribute NOTHING
     assert got == {"aa": 2, "cc": 1}
+
+
+def test_ship_delay_percentiles_are_set_members(spark, sf_dir):
+    from kafka_error_handling_spark.plans.advanced import q_ship_delay_sla
+
+    rows = q_ship_delay_sla(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the synthetic testdata draws shipdate independently of orderdate,
+        # so delays CAN be negative — only the ordering is invariant
+        assert r["p50_days"] <= r["p90_days"] <= r["max_days"]
+        assert 0 <= r["within_30d_ppm"] <= 1_000_000
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    from collections import defaultdict
+    from kafka_error_handling_spark.plans.advanced import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append((r["week_offset"], r["cum_cents"]))
+    for pts in by_cohort.values():
+        pts.sort()
+        cums = [c for _, c in pts]
+        assert cums == sorted(cums)  # cumulative never decreases
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    from kafka_error_handling_spark.plans.quality import (
+        _BENFORD_PPM,
+        q_benford_digits,
+    )
+
+    rows = q_benford_digits(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    # observed shares sum to 1e6 within floor loss (one ppm per digit)
+    s = sum(r["observed_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+    for r in rows:
+        assert r["benford_ppm"] == _BENFORD_PPM[r["digit"]]
+
+
+def test_vocab_coverage_monotone_in_vocab_size(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.text import q_vocab_coverage
+
+    rows = sorted(
+        q_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r["vocab_size"]
+    )
+    assert [r["vocab_size"] for r in rows] == [10, 100, 1000]
+    cov = [r["coverage_ppm"] for r in rows]
+    assert cov == sorted(cov)
+    assert all(0 < c <= 1_000_000 for c in cov)
+    # the largest rung covers everything when vocab_size >= distinct tokens
+    top = rows[-1]
+    if top["vocab_size"] >= top["n_distinct_tokens"]:
+        assert top["covered_instances"] == top["total"]
