@@ -179,6 +179,8 @@ EXTENDED = [
     "events_cohort_ltv",
     "quality_benford_digits",
     "text_vocab_coverage",
+    "events_concentration",
+    "corpus_media_funnel",
 ]
 
 

@@ -434,3 +434,172 @@ GROUP BY source
 """
 
 QUERIES["multimodal_dedup"] = (q_multimodal_dedup, SQL_MULTIMODAL_DEDUP)
+
+
+# ---------------------------------------------------------------------------
+# Flagship #5: media-corpus funnel — CAS dedup → entropy gate → water-fill
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-ingest funnel as ONE composed plan: content-addressed
+    payload dedup (first doc per distinct bytes) → character-entropy
+    junk gate → token-budget water-filling across sources — the
+    per-source report of what survived each stage and what the budget
+    allocates.  Composes three first-class gates (multimodal_dedup,
+    text_char_entropy, corpus_token_budget) the way a production ingest
+    would run them: each stage consumes the previous stage's survivors,
+    so the entropy explode only runs on deduped docs and the token count
+    only on quality survivors.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import bpe_ish_token_count
+    from .sampling import BUDGET_FRACTION_PPM
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = d.select(
+        "doc_id", "source", "text", F.md5(F.encode("text", "UTF-8")).alias("digest")
+    )
+    keep_rank = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id")
+    )
+    deduped = staged.withColumn("kr", keep_rank).filter(F.col("kr") == 1)
+
+    chars = (
+        deduped.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = chars.groupBy("doc_id").agg(
+        (
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
+        ).alias("h")
+    )
+    quality = (
+        deduped.join(ent, "doc_id")
+        .filter(F.round(F.col("h"), 4) >= 2.0)
+        .select("doc_id", "source", bpe_ish_token_count(F.col("text")).alias("t"))
+    )
+
+    per_src = quality.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quality"),
+        F.sum("t").alias("tok"),
+    )
+    counts = (
+        staged.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique")),
+            "source",
+        )
+        .join(per_src, "source")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_src"), F.sum("tok").alias("tok_total")
+    )
+    w_ord = Window.orderBy("tok", "source")
+    staged2 = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "budget", F.expr(f"(tok_total * {BUDGET_FRACTION_PPM}) DIV 1000000")
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "pfx",
+            F.sum("tok").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "satisfied",
+            (F.col("pfx") - F.col("tok"))
+            + F.col("tok") * (F.col("n_src") - F.col("rn") + 1)
+            <= F.col("budget"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.sum(F.col("satisfied").cast("long")).over(w_all)
+    pk = F.sum(F.when(F.col("satisfied"), F.col("tok")).otherwise(0)).over(w_all)
+    final = staged2.withColumn("__k", k).withColumn("__pk", pk)
+    return final.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "n_quality",
+        F.col("tok").alias("tokens_available"),
+        F.when(F.col("satisfied"), F.col("tok"))
+        .otherwise(F.expr("(budget - __pk) DIV (n_src - __k)"))
+        .alias("tokens_allocated"),
+        "satisfied",
+    )
+
+
+from .sampling import BUDGET_FRACTION_PPM as _BUDGET_PPM
+
+SQL_CORPUS_MEDIA_FUNNEL = f"""
+WITH staged AS (
+  SELECT doc_id, source, text, md5(text) AS digest
+  FROM documents WHERE text IS NOT NULL
+),
+deduped AS (
+  SELECT * FROM staged
+  QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+),
+chars AS (
+  SELECT doc_id, ch, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM deduped)
+  GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+  FROM chars GROUP BY doc_id
+),
+quality AS (
+  SELECT d.doc_id, d.source,
+         CAST(list_sum(list_transform(string_split(d.text, ' '),
+                  t -> CAST(ceil(length(t) / 4.0) AS INT))) AS BIGINT) AS t
+  FROM deduped d JOIN ent e ON e.doc_id = d.doc_id
+  WHERE round(e.h, 4) >= 2.0
+),
+per_src AS (
+  SELECT source, count(*) AS n_quality, CAST(sum(t) AS BIGINT) AS tok
+  FROM quality GROUP BY source
+),
+counts AS (
+  SELECT s.source, s.n_docs, u.n_unique, p.n_quality, p.tok
+  FROM (SELECT source, count(*) AS n_docs FROM staged GROUP BY source) s
+  JOIN (SELECT source, count(*) AS n_unique FROM deduped GROUP BY source) u
+    USING (source)
+  JOIN per_src p USING (source)
+),
+tot AS (
+  SELECT count(*) AS n_src, CAST(sum(tok) AS BIGINT) AS tok_total FROM counts
+),
+staged2 AS (
+  SELECT c.*, n_src, (tok_total * {_BUDGET_PPM}) // 1000000 AS budget,
+         row_number() OVER (ORDER BY tok, source) AS rn,
+         CAST(sum(tok) OVER (ORDER BY tok, source
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+  FROM counts c CROSS JOIN tot
+),
+flagged AS (
+  SELECT *, ((pfx - tok) + tok * (n_src - rn + 1)) <= budget AS satisfied
+  FROM staged2
+),
+scal AS (
+  SELECT *,
+         CAST(sum(CASE WHEN satisfied THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+         CAST(sum(CASE WHEN satisfied THEN tok ELSE 0 END) OVER () AS BIGINT) AS pk
+  FROM flagged
+)
+SELECT source, n_docs, n_unique, n_quality,
+       tok AS tokens_available,
+       CASE WHEN satisfied THEN tok
+            ELSE (budget - pk) // (n_src - k) END AS tokens_allocated,
+       satisfied
+FROM scal
+"""
+
+QUERIES["corpus_media_funnel"] = (q_corpus_media_funnel, SQL_CORPUS_MEDIA_FUNNEL)

@@ -1646,3 +1646,70 @@ FROM cells
 """
 
 QUERIES["events_cohort_ltv"] = (q_cohort_ltv, SQL_COHORT_LTV)
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration: exact integer Gini + top-decile share
+# ---------------------------------------------------------------------------
+
+
+def q_activity_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is event activity across users — exact Gini
+    coefficient and top-decile share, both in integer ppm: the
+    inequality screen run before per-user sampling (a handful of bot
+    accounts owning half the corpus skews every downstream rate).
+
+    Gini via the rank formula over ascending activity
+    G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n, computed as
+    ``(2·Σ(i·xᵢ)·1e6) DIV (n·Σx) − ((n+1)·1e6) DIV n`` — both engines
+    evaluate the IDENTICAL floor-division sequence, so the ppm result
+    hashes exactly.  The rank window runs over the per-user rollup (one
+    row per user) with a (count, user_id) total order.  Top-decile
+    membership = rank > n − n DIV 10.
+    """
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    rk = F.row_number().over(Window.orderBy(F.asc("x"), F.asc("user_id")))
+    n_all = F.count(F.lit(1)).over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = per_user.withColumn("i", rk).withColumn("n", n_all)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.expr(
+            "(2 * sum(CAST(i AS BIGINT) * x) * 1000000) DIV (count(1) * sum(x))"
+            " - ((count(1) + 1) * 1000000) DIV count(1)"
+        ).alias("gini_ppm"),
+        F.expr(
+            "(sum(CASE WHEN i > n - n DIV 10 THEN x ELSE 0 END) * 1000000)"
+            " DIV sum(x)"
+        ).alias("top_decile_ppm"),
+    )
+
+
+SQL_ACTIVITY_CONCENTRATION = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x ASC, user_id ASC) AS BIGINT)
+           AS i,
+         count(*) OVER () AS n
+  FROM per_user
+)
+SELECT count(*) AS n_users,
+       CAST(sum(x) AS BIGINT) AS n_events,
+       (2 * CAST(sum(i * x) AS BIGINT) * 1000000)
+         // (count(*) * CAST(sum(x) AS BIGINT))
+         - ((count(*) + 1) * 1000000) // count(*) AS gini_ppm,
+       (CAST(sum(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS BIGINT)
+          * 1000000) // CAST(sum(x) AS BIGINT) AS top_decile_ppm
+FROM ranked
+"""
+
+QUERIES["events_concentration"] = (q_activity_concentration, SQL_ACTIVITY_CONCENTRATION)

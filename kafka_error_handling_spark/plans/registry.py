@@ -100,6 +100,8 @@ _PRIORITY = [
     "events_cohort_ltv",
     "quality_benford_digits",
     "text_vocab_coverage",
+    "events_concentration",
+    "corpus_media_funnel",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

@@ -503,3 +503,51 @@ def test_vocab_coverage_monotone_in_vocab_size(spark, sf_dir):
     top = rows[-1]
     if top["vocab_size"] >= top["n_distinct_tokens"]:
         assert top["covered_instances"] == top["total"]
+
+
+def test_gini_zero_for_uniform_activity(spark, tmp_path):
+    """Perfectly equal activity must give Gini ~0; adding a whale must
+    raise it."""
+    import os
+    from kafka_error_handling_spark.plans.advanced import q_activity_concentration
+
+    def _events(counts):
+        rows = []
+        eid = 0
+        for uid, n in counts.items():
+            for _ in range(n):
+                rows.append((eid, "2024-01-01 00:00:00", uid, "click", 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props"
+        )
+        d = str(tmp_path / f"sf{len(counts)}_{sum(counts.values())}")
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        return d
+
+    flat = q_activity_concentration(spark, _events({u: 10 for u in range(10)})).collect()[0]
+    skew = q_activity_concentration(
+        spark, _events({**{u: 1 for u in range(9)}, 9: 91})
+    ).collect()[0]
+    assert abs(flat["gini_ppm"]) < 5000  # ~0 up to floor rounding
+    assert skew["gini_ppm"] > 700_000
+    assert skew["top_decile_ppm"] == 910_000
+
+
+def test_media_funnel_stage_monotone(spark, sf_dir):
+    from kafka_error_handling_spark.datapipe.multimodal import q_corpus_media_funnel
+
+    rows = q_corpus_media_funnel(spark, sf_dir).collect()
+    assert rows
+    total_alloc = sum(r["tokens_allocated"] for r in rows)
+    total_avail = sum(r["tokens_available"] for r in rows)
+    assert total_alloc <= (total_avail * 500_000) // 1_000_000
+    for r in rows:
+        assert r["n_docs"] >= r["n_unique"] >= r["n_quality"] >= 0
+        assert r["tokens_allocated"] <= r["tokens_available"]
