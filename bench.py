@@ -181,6 +181,7 @@ EXTENDED = [
     "text_vocab_coverage",
     "events_concentration",
     "corpus_media_funnel",
+    "sketch_kmv_distinct",
 ]
 
 

@@ -102,6 +102,7 @@ _PRIORITY = [
     "text_vocab_coverage",
     "events_concentration",
     "corpus_media_funnel",
+    "sketch_kmv_distinct",
     # block 0a: results CHANGED in round 4 (salted split assignment) —
     # their previous green driver rows no longer describe current output
     "sample_split_assignment",

@@ -285,3 +285,82 @@ QUERIES["sketch_countmin_estimate"] = (
     q_sketch_countmin_estimate,
     _sql_sketch_countmin_estimate(),
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with an exact error report
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_BITS = 48  # 12 hex chars of md5; (k-1)·2^48 ≈ 1.8e16 fits int64
+
+
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation via the k-minimum-values sketch (Bar-
+    Yossef et al. 2002) next to the EXACT answer — the distinct-count
+    member of the sketch family (count-min = frequencies, KMV/HLL =
+    cardinality), chosen over HLL for the gate because KMV is exactly
+    reproducible: the estimate is pure integer arithmetic over md5
+    hashes, so the oracle can verify the SKETCH itself, not a tolerance.
+
+    D̂ = (k−1)·2^48 DIV h₍ₖ₎ where h₍ₖ₎ is the k-th smallest distinct
+    48-bit hash.  The k smallest values survive any partitioning (min-k
+    is a semigroup — each partition keeps its local k, merge keeps the
+    global k: the same mergeability HLL registers have), so at 100 TB
+    the exchange carries k hashes per map task, never the key stream.
+    The exact distinct count rides along for the error column — at gate
+    scale it is cheap; at 100 TB one publishes only the sketch.
+    """
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashes = e.select(h.alias("h")).distinct()
+    topk = hashes.orderBy(F.asc("h")).limit(KMV_K)
+    sk = topk.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = hashes.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = F.when(
+        F.col("n_sampled") < KMV_K, F.col("exact_distinct")
+    ).otherwise(F.expr(f"({KMV_K - 1} * {2 ** _KMV_BITS}) DIV kth_hash"))
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).alias("k"),
+            "kth_hash",
+            est.alias("est_distinct"),
+            "exact_distinct",
+        )
+        .withColumn(
+            "abs_err_ppm",
+            F.expr(
+                "(abs(est_distinct - exact_distinct) * 1000000)"
+                " DIV exact_distinct"
+            ),
+        )
+    )
+
+
+SQL_SKETCH_KMV = f"""
+WITH hashes AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 12)) AS BIGINT) AS h
+  FROM events
+),
+topk AS (SELECT h FROM hashes ORDER BY h ASC LIMIT {KMV_K}),
+sk AS (SELECT count(*) AS n_sampled, max(h) AS kth_hash FROM topk),
+ex AS (SELECT count(*) AS exact_distinct FROM hashes)
+SELECT {KMV_K} AS k, kth_hash,
+       CASE WHEN n_sampled < {KMV_K} THEN exact_distinct
+            ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // kth_hash
+       END AS est_distinct,
+       exact_distinct,
+       (abs(CASE WHEN n_sampled < {KMV_K} THEN exact_distinct
+                 ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // kth_hash END
+            - exact_distinct) * 1000000) // exact_distinct AS abs_err_ppm
+FROM sk CROSS JOIN ex
+"""
+
+QUERIES["sketch_kmv_distinct"] = (q_sketch_kmv, SQL_SKETCH_KMV)

@@ -551,3 +551,18 @@ def test_media_funnel_stage_monotone(spark, sf_dir):
     for r in rows:
         assert r["n_docs"] >= r["n_unique"] >= r["n_quality"] >= 0
         assert r["tokens_allocated"] <= r["tokens_available"]
+
+
+def test_kmv_sketch_exact_below_k_and_estimates_above(spark, sf_dir):
+    from kafka_error_handling_spark.plans.stats import KMV_K, q_sketch_kmv
+
+    r = q_sketch_kmv(spark, sf_dir).collect()[0]
+    assert r["k"] == KMV_K
+    if r["exact_distinct"] < KMV_K:
+        # small corpus: the sketch must fall back to the exact count
+        assert r["est_distinct"] == r["exact_distinct"]
+        assert r["abs_err_ppm"] == 0
+    else:
+        # estimator regime: within the theoretical ~1/sqrt(k) band (x4
+        # slack — this is a determinism gate, not a statistics exam)
+        assert r["abs_err_ppm"] < 4_000_000 // int(KMV_K ** 0.5)
