@@ -77,7 +77,33 @@ def _modules():
 # byte-identical output, driver row re-confirms).  Everything else (r2/r3
 # green, untouched since) follows in registry order.
 _PRIORITY = [
-    # block 00: new in round-4 continuation — no driver row exists yet
+    # block 0a FIRST: results CHANGED in round 4 (salted split assignment)
+    # — their previous green driver rows no longer describe current
+    # output, so a driver-budget cutoff must never drop them
+    "sample_split_assignment",
+    "corpus_pipeline",
+    "pipeline_chunked_corpus",
+    # block 0: new earlier in round 4 — no driver row exists yet (listed
+    # before the second-continuation block: they have waited longer)
+    "dlq_replay",
+    "events_anomaly_mad",
+    "quality_winsorize",
+    "events_rate_limit",
+    "chunk_sliding_window",
+    "dedup_containment",
+    "sample_temperature",
+    "text_tfidf_keywords",
+    "sample_global_shuffle",
+    "quality_psi_drift",
+    "asof_join_nearest",
+    "cdc_snapshot_diff",
+    "retention_cohorts",
+    "pareto_supplier_revenue",
+    "attribution_last_touch",
+    "corpus_pretrain_mix",
+    "dedup_minhash_est_error",
+    "embedding_threshold_sweep",
+    # block 00: new in round-4 second continuation — no driver row yet
     "graph_pagerank",
     "cdc_log_compaction",
     "dlq_age_report",
@@ -103,30 +129,7 @@ _PRIORITY = [
     "events_concentration",
     "corpus_media_funnel",
     "sketch_kmv_distinct",
-    # block 0a: results CHANGED in round 4 (salted split assignment) —
-    # their previous green driver rows no longer describe current output
-    "sample_split_assignment",
-    "corpus_pipeline",
-    "pipeline_chunked_corpus",
-    # block 0: new in round 4 — no driver row exists yet
-    "dlq_replay",
-    "events_anomaly_mad",
-    "quality_winsorize",
-    "events_rate_limit",
-    "chunk_sliding_window",
-    "dedup_containment",
-    "sample_temperature",
-    "text_tfidf_keywords",
-    "sample_global_shuffle",
-    "quality_psi_drift",
-    "asof_join_nearest",
-    "cdc_snapshot_diff",
-    "retention_cohorts",
-    "pareto_supplier_revenue",
-    "attribution_last_touch",
-    "corpus_pretrain_mix",
-    "dedup_minhash_est_error",
-    "embedding_threshold_sweep",
+    # (block 0a and the earlier block-0 rows moved to the head above)
     "events_time_to_convert",
     "basket_pair_counts",
     "events_markov_transitions",
@@ -198,7 +201,6 @@ _PRIORITY = [
     "describe_struct_result",
     # block 4: r2-latest green rows, shared-tokenization consumers first
     "text_stats",
-    "corpus_pipeline",
     "text_bm25_topk",
     "text_vocab_df",
     "dedup_minhash_signature",
@@ -218,7 +220,6 @@ _PRIORITY = [
     "asof_join_last_purchase",
     "asof_join_tolerance",
     "sample_hash_10pct",
-    "sample_split_assignment",
     "sample_mix_sources",
     "sample_take_per_group",
     "sample_stratified_exact",
