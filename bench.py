@@ -182,6 +182,8 @@ EXTENDED = [
     "events_concentration",
     "corpus_media_funnel",
     "sketch_kmv_distinct",
+    "dlq_poison_causes",
+    "quality_breach_streaks",
 ]
 
 

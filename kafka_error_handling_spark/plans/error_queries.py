@@ -567,3 +567,65 @@ GROUP BY 1, 2
 """
 
 QUERIES["dlq_age_report"] = (q_dlq_age_report, SQL_DLQ_AGE_REPORT)
+
+
+def q_dlq_poison_causes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-cause leaderboard over the dead-letter stream — the triage
+    view a DLQ consumer opens first: dead letters grouped by NORMALIZED
+    cause (exception class + message with volatile numbers stripped), so
+    ten thousand `blocked k 14`/`blocked k 21` rows collapse into one
+    `blocked k <n>` cause with its blast radius (count, id range, share
+    of the DLQ in integer ppm).  The normalization is a plain
+    regexp_replace — codegen, and identical in both engines.
+    """
+    ev = _events(spark, sf_dir)
+    p1 = capture_map_values(ev, _parse_rate_v1, DoubleType(), value_col="props")
+    dlq = dead_letters(
+        errors(p1), "rate pipeline v1", key_cols=["event_id"], timestamp_col="ts"
+    )
+    cause = F.concat(
+        F.col("dead_letter.cause.error_class"),
+        F.lit(": "),
+        F.regexp_replace(
+            F.col("dead_letter.cause.message"), "-?\\d+", "<n>"
+        ),
+    )
+    counts = dlq.select(cause.alias("cause"), "event_id").groupBy("cause").agg(
+        F.count(F.lit(1)).alias("n_dead"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+    tot = counts.agg(F.sum("n_dead").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cause",
+        "n_dead",
+        "first_event_id",
+        "last_event_id",
+        F.expr("(n_dead * 1000000) DIV total").alias("share_ppm"),
+    )
+
+
+SQL_DLQ_POISON_CAUSES = """
+WITH dead AS (
+  SELECT event_id,
+         CASE WHEN k = 0 THEN 'ZeroDivisionError: float division by zero'
+              ELSE 'ValueError: blocked k <n>' END AS cause
+  FROM (SELECT event_id,
+               CAST(regexp_extract(props, '(-?\\d+)', 1) AS INT) AS k
+        FROM events)
+  WHERE k = 0 OR (k <> 0 AND k % 7 = 0)
+),
+counts AS (
+  SELECT cause, count(*) AS n_dead,
+         min(event_id) AS first_event_id,
+         max(event_id) AS last_event_id
+  FROM dead GROUP BY cause
+),
+tot AS (SELECT CAST(sum(n_dead) AS BIGINT) AS total FROM counts)
+SELECT cause, CAST(n_dead AS BIGINT) AS n_dead,
+       first_event_id, last_event_id,
+       (n_dead * 1000000) // total AS share_ppm
+FROM counts CROSS JOIN tot
+"""
+
+QUERIES["dlq_poison_causes"] = (q_dlq_poison_causes, SQL_DLQ_POISON_CAUSES)

@@ -750,3 +750,74 @@ FROM counts CROSS JOIN tot
 """
 
 QUERIES["quality_benford_digits"] = (q_benford_digits, SQL_BENFORD_DIGITS)
+
+
+def q_breach_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive SLO-breach streaks — the alerting layer above
+    ``quality_error_slo``: a single breached window is noise, a STREAK is
+    an incident.  Classic gaps-and-islands: among breached buckets in
+    order, ``bucket − row_number()`` is constant within each maximal run,
+    so one window + one aggregate yields every incident's start, end, and
+    duration.  All integer bucket arithmetic on the tiny per-window
+    frame (the event-stream aggregate is the only full-data exchange).
+    """
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_timestamp(ts) DIV {SLO_WINDOW_S}")
+    agg = (
+        e.select(bucket.alias("b"), (F.col("event_type") == "error").alias("is_err"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("is_err").cast("long")).alias("n_errors"),
+        )
+        .withColumn("ppm", F.expr("(n_errors * 1000000) DIV n_total"))
+        .filter(F.col("ppm") > SLO_BREACH_PPM)
+    )
+    grp = F.col("b") - F.row_number().over(Window.orderBy("b"))
+    islands = agg.withColumn("grp", grp).groupBy("grp").agg(
+        F.min("b").alias("b0"),
+        F.max("b").alias("b1"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.max("ppm").alias("peak_ppm"),
+    )
+    return islands.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("b0") * SLO_WINDOW_S), "yyyy-MM-dd HH:mm:ss"
+        ).alias("streak_start"),
+        F.date_format(
+            F.timestamp_seconds((F.col("b1") + 1) * SLO_WINDOW_S),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("streak_end"),
+        "n_windows",
+        "peak_ppm",
+    )
+
+
+SQL_BREACH_STREAKS = f"""
+WITH agg AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // {SLO_WINDOW_S} AS b,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1
+),
+breached AS (
+  SELECT b, (n_errors * 1000000) // n_total AS ppm FROM agg
+  WHERE (n_errors * 1000000) // n_total > {SLO_BREACH_PPM}
+),
+islands AS (
+  SELECT b - row_number() OVER (ORDER BY b) AS grp, b, ppm FROM breached
+)
+SELECT strftime(make_timestamp(min(b) * {SLO_WINDOW_S} * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS streak_start,
+       strftime(make_timestamp((max(b) + 1) * {SLO_WINDOW_S} * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS streak_end,
+       count(*) AS n_windows,
+       CAST(max(ppm) AS BIGINT) AS peak_ppm
+FROM islands
+GROUP BY grp
+"""
+
+QUERIES["quality_breach_streaks"] = (q_breach_streaks, SQL_BREACH_STREAKS)

@@ -129,6 +129,8 @@ _PRIORITY = [
     "events_concentration",
     "corpus_media_funnel",
     "sketch_kmv_distinct",
+    "dlq_poison_causes",
+    "quality_breach_streaks",
     # (block 0a and the earlier block-0 rows moved to the head above)
     "events_time_to_convert",
     "basket_pair_counts",

@@ -566,3 +566,33 @@ def test_kmv_sketch_exact_below_k_and_estimates_above(spark, sf_dir):
         # estimator regime: within the theoretical ~1/sqrt(k) band (x4
         # slack — this is a determinism gate, not a statistics exam)
         assert r["abs_err_ppm"] < 4_000_000 // int(KMV_K ** 0.5)
+
+
+def test_poison_causes_normalize_messages(spark, sf_dir):
+    from kafka_error_handling_spark.plans.error_queries import q_dlq_poison_causes
+
+    rows = q_dlq_poison_causes(spark, sf_dir).collect()
+    causes = {r["cause"] for r in rows}
+    # every numbered 'blocked k N' collapses into ONE normalized cause
+    assert causes == {
+        "ZeroDivisionError: float division by zero",
+        "ValueError: blocked k <n>",
+    }
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+
+
+def test_breach_streaks_cover_breached_windows(spark, sf_dir):
+    from kafka_error_handling_spark.plans.quality import (
+        q_breach_streaks,
+        q_error_rate_slo,
+        SLO_BREACH_PPM,
+    )
+
+    streaks = q_breach_streaks(spark, sf_dir).collect()
+    slo = q_error_rate_slo(spark, sf_dir).collect()
+    n_breached = sum(1 for r in slo if r["breach"])
+    assert sum(r["n_windows"] for r in streaks) == n_breached
+    for r in streaks:
+        assert r["peak_ppm"] > SLO_BREACH_PPM
+        assert r["streak_start"] < r["streak_end"]
