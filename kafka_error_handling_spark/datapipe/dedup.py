@@ -153,14 +153,31 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return minhash_signature_from_hashes(_shingle_df(docs, id_col, text_col), id_col)
 
 
+MAX_LSH_BUCKET = 1000  # stop-bucket cap; see lsh_candidate_pairs
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id"
+    sig: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_LSH_BUCKET
 ) -> DataFrame:
     """Band the signature (16 bands × 4 rows), self-join per band bucket.
 
     Emits distinct (id_a < id_b) candidate pairs.  The banded frame carries
     only (band, key, id) — at scale the shuffle is tiny compared to moving
     documents; the s-curve makes bucket sizes ~1 for non-duplicates.
+
+    **Stop-bucket cap** (``max_bucket``): buckets larger than the cap are
+    dropped BEFORE the self-join — a band key shared by 1000+ documents
+    carries no discriminative signal (the LSH analog of a stopword), and
+    its pair expansion is quadratic.  Measured: the 100× stress corpus
+    (synthetic ~100-word vocabulary saturating the shingle space) grew a
+    14,369-doc bucket and ~850M candidate pairs where 1× has 183k; the
+    cap is what lets the plan survive adversarially low-entropy corpora.
+    Recall cost is negligible for true near-dups: a pair at
+    similarity s collides in EACH band with prob s^4, so it has ~16
+    independent chances — losing its few over-full bands leaves the
+    others.  At every gate scale (sf0.001–0.1, max bucket 210) the cap
+    is inert and the output byte-identical; the oracles mirror the same
+    QUALIFY filter so the contract is explicit, not accidental.
     """
     band_keys = F.array(
         *[
@@ -178,6 +195,14 @@ def lsh_candidate_pairs(
     # without recomputing upstream once per band
     banded = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
+    )
+    from pyspark.sql.window import Window
+
+    bucket_sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    banded = (
+        banded.withColumn("__sz", bucket_sz)
+        .filter(F.col("__sz") <= max_bucket)
+        .drop("__sz")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -409,9 +434,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, band, bkey FROM {sig_v}
           LATERAL VIEW posexplode(array({_BKEYS_SQL})) t AS band, bkey
         ),
+        capped AS (
+          -- stop-bucket cap (see lsh_candidate_pairs): an over-full band
+          -- key has no discriminative signal and a quadratic expansion
+          SELECT doc_id, band, bkey FROM (
+            SELECT doc_id, band, bkey,
+                   count(1) OVER (PARTITION BY band, bkey) AS __sz
+            FROM banded)
+          WHERE __sz <= {MAX_LSH_BUCKET}
+        ),
         pairs AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
+          FROM capped a JOIN capped b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
         SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ id_a, id_b
@@ -522,9 +556,16 @@ def _sql_minhash_lsh() -> str:
 WITH sh AS MATERIALIZED ({_duck_shingles()}),
 sig AS MATERIALIZED ({_duck_signature().replace(_duck_shingles(), 'SELECT * FROM sh')}),
 banded AS MATERIALIZED ({banded}),
+capped AS MATERIALIZED (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           count(*) OVER (PARTITION BY band, bkey) AS __sz
+    FROM banded)
+  WHERE __sz <= {MAX_LSH_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 strong AS (
@@ -778,9 +819,16 @@ def _sql_minhash_est_error() -> str:
 WITH sh AS MATERIALIZED ({_duck_shingles()}),
 sig AS MATERIALIZED ({_duck_signature().replace(_duck_shingles(), 'SELECT * FROM sh')}),
 banded AS MATERIALIZED ({banded}),
+capped AS MATERIALIZED (
+  SELECT doc_id, band, bkey FROM (
+    SELECT doc_id, band, bkey,
+           count(*) OVER (PARTITION BY band, bkey) AS __sz
+    FROM banded)
+  WHERE __sz <= {MAX_LSH_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
 strong AS (

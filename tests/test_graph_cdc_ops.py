@@ -596,3 +596,25 @@ def test_breach_streaks_cover_breached_windows(spark, sf_dir):
     for r in streaks:
         assert r["peak_ppm"] > SLO_BREACH_PPM
         assert r["streak_start"] < r["streak_end"]
+
+
+def test_lsh_stop_bucket_cap_drops_only_oversized_buckets(spark):
+    from kafka_error_handling_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    # cluster A: 8 identical docs (every band bucket size 8);
+    # cluster B: 2 identical docs; one unique doc
+    rows = [(i, "aaaa bbbb cccc dddd eeee ffff gggg hhhh") for i in range(8)]
+    rows += [(100, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"),
+             (101, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"),
+             (200, "qqqq rrrr mmmm nnnn oooo pppp kkkk jjjj")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature(d)
+    capped = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, max_bucket=5).collect()}
+    # cluster A's buckets (size 8 > 5) are stop-buckets: no A pairs
+    assert capped == {(100, 101)}
+    # without the cap, all 28 A-pairs + the B pair appear
+    full = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, max_bucket=10**9).collect()}
+    assert (100, 101) in full and len(full) == 28 + 1
