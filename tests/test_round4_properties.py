@@ -166,3 +166,69 @@ def test_asof_nearest_matches_model(spark, left_ts, right_ts):
         # nearest by |delta|; tie -> earlier (backward)
         best = min(right_ts, key=lambda r: (abs(r - s), r))
         assert out[s] == float(best), (s, best, out[s])
+
+
+# ---------------------------------------------------------------------------
+# token-budget water-fill: exactness vs brute-force waterline search
+# ---------------------------------------------------------------------------
+
+
+def _brute_waterfill(toks, budget):
+    """O(max_tok) reference: the highest integer waterline L with
+    sum(min(tok, L)) <= budget; alloc = min(tok, L)."""
+    lo, hi = 0, max(toks)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(t, mid) for t in toks) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    return [min(t, lo) for t in toks], lo
+
+
+@_SETTINGS
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=12),
+    frac_ppm=st.integers(min_value=100_000, max_value=900_000),
+)
+def test_waterfill_closed_form_matches_brute_force(spark, toks, frac_ppm):
+    from pyspark.sql.window import Window
+
+    budget = (sum(toks) * frac_ppm) // 1_000_000
+    df = spark.createDataFrame(
+        [(f"s{i:02d}", t) for i, t in enumerate(toks)], "source string, tok long"
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("n_src"), F.sum("tok").alias("tok_total"))
+    w_ord = Window.orderBy("tok", "source")
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        df.crossJoin(F.broadcast(totals))
+        .withColumn("budget", F.expr(f"(tok_total * {frac_ppm}) DIV 1000000"))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("pfx", F.sum("tok").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            "satisfied",
+            (F.col("pfx") - F.col("tok"))
+            + F.col("tok") * (F.col("n_src") - F.col("rn") + 1)
+            <= F.col("budget"),
+        )
+        .withColumn("k", F.sum(F.col("satisfied").cast("long")).over(w_all))
+        .withColumn("pk", F.sum(F.when(F.col("satisfied"), F.col("tok")).otherwise(0)).over(w_all))
+    )
+    rows = staged.select(
+        "source",
+        "tok",
+        F.when(F.col("satisfied"), F.col("tok"))
+        .otherwise(F.expr("(budget - pk) DIV (n_src - k)"))
+        .alias("alloc"),
+        "satisfied",
+    ).collect()
+    got = {r["source"]: r["alloc"] for r in rows}
+    want_alloc, line = _brute_waterfill(toks, budget)
+    want = {f"s{i:02d}": a for i, a in enumerate(want_alloc)}
+    # clamped sources receive exactly the brute-force waterline; satisfied
+    # sources keep everything — identical allocation overall
+    assert got == want
+    assert sum(got.values()) <= budget
