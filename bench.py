@@ -184,6 +184,7 @@ EXTENDED = [
     "sketch_kmv_distinct",
     "dlq_poison_causes",
     "quality_breach_streaks",
+    "text_lang_confusion",
 ]
 
 

@@ -1280,3 +1280,56 @@ FROM ladder CROSS JOIN tot
 
 
 QUERIES["text_vocab_coverage"] = (q_vocab_coverage, _sql_vocab_coverage())
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: language-ID confusion matrix + accuracy
+# ---------------------------------------------------------------------------
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    corpus labels — the evaluation artifact every classifier in the
+    pipeline needs (per (true, predicted) cell: count + row-share in
+    integer ppm, so per-class recall reads directly off the row).  One
+    aggregate over (lang, guess); the per-true-class totals come from a
+    window over the tiny |langs|² cell frame, not a second pass over the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cells = (
+        d.select(F.col("lang").alias("true_lang"), lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("true_lang"))
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr(
+            "(n * 1000000) DIV (sum(n) OVER (PARTITION BY true_lang))"
+        ).alias("row_share_ppm"),
+        (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
+def _sql_lang_confusion() -> str:
+    # reuse the oracle's lang_id fold from _sql_lang_id
+    guess = _sql_lang_id().split("SELECT doc_id, lang, ")[1].split(" AS lang_guess")[0]
+    return f"""
+WITH cells AS (
+  SELECT lang AS true_lang, {guess} AS pred_lang, count(*) AS n
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // (sum(n) OVER (PARTITION BY true_lang))
+            AS BIGINT) AS row_share_ppm,
+       true_lang = pred_lang AS correct
+FROM cells
+"""
+
+
+QUERIES["text_lang_confusion"] = (q_lang_confusion, _sql_lang_confusion())

@@ -618,3 +618,18 @@ def test_lsh_stop_bucket_cap_drops_only_oversized_buckets(spark):
     # without the cap, all 28 A-pairs + the B pair appear
     full = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, max_bucket=10**9).collect()}
     assert (100, 101) in full and len(full) == 28 + 1
+
+
+def test_lang_confusion_rows_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+    from kafka_error_handling_spark.datapipe.text import q_lang_confusion
+
+    rows = q_lang_confusion(spark, sf_dir).collect()
+    assert rows
+    by_true = defaultdict(list)
+    for r in rows:
+        assert r["correct"] == (r["true_lang"] == r["pred_lang"])
+        by_true[r["true_lang"]].append(r["row_share_ppm"])
+    for shares in by_true.values():
+        s = sum(shares)
+        assert 1_000_000 - len(shares) <= s <= 1_000_000

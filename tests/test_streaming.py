@@ -653,3 +653,53 @@ def test_streaming_error_slo_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert any(ppm == 200_000 for (_, _, ppm) in got.values())
+
+
+def test_streaming_log_compaction_matches_batch(spark, tmp_path):
+    """Kafka-style log compaction as a STREAMING aggregate: the same
+    map-combined max_by winner-per-key runs in complete mode over a file
+    stream; after the tombstone filter the compacted state must equal the
+    batch log_compact of the same changelog."""
+    import json as _json
+
+    from kafka_error_handling_spark.plans.cdc import log_compact
+
+    src = tmp_path / "clog"
+    src.mkdir()
+    rows = [
+        {"k": 1, "ts": 1, "ev": "a", "seq": 1},
+        {"k": 1, "ts": 2, "ev": "delete", "seq": 2},
+        {"k": 2, "ts": 1, "ev": "delete", "seq": 3},
+        {"k": 2, "ts": 2, "ev": "b", "seq": 4},
+        {"k": 3, "ts": 5, "ev": "c", "seq": 5},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "k long, ts long, ev string, seq long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    row = F.struct("k", "ts", "ev", "seq")
+    agg = stream.groupBy("k").agg(
+        F.max_by(row, F.struct("ts", "seq")).alias("w"),
+        (F.count(F.lit(1)) - 1).alias("n_superseded"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("clog_compact")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["k"]: (r["w"]["ev"], r["n_superseded"])
+        for r in spark.sql("select * from clog_compact").collect()
+        if r["w"]["ev"] != "delete"
+    }
+    batch = log_compact(
+        spark.read.schema(schema).json(str(src)),
+        ["k"],
+        ["ts", "seq"],
+        tombstone=lambda r: r["ev"] == "delete",
+    )
+    want = {r["k"]: (r["ev"], r["n_superseded"]) for r in batch.collect()}
+    assert got == want == {2: ("b", 1), 3: ("c", 0)}
