@@ -185,6 +185,7 @@ EXTENDED = [
     "dlq_poison_causes",
     "quality_breach_streaks",
     "text_lang_confusion",
+    "events_bot_regularity",
 ]
 
 

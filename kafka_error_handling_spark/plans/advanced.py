@@ -1713,3 +1713,78 @@ FROM ranked
 """
 
 QUERIES["events_concentration"] = (q_activity_concentration, SQL_ACTIVITY_CONCENTRATION)
+
+
+# ---------------------------------------------------------------------------
+# Bot screening: inter-arrival regularity per user
+# ---------------------------------------------------------------------------
+
+BOT_MIN_EVENTS = 10
+BOT_REGULARITY_PPM = 100_000  # spread < 10% of median delta → timer-like
+
+
+def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-bot screen: humans arrive with heavy-tailed gaps, scripted
+    clients fire on schedules — so a user whose p10–p90 inter-arrival
+    SPREAD is small relative to the median gap is machine-like.  Per user
+    (≥ ``BOT_MIN_EVENTS`` events): median/p10/p90 of the microsecond
+    deltas (``percentile_disc`` — set members, integer, hash-safe),
+    regularity = spread/median in integer ppm, and the bot flag.  One
+    user-keyed window (lag) + one aggregate sharing the same exchange.
+    """
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = (
+        e.withColumn("d", us - F.lag(us).over(w))
+        .filter(F.col("d").isNotNull())
+    )
+    agg = deltas.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)"
+        ).alias("med_us"),
+        F.expr(
+            "CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY d) AS BIGINT)"
+        ).alias("p10_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY d) AS BIGINT)"
+        ).alias("p90_us"),
+    ).filter(F.col("n_gaps") >= BOT_MIN_EVENTS - 1)
+    reg = F.expr("((p90_us - p10_us) * 1000000) DIV med_us")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.expr("med_us DIV 1000000").alias("median_gap_s"),
+        reg.alias("regularity_ppm"),
+        (reg < BOT_REGULARITY_PPM).alias("timer_like"),
+    )
+
+
+SQL_BOT_REGULARITY = f"""
+WITH deltas AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+),
+agg AS (
+  SELECT user_id, count(*) AS n_gaps,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS med_us,
+         percentile_disc(0.1) WITHIN GROUP (ORDER BY d) AS p10_us,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY d) AS p90_us
+  FROM deltas WHERE d IS NOT NULL
+  GROUP BY user_id
+  HAVING count(*) >= {BOT_MIN_EVENTS - 1}
+)
+SELECT user_id, n_gaps,
+       med_us // 1000000 AS median_gap_s,
+       ((p90_us - p10_us) * 1000000) // med_us AS regularity_ppm,
+       ((p90_us - p10_us) * 1000000) // med_us < {BOT_REGULARITY_PPM}
+         AS timer_like
+FROM agg
+"""
+
+QUERIES["events_bot_regularity"] = (q_bot_regularity, SQL_BOT_REGULARITY)

@@ -132,6 +132,7 @@ _PRIORITY = [
     "dlq_poison_causes",
     "quality_breach_streaks",
     "text_lang_confusion",
+    "events_bot_regularity",
     # (block 0a and the earlier block-0 rows moved to the head above)
     "events_time_to_convert",
     "basket_pair_counts",

@@ -633,3 +633,34 @@ def test_lang_confusion_rows_sum_to_one(spark, sf_dir):
     for shares in by_true.values():
         s = sum(shares)
         assert 1_000_000 - len(shares) <= s <= 1_000_000
+
+
+def test_bot_regularity_flags_timer_not_human(spark, tmp_path):
+    import os
+
+    rows = []
+    # user 1: fires every exactly 60s (timer) — spread 0
+    for i in range(20):
+        rows.append((i, 60 * i, 1))
+    # user 2: human-ish, gaps 10..2000s growing irregularly
+    t = 0
+    for i in range(20):
+        t += 10 + (i * i * 7) % 1900
+        rows.append((100 + i, t, 2))
+    df = spark.createDataFrame(
+        [(eid, off, uid) for eid, off, uid in rows],
+        "event_id long, off long, user_id long",
+    ).selectExpr(
+        "event_id",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,off) AS ts",
+        "user_id", "'click' AS event_type", "1.0 AS value", "'{}' AS props",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from kafka_error_handling_spark.plans.advanced import q_bot_regularity
+
+    out = {r["user_id"]: r for r in q_bot_regularity(spark, d).collect()}
+    assert out[1]["timer_like"] is True
+    assert out[1]["regularity_ppm"] == 0
+    assert out[2]["timer_like"] is False
