@@ -35,9 +35,18 @@ from ..sources.files import load_table
 
 __all__ = ["chunk_tokens", "chunk_dedup_stats", "chunk_dedup_apply"]
 
-# encodes (doc_id, chunk_pos) as one orderable int64; safe while
-# chunk_pos < 1e6 (a 20M-token doc — far beyond any real document)
-_POS_BASE = 1_000_000
+# First-occurrence keys are (doc_id, chunk_pos) STRUCTS compared
+# lexicographically — NOT an arithmetic doc_id*BASE+chunk_pos packing,
+# which silently aliases across docs once any doc has >= BASE chunks (or
+# doc_id*BASE overflows int64).  Same pattern as dedup.exact_substring;
+# DuckDB's struct_pack min mirrors Spark's struct min ordering exactly.
+_OCC_SQL = "struct_pack(d := doc_id, p := chunk_pos)"
+
+
+def _occ(id_col: str):
+    from pyspark.sql import functions as _F
+
+    return _F.struct(_F.col(id_col).alias("d"), _F.col("chunk_pos").alias("p"))
 
 
 def chunk_tokens(
@@ -69,7 +78,7 @@ def chunk_dedup_stats(
     """Per-document chunk-dedup decision: how many of the doc's chunks are
     corpus-wide first occurrences (kept) vs duplicates of an earlier
     (doc_id, chunk_pos) (dropped).  Keep-first policy is the global
-    minimum of the integer-encoded occurrence key, exactly like
+    minimum of the (doc_id, chunk_pos) struct key, exactly like
     document-level ``dedup.py`` keep-first."""
     from pyspark.sql.window import Window
 
@@ -77,7 +86,7 @@ def chunk_dedup_stats(
         F.col(id_col),
         F.col("chunk_pos"),
         F.md5(F.col("chunk")).alias("h"),
-        (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
+        _occ(id_col).alias("occ_key"),
     )
     keep = F.min("occ_key").over(Window.partitionBy("h"))
     return (
@@ -115,7 +124,7 @@ def chunk_dedup_apply(
         F.col("chunk_pos"),
         F.col("chunk"),
         F.md5(F.col("chunk")).alias("h"),
-        (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
+        _occ(id_col).alias("occ_key"),
     )
     keep = F.min("occ_key").over(Window.partitionBy("h"))
     kept = ch.withColumn("keep_key", keep).filter(
@@ -155,7 +164,7 @@ SQL_CHUNK_DEDUP = f"""
 WITH ch AS (
   SELECT doc_id, chunk_pos,
          md5(chunk) AS h,
-         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+         {_OCC_SQL} AS occ_key
   FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -191,7 +200,7 @@ SQL_CHUNK_DEDUP_APPLY = f"""
 WITH ch AS (
   SELECT doc_id, chunk_pos, chunk,
          md5(chunk) AS h,
-         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+         {_OCC_SQL} AS occ_key
   FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -262,7 +271,7 @@ def _sql_pipeline_chunked_corpus() -> str:
 WITH ch AS (
   SELECT doc_id, chunk_pos, chunk,
          md5(chunk) AS h,
-         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+         {_OCC_SQL} AS occ_key
   FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -416,7 +425,7 @@ def cdc_dedup_stats(
         F.col(id_col),
         F.col("chunk_pos"),
         F.md5(F.col("chunk")).alias("h"),
-        (F.col(id_col) * _POS_BASE + F.col("chunk_pos")).alias("occ_key"),
+        _occ(id_col).alias("occ_key"),
     )
     keep = F.min("occ_key").over(Window.partitionBy("h"))
     return (
@@ -470,7 +479,7 @@ WITH t AS (
   FROM spans
 ), hashed AS (
   SELECT doc_id, chunk_pos, md5(chunk) AS h,
-         doc_id * {_POS_BASE} + chunk_pos AS occ_key
+         {_OCC_SQL} AS occ_key
   FROM ch
 ), first AS (
   SELECT h, min(occ_key) AS keep_key FROM hashed GROUP BY h
