@@ -62,6 +62,12 @@ def _modules():
         mods.append(graph)
     except ImportError:
         pass
+    try:
+        from . import layout
+
+        mods.append(layout)
+    except ImportError:
+        pass
     return mods
 
 
@@ -83,6 +89,15 @@ _PRIORITY = [
     "sample_split_assignment",
     "corpus_pipeline",
     "pipeline_chunked_corpus",
+    # new in round-4 third continuation — no driver row yet
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_triangles",
+    "layout_zorder_pruning",
+    # occ-key representation changed (struct keys) after the r3-green rows
+    "dedup_chunks",
+    "dedup_chunks_apply",
+    "dedup_cdc_chunks",
     # block 0: new earlier in round 4 — no driver row exists yet (listed
     # before the second-continuation block: they have waited longer)
     "dlq_replay",

@@ -364,3 +364,157 @@ FROM sk CROSS JOIN ex
 """
 
 QUERIES["sketch_kmv_distinct"] = (q_sketch_kmv, SQL_SKETCH_KMV)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch, exactly verified
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+_HLL_HASH_BITS = 48            # 12 hex chars of md5, same source as KMV
+_HLL_W_BITS = _HLL_HASH_BITS - HLL_P   # 42 value bits per hash
+# alpha_64 = 0.7213 / (1 + 1.079/64), fixed to integer ppm so BOTH engines
+# compute the estimator with the same literal — no float in the plan
+_HLL_ALPHA_PPM = 709341
+# registers deeper than this contribute < 2^-40 to the harmonic sum —
+# clamping lets the sum stay an exact BIGINT (64 * 2^40 ~ 7e13) instead of
+# an order-dependent float; mirrored in the oracle, so the clamp is part
+# of the pinned estimator definition, not a hidden approximation
+_HLL_REG_CLAMP = 40
+
+
+def hll_registers(df: DataFrame, key) -> DataFrame:
+    """The full 64-row HLL register table for ``key``'s distinct count:
+    (bucket, register) with register = max over hashes of rho(w), the
+    1-based position of the leftmost 1-bit in the hash's 42 value bits
+    (43 when w = 0).
+
+    This is the HLL member of the sketch family (count-min = frequencies,
+    KMV = distinct via order statistics, HLL = distinct via bit patterns).
+    Like the other two it is a MERGEABLE semigroup — per-partition
+    register maxes merge by elementwise max, so at 100 TB every map task
+    ships 64 small ints and the key stream never shuffles.  Unlike most
+    HLL writeups the register table here is EXACTLY reproducible (md5
+    bits + integer ops only), so the gate verifies the sketch itself.
+
+    rho via decimal bit-length: rho = 43 - bitlen(w) where bitlen(w) =
+    length(bin(w)) for w > 0 — `bin` renders without leading zeros in
+    both engines, and the w = 0 case (bin = '0', length 1) is special-
+    cased rather than inherited from that rendering quirk.
+    """
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+    spine = (
+        df.sparkSession.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    )
+    regs = (
+        df.select(h.alias("h"))
+        .select(
+            F.expr(f"h DIV {1 << _HLL_W_BITS}").alias("bucket"),
+            (F.col("h") % (1 << _HLL_W_BITS)).alias("w"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1))
+            .otherwise(F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w"))))
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    return (
+        spine.join(F.broadcast(regs), "bucket", "left")
+        .select("bucket", F.coalesce("register", F.lit(0)).alias("register"))
+    )
+
+
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return hll_registers(e, F.col("user_id"))
+
+
+_SQL_HLL_REGS = f"""
+WITH hashed AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+), rho AS (
+  SELECT h // {1 << _HLL_W_BITS} AS bucket,
+         CASE WHEN h % {1 << _HLL_W_BITS} = 0 THEN {_HLL_W_BITS + 1}
+              ELSE {_HLL_W_BITS + 1} - length(bin(h % {1 << _HLL_W_BITS}))
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT bucket, max(rho) AS register FROM rho GROUP BY bucket
+)
+SELECT s.bucket, CAST(coalesce(r.register, 0) AS BIGINT) AS register
+FROM (SELECT unnest(range(0, {HLL_M})) AS bucket) s
+LEFT JOIN regs r USING (bucket)
+"""
+
+QUERIES["sketch_hll_registers"] = (q_sketch_hll_registers, _SQL_HLL_REGS)
+
+
+def q_sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw HLL estimate next to the exact answer, all integer:
+    E = alpha_m * m^2 / sum(2^-register), evaluated as
+    (ALPHA_PPM * ((m^2 * 2^40) DIV 1e6)) DIV sum(2^(40 - min(reg, 40))).
+    The dyadic harmonic sum is EXACT in int64 under the register clamp
+    (module constant above), so the estimate is bit-reproducible — the
+    float small/large-range corrections of the HLL paper are deliberately
+    out of scope (ln/pow are not engine-stable); `n_zero_registers` is
+    published so a consumer can apply linear counting offline."""
+    e = _t(spark, sf_dir, "events")
+    regs = hll_registers(e, F.col("user_id"))
+    sk = regs.agg(
+        F.sum(
+            F.expr(
+                f"cast(pow(2, {_HLL_REG_CLAMP} - least(register, {_HLL_REG_CLAMP}))"
+                " as bigint)"
+            )
+        ).alias("denom_scaled"),
+        F.sum((F.col("register") == 0).cast("long")).alias("n_zero_registers"),
+    )
+    t_const = (HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000
+    exact = e.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return (
+        sk.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(HLL_M).alias("m"),
+            F.expr(f"({_HLL_ALPHA_PPM} * {t_const}) DIV denom_scaled").alias(
+                "est_distinct"
+            ),
+            "exact_distinct",
+            "n_zero_registers",
+        )
+        .withColumn(
+            "abs_err_ppm",
+            F.expr("(abs(est_distinct - exact_distinct) * 1000000) DIV exact_distinct"),
+        )
+    )
+
+
+_SQL_HLL_EST = f"""
+WITH regs AS ({_SQL_HLL_REGS}),
+sk AS (
+  SELECT CAST(sum(CAST(pow(2, {_HLL_REG_CLAMP} - least(register, {_HLL_REG_CLAMP}))
+                  AS BIGINT)) AS BIGINT) AS denom_scaled,
+         CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers
+  FROM regs
+),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT {HLL_M} AS m,
+       ({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
+         // denom_scaled AS est_distinct,
+       exact_distinct,
+       n_zero_registers,
+       (abs(({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
+            // denom_scaled - exact_distinct) * 1000000) // exact_distinct
+         AS abs_err_ppm
+FROM sk CROSS JOIN ex
+"""
+
+QUERIES["sketch_hll_estimate"] = (q_sketch_hll_estimate, _SQL_HLL_EST)
