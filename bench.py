@@ -186,6 +186,11 @@ EXTENDED = [
     "quality_breach_streaks",
     "text_lang_confusion",
     "events_bot_regularity",
+    # round-4 third continuation
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_triangles",
+    "layout_zorder_pruning",
 ]
 
 

@@ -455,15 +455,28 @@ LEFT JOIN regs r USING (bucket)
 QUERIES["sketch_hll_registers"] = (q_sketch_hll_registers, _SQL_HLL_REGS)
 
 
+# linear-counting table: LN64_PPM[V] = round(1e6 * ln(64 / V)) for
+# V = 1..63 zero registers.  ln is NOT engine-stable as a runtime float,
+# but V only takes 63 values — precomputing the table in ppm makes the
+# small-range correction of the HLL paper exactly reproducible.  The
+# table is generated once here and interpolated into BOTH plans.
+import math as _math
+
+_HLL_LN64_PPM = [0] + [
+    round(1_000_000 * _math.log(HLL_M / v)) for v in range(1, HLL_M)
+]
+
+
 def q_sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The raw HLL estimate next to the exact answer, all integer:
-    E = alpha_m * m^2 / sum(2^-register), evaluated as
-    (ALPHA_PPM * ((m^2 * 2^40) DIV 1e6)) DIV sum(2^(40 - min(reg, 40))).
-    The dyadic harmonic sum is EXACT in int64 under the register clamp
-    (module constant above), so the estimate is bit-reproducible — the
-    float small/large-range corrections of the HLL paper are deliberately
-    out of scope (ln/pow are not engine-stable); `n_zero_registers` is
-    published so a consumer can apply linear counting offline."""
+    """The HLL estimate (raw + small-range linear counting) next to the
+    exact answer, all integer: E_raw = alpha_m * m^2 / sum(2^-register),
+    evaluated as (ALPHA_PPM * ((m^2 * 2^40) DIV 1e6)) DIV
+    sum(2^(40 - min(reg, 40))) — the dyadic harmonic sum is EXACT in
+    int64 under the register clamp, so E_raw is bit-reproducible.  Per
+    the HLL paper, when E_raw <= 5m/2 and zero registers exist the
+    estimate switches to linear counting m*ln(m/V) — ln comes from a
+    63-entry ppm table baked into both plans (runtime ln/pow floats are
+    not engine-stable; a 63-value domain doesn't need them)."""
     e = _t(spark, sf_dir, "events")
     regs = hll_registers(e, F.col("user_id"))
     sk = regs.agg(
@@ -476,16 +489,35 @@ def q_sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("register") == 0).cast("long")).alias("n_zero_registers"),
     )
     t_const = (HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000
+    ln_arr = F.array(*[F.lit(x) for x in _HLL_LN64_PPM[1:]])
     exact = e.select("user_id").distinct().agg(
         F.count(F.lit(1)).alias("exact_distinct")
     )
+    raw = F.expr(f"({_HLL_ALPHA_PPM} * {t_const}) DIV denom_scaled")
+    lc = F.expr(
+        f"({HLL_M} * element_at(ln_ppm, cast(n_zero_registers as int)))"
+        " DIV 1000000"
+    )
     return (
         sk.crossJoin(F.broadcast(exact))
+        .withColumn("ln_ppm", ln_arr)
+        .withColumn("raw_est", raw)
         .select(
             F.lit(HLL_M).alias("m"),
-            F.expr(f"({_HLL_ALPHA_PPM} * {t_const}) DIV denom_scaled").alias(
-                "est_distinct"
-            ),
+            F.when(
+                (F.col("n_zero_registers") > 0)
+                & (F.col("raw_est") <= 5 * HLL_M // 2),
+                lc,
+            )
+            .otherwise(F.col("raw_est"))
+            .alias("est_distinct"),
+            F.when(
+                (F.col("n_zero_registers") > 0)
+                & (F.col("raw_est") <= 5 * HLL_M // 2),
+                F.lit("linear_counting"),
+            )
+            .otherwise(F.lit("raw"))
+            .alias("estimator"),
             "exact_distinct",
             "n_zero_registers",
         )
@@ -505,16 +537,30 @@ sk AS (
            AS n_zero_registers
   FROM regs
 ),
-ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
-SELECT {HLL_M} AS m,
-       ({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
-         // denom_scaled AS est_distinct,
-       exact_distinct,
-       n_zero_registers,
-       (abs(({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
-            // denom_scaled - exact_distinct) * 1000000) // exact_distinct
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+est AS (
+  SELECT denom_scaled, n_zero_registers, exact_distinct,
+         ({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
+           // denom_scaled AS raw_est,
+         {_HLL_LN64_PPM[1:]}::BIGINT[] AS ln_ppm
+  FROM sk CROSS JOIN ex
+),
+picked AS (
+  SELECT m, exact_distinct, n_zero_registers,
+         CASE WHEN use_lc
+              THEN ({HLL_M} * ln_ppm[CAST(n_zero_registers AS INT)]) // 1000000
+              ELSE raw_est END AS est_distinct,
+         CASE WHEN use_lc THEN 'linear_counting' ELSE 'raw' END AS estimator
+  FROM (
+    SELECT {HLL_M} AS m, exact_distinct, n_zero_registers, raw_est, ln_ppm,
+           n_zero_registers > 0 AND raw_est <= {5 * HLL_M // 2} AS use_lc
+    FROM est
+  )
+)
+SELECT m, est_distinct, estimator, exact_distinct, n_zero_registers,
+       (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct
          AS abs_err_ppm
-FROM sk CROSS JOIN ex
+FROM picked
 """
 
 QUERIES["sketch_hll_estimate"] = (q_sketch_hll_estimate, _SQL_HLL_EST)

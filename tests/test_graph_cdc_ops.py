@@ -664,3 +664,87 @@ def test_bot_regularity_flags_timer_not_human(spark, tmp_path):
     assert out[1]["timer_like"] is True
     assert out[1]["regularity_ppm"] == 0
     assert out[2]["timer_like"] is False
+
+
+def test_triangles_known_graph(spark):
+    """K4 plus a pendant edge: K4 has 4 triangles; each K4 node sits in
+    exactly 3 of them; node 5 (pendant) sits in none."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)],
+        "src long, dst long",
+    )
+    from kafka_error_handling_spark.plans.graph import triangle_counts
+
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_significant_edges_need_two_orders(spark):
+    from kafka_error_handling_spark.plans.graph import significant_edges
+
+    li = spark.createDataFrame(
+        # pair (1,2) in orders 10 and 11; pair (1,3) only in order 10;
+        # part 2 listed twice in order 11 must not fake a second order
+        [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 2)],
+        "l_orderkey long, l_partkey long",
+    )
+    rows = {(r["src"], r["dst"]) for r in significant_edges(li).collect()}
+    assert rows == {(1, 2)}
+
+
+def test_hll_registers_match_python_model(spark):
+    """The 64-register table must equal a per-hash Python recomputation
+    (md5 12-hex prefix, top-6-bit bucket, rho over the low 42 bits)."""
+    import hashlib
+
+    from kafka_error_handling_spark.plans.stats import HLL_M, hll_registers
+
+    vals = list(range(200))
+    df = spark.createDataFrame([(v,) for v in vals], "user_id long")
+    got = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(df, F.col("user_id")).collect()
+    }
+    model = {b: 0 for b in range(HLL_M)}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        bucket, w = h >> 42, h % (1 << 42)
+        rho = 43 if w == 0 else 43 - w.bit_length()
+        model[bucket] = max(model[bucket], rho)
+    assert got == model
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """m=64 gives ~13% standard error; the gate corpus must land inside
+    3 sigma (the estimator is deterministic, so this can't flake)."""
+    from kafka_error_handling_spark.plans.stats import q_sketch_hll_estimate
+
+    row = q_sketch_hll_estimate(spark, sf_dir).collect()[0]
+    assert abs(row["est_distinct"] - row["exact_distinct"]) <= 0.4 * row["exact_distinct"]
+
+
+def test_zorder_interleave_tiles(spark):
+    """Every z-file must cover exactly one 16x16 (k1, k2) tile: the
+    per-file min/max spread on each key is < 16 and the tile corner is a
+    multiple of 16 — the property file pruning relies on."""
+    from kafka_error_handling_spark.plans.layout import _interleave_sql
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(0, 256, 7) for b in range(0, 256, 11)],
+        "k1 long, k2 long",
+    )
+    z = _interleave_sql("k1", "k2", "DIV")
+    per_file = (
+        df.select("k1", "k2", F.expr(f"({z}) DIV 256").alias("zfile"))
+        .groupBy("zfile")
+        .agg(
+            F.min("k1").alias("min1"), F.max("k1").alias("max1"),
+            F.min("k2").alias("min2"), F.max("k2").alias("max2"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 100
+    for r in per_file:
+        assert r["max1"] - r["min1"] < 16 and r["max2"] - r["min2"] < 16
+        assert r["min1"] // 16 == r["max1"] // 16
+        assert r["min2"] // 16 == r["max2"] // 16

@@ -505,3 +505,40 @@ def test_decayed_engagement_single_aggregate(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     # the corpus max-ts scalar rides a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hll_registers_partial_max(spark, sf_dir):
+    """HLL register maxes must combine map-side (partial_max before the
+    bucket exchange — the property that makes the sketch mergeable at
+    100 TB), and the 64-row spine joins via broadcast, never a shuffle."""
+    from kafka_error_handling_spark.plans.stats import hll_registers
+
+    e = load_table(spark, sf_dir, "events")
+    plan = _plan(hll_registers(e, F.col("user_id")))
+    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    """The wedge join must be an equi-join (hash or sort-merge) — a
+    cartesian/nested-loop plan here means the join keys were lost and the
+    operator would be corpus-squared at scale."""
+    from kafka_error_handling_spark.plans.graph import q_graph_triangles
+
+    plan = _plan(q_graph_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_layout_scan_prunes_columns(spark, sf_dir):
+    """The layout report touches only (o_custkey, o_orderdate); the
+    parquet scan must not read the other 7 order columns."""
+    from kafka_error_handling_spark.plans.layout import q_layout_zorder
+
+    plan = _plan(q_layout_zorder(spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"ReadSchema: (struct<[^>]*>)", plan):
+        schema = m.group(1)
+        assert "o_comment" not in schema and "o_totalprice" not in schema, schema
