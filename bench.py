@@ -191,6 +191,14 @@ EXTENDED = [
     "sketch_hll_estimate",
     "graph_triangles",
     "layout_zorder_pruning",
+    "graph_clustering_coeff",
+    "graph_jaccard_neighbors",
+    "embedding_knn_pq",
+    "embedding_pq_recall",
+    "sample_kfold",
+    "quality_partition_balance",
+    "dedup_lsh_s_curve",
+    "sketch_hll_windowed",
 ]
 
 

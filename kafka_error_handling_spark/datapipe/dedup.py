@@ -1444,3 +1444,139 @@ GROUP BY doc_id
 """
 
 QUERIES["dedup_exact_substring"] = (q_dedup_exact_substring, _SQL_EXACT_SUBSTRING)
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve calibration: measured candidate rate vs the closed form
+# ---------------------------------------------------------------------------
+
+SCURVE_SAMPLE_MOD = 5  # doc_id % 5 == 0 → 20% sample; all-pairs stays bounded
+
+# theory: P(candidate | jaccard s) = 1 - (1 - s^r)^b at each decile
+# midpoint, precomputed to integer ppm so both engines share the literal
+_SCURVE_THEORY_PPM = [
+    round(1_000_000 * (1 - (1 - ((d + 0.5) / 10) ** ROWS_PER_BAND) ** LSH_BANDS))
+    for d in range(10)
+]
+
+
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH S-curve: bucket every sampled doc pair by EXACT
+    shingle Jaccard decile and report the fraction that band-banding
+    would emit as candidates, next to the closed-form
+    1-(1-s^r)^b at the decile midpoint.  This is the calibration
+    artifact that justifies (bands, rows) BEFORE a corpus-wide dedup
+    run — `dedup_minhash_est_error` audits sketch accuracy on emitted
+    candidates; this gate audits the EMISSION PROBABILITY itself,
+    including the pairs LSH never surfaces (the recall side the
+    candidate stream can't see by construction).
+
+    Candidacy here is band-key equality evaluated per pair (the
+    probabilistic event), independent of the stop-bucket cap — the cap
+    is a corpus-pathology guard on the pair-generation JOIN, not part of
+    the collision probability being calibrated.  Scale: all-pairs is
+    confined to the 1/{mod} id sample (at 100 TB one calibrates on a
+    fixed ~10k-doc sample exactly like this; the quadratic term never
+    touches the corpus)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % SCURVE_SAMPLE_MOD == 0
+    )
+    sh = _shingle_df(d, "doc_id", "text")
+    sh = sh.localCheckpoint(eager=True)  # one explode serves sets AND sigs
+    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    sig = minhash_signature_from_hashes(sh)
+    per_doc = sets.join(sig, "doc_id")
+    a = per_doc.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("ha"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hb"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    band_eq = [
+        " AND ".join(
+            f"a{bi * ROWS_PER_BAND + r} = b{bi * ROWS_PER_BAND + r}"
+            for r in range(ROWS_PER_BAND)
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    cand = F.expr("(" + ") OR (".join(band_eq) + ")")
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            F.least(
+                F.lit(9).cast("long"),
+                F.expr(
+                    "(size(array_intersect(ha, hb)) * 10)"
+                    " DIV size(array_union(ha, hb))"
+                ),
+            ).alias("decile"),
+            cand.cast("long").alias("cand"),
+        )
+    )
+    theory = F.array(*[F.lit(x) for x in _SCURVE_THEORY_PPM])
+    return (
+        pairs.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cand").alias("n_candidates"),
+        )
+        .withColumn(
+            "candidate_ppm", F.expr("(n_candidates * 1000000) DIV n_pairs")
+        )
+        .withColumn(
+            "theory_ppm",
+            F.element_at(theory, (F.col("decile") + 1).cast("int")),
+        )
+    )
+
+
+def _sql_lsh_s_curve() -> str:
+    k = SHINGLE_K
+    mins = ", ".join(
+        f"min(({_A[i]}::BIGINT * h + {_B[i]}) % {MH_PRIME}) AS mh{i}"
+        for i in range(NUM_PERM)
+    )
+    band_eq = [
+        " AND ".join(
+            f"sa.mh{bi * ROWS_PER_BAND + r} = sb.mh{bi * ROWS_PER_BAND + r}"
+            for r in range(ROWS_PER_BAND)
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    cand = "(" + ") OR (".join(band_eq) + ")"
+    theory = ", ".join(str(x) for x in _SCURVE_THEORY_PPM)
+    return f"""
+WITH ds AS (SELECT doc_id, text FROM documents WHERE doc_id % {SCURVE_SAMPLE_MOD} = 0),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_DUCK_H.format(x='sh')} AS h FROM (
+    SELECT doc_id, unnest([text[i:i+{k - 1}] for i in
+            range(1, greatest(length(text)-{k - 1}, 1) + 1)]) AS sh
+    FROM ds)
+),
+sets AS (SELECT doc_id, list_distinct(list(h)) AS hs FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT least(9, (len(list_intersect(xa.hs, xb.hs)) * 10)
+                  // len(list_distinct(list_concat(xa.hs, xb.hs)))) AS decile,
+         CASE WHEN {cand} THEN 1 ELSE 0 END AS cand
+  FROM sets xa JOIN sets xb ON xa.doc_id < xb.doc_id
+  JOIN sig sa ON sa.doc_id = xa.doc_id
+  JOIN sig sb ON sb.doc_id = xb.doc_id
+),
+agg AS (
+  SELECT decile, count(*) AS n_pairs,
+         CAST(sum(cand) AS BIGINT) AS n_candidates
+  FROM pairs GROUP BY decile
+)
+SELECT decile, n_pairs, n_candidates,
+       (n_candidates * 1000000) // n_pairs AS candidate_ppm,
+       ([{theory}])[CAST(decile AS INT) + 1] AS theory_ppm
+FROM agg
+"""
+
+
+QUERIES["dedup_lsh_s_curve"] = (q_lsh_s_curve, _sql_lsh_s_curve())

@@ -1003,3 +1003,52 @@ GROUP BY source
 """
 
 QUERIES["sample_bootstrap_tokens"] = (q_bootstrap_tokens, _SQL_BOOTSTRAP)
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = KFOLD_K, fold_col: str = "fold"
+) -> DataFrame:
+    """Deterministic fold id in [0, k) per key — the eval-protocol
+    counterpart of :func:`assign_split`.  Salted ('fold|') for the same
+    reason the split bucket is: an unsalted hash would correlate the fold
+    with every upstream keep/sample decision sharing hash_bucket(key).
+    Modulo over the ppm bucket keeps the layout stable if k changes from
+    a divisor of DENOM to not (k=5 here divides it exactly)."""
+    b = hash_bucket(F.concat(F.lit("fold|"), F.col(key_col).cast("string")))
+    return df.withColumn(fold_col, (b % k).cast("bigint"))
+
+
+def q_sample_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: 5-fold assignment balance over documents — (source, fold,
+    n_docs, n_tokens).  The artifact an eval harness publishes before
+    training k models: folds must be balanced WITHIN each source, not
+    just globally (a source-correlated fold leaks domain signal into the
+    held-out estimate)."""
+    from .text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    f = kfold_assign(d, "doc_id")
+    return f.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+_SQL_KFOLD = f"""
+SELECT source,
+       (CAST(concat('0x', substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {DENOM}) % {KFOLD_K} AS fold,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["sample_kfold"] = (q_sample_kfold, _SQL_KFOLD)

@@ -1161,3 +1161,205 @@ GROUP BY dim
 """
 
 QUERIES["embedding_dim_stats"] = (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                    # subspaces
+PQ_SUB = DIM // PQ_M        # 8 dims per subspace
+PQ_K = 16                   # centroids per subspace -> 4-bit codes, 8 B/vector
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: (id, m, code) — per subspace, the nearest sub-centroid
+    by L2 (rounded to 6, ties to the lower centroid id; the same pinned
+    tie-break as the k-means/IVF assignments).
+
+    This is the operator that makes 100 TB of embeddings searchable in
+    RAM: 64 float32 dims (256 B) compress to M=8 nibbles (~8 B here, 4 B
+    packed).  Like IVF, the codebook is the deterministic lowest-id
+    stand-in for a trained one — the plan shape (broadcast M*K
+    sub-centroids, one argmin per subspace per vector, NO shuffle of the
+    corpus) is exactly the trained-codebook plan.
+    """
+    subarr = F.array(
+        *[F.slice(_dvec(vec_col), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(subarr).alias("m", "xv")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("xv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy(id_col, "m").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        exploded.join(F.broadcast(codebook), "m")
+        .select(id_col, "m", "cid", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(id_col, "m", F.col("cid").alias("code"))
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(m, cid, cv): sub-vectors of the PQ_K lowest-id corpus vectors —
+    deterministic stand-in for per-subspace k-means, as in IVF."""
+    base = corpus.filter(F.col(id_col) < PQ_K).select(
+        F.col(id_col).alias("cid"), _dvec(vec_col).alias("v")
+    )
+    parts = [
+        base.select(
+            F.lit(m).alias("m"),
+            "cid",
+            F.slice(F.col("v"), m * PQ_SUB + 1, PQ_SUB).alias("cv"),
+        )
+        for m in range(PQ_M)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine in the COMPRESSED domain: each corpus vector is
+    replaced by its PQ reconstruction (concat of its selected
+    sub-centroids) and ranked against the query exactly.
+
+    Production ADC evaluates the same value through an M×K distance
+    lookup table instead of materializing the reconstruction — a runtime
+    optimization of an identical quantity; the reconstruction form keeps
+    the whole query inside the proven codegen-fold + round-6/round-4
+    parity envelope.  Scale shape: codes + reconstruction are one
+    broadcast join + one sorted re-assembly per vector (no corpus
+    shuffle); scoring is the brute-force broadcast pattern over the
+    reconstructed corpus."""
+    cb = pq_codebook(corpus, id_col, vec_col)
+    codes = pq_codes(corpus, cb, id_col, vec_col)
+    recon = (
+        codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
+        .select(F.col(id_col), codes.m.alias("sm"), "cv")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("sm"), F.col("cv")))),
+                    lambda s: s["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    r = recon.select(F.col(id_col).alias("neighbor_id"), "rv").withColumn(
+        "rn", _norm(F.col("rv"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        r.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("rn")), 4).alias("pq_cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cos_sim", "rank")
+    )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_pq(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_pq() -> str:
+    subd = (
+        f"round(list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+        "i -> (xv[i] - cv[i]) * (xv[i] - cv[i]))), 6)"
+    )
+    sub_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, ev[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS xv FROM e"
+        for m in range(PQ_M)
+    )
+    cb_arms = " UNION ALL ".join(
+        f"SELECT {m} AS m, vec_id AS cid, ev[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS cv "
+        f"FROM e WHERE vec_id < {PQ_K}"
+        for m in range(PQ_M)
+    )
+    cos = (
+        "round(list_dot_product(q.qv, r.rv) / (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(r.rv, r.rv))), 4)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+subs AS ({sub_arms}),
+cb AS MATERIALIZED ({cb_arms}),
+assign AS (
+  SELECT s.vec_id, s.m, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {subd} ASC, c.cid ASC) AS r
+  FROM subs s JOIN cb c USING (m)
+),
+codes AS (SELECT vec_id, m, cid AS code FROM assign WHERE r = 1),
+recon AS (
+  SELECT k.vec_id, flatten(list(c.cv ORDER BY k.m)) AS rv
+  FROM codes k JOIN cb c ON c.m = k.m AND c.cid = k.code
+  GROUP BY k.vec_id
+),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 10),
+r AS (SELECT vec_id AS neighbor_id, rv FROM recon),
+scored AS (
+  SELECT q.query_id, r.neighbor_id, {cos} AS pq_cos_sim
+  FROM r CROSS JOIN q
+  WHERE r.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, pq_cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, pq_cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES["embedding_knn_pq"] = (q_knn_pq, _sql_knn_pq())
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall@5 vs exact — the compression-loss tuner (M, K)."""
+    return _recall_gate(spark, sf_dir, q_knn_pq)
+
+
+QUERIES["embedding_pq_recall"] = (q_pq_recall, _sql_recall(_sql_knn_pq()))

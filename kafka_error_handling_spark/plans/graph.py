@@ -347,3 +347,172 @@ LIMIT {TRI_TOPK}
 """
 
 QUERIES["graph_triangles"] = (q_graph_triangles, _SQL_TRIANGLES)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (reuses the triangle machinery)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by local clustering coefficient over the support-2
+    co-purchase graph: cc = 2*tri / (deg*(deg-1)) in exact integer ppm,
+    deg >= 2 only.  cc ~ 1e6 means the part's co-purchase partners all
+    co-purchase each other (a product family / bundle); cc ~ 0 at high
+    degree is a cross-category staple.  One extra join over the triangle
+    and degree frames — the expensive wedge join is shared with
+    `graph_triangles` at the plan level and, at 100 TB, via a published
+    triangle-count artifact."""
+    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000) DIV (deg * (deg - 1))"
+            ).alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), F.desc("deg"), F.asc("part"))
+        .limit(TRI_TOPK)
+    )
+
+
+_SQL_CLUSTERING = f"""
+WITH sig AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS n_orders FROM (
+      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) GROUP BY src, dst
+  ) WHERE n_orders >= {TRI_MIN_ORDERS}
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT src AS node FROM sig UNION ALL SELECT dst FROM sig
+  ) GROUP BY node
+),
+tris AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM sig e1 JOIN sig e2 ON e1.dst = e2.src
+  JOIN sig e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+tri AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT d.node AS part, d.deg,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       (2 * coalesce(t.n_triangles, 0) * 1000000) // (d.deg * (d.deg - 1))
+         AS cc_ppm
+FROM deg d LEFT JOIN tri t USING (node)
+WHERE d.deg >= 2
+ORDER BY cc_ppm DESC, deg DESC, part ASC
+LIMIT {TRI_TOPK}
+"""
+
+QUERIES["graph_clustering_coeff"] = (q_graph_clustering_coeff, _SQL_CLUSTERING)
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard: the substitute-product signal
+# ---------------------------------------------------------------------------
+
+JAC_TOPK = 20
+
+
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 NON-adjacent part pairs by neighbor-set Jaccard over the
+    support-2 co-purchase graph: parts frequently bought alongside the
+    same partners but never (significantly) together — the classic
+    substitute-product signal (complements share edges, substitutes
+    share neighborhoods).
+
+    Plan: common-neighbor counting is one self-join of the directed edge
+    list on the shared neighbor (same wedge volume as triangle counting),
+    an anti-join drops actual edges, and degrees come from the one-row-
+    per-node frame.  jaccard = common / (deg_u + deg_v - common), exact
+    integer ppm."""
+    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n1 = both.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    n2 = both.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    common = (
+        n1.join(n2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_adjacent = common.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        non_adjacent.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "common",
+            F.expr("(common * 1000000) DIV (deg_u + deg_v - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.desc("jaccard_ppm"), F.desc("common"), F.asc("part_a"), F.asc("part_b"))
+        .limit(JAC_TOPK)
+    )
+
+
+_SQL_JACCARD = f"""
+WITH sig AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS n_orders FROM (
+      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) GROUP BY src, dst
+  ) WHERE n_orders >= {TRI_MIN_ORDERS}
+),
+nb AS MATERIALIZED (
+  SELECT src, dst FROM sig UNION ALL SELECT dst, src FROM sig
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM nb GROUP BY src),
+common AS (
+  SELECT n1.dst AS u, n2.dst AS v, count(*) AS common
+  FROM nb n1 JOIN nb n2 ON n1.src = n2.src AND n1.dst < n2.dst
+  GROUP BY n1.dst, n2.dst
+),
+non_adj AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM sig e WHERE e.src = c.u AND e.dst = c.v)
+)
+SELECT n.u AS part_a, n.v AS part_b, n.common,
+       (n.common * 1000000) // (du.deg + dv.deg - n.common) AS jaccard_ppm
+FROM non_adj n
+JOIN deg du ON du.node = n.u
+JOIN deg dv ON dv.node = n.v
+ORDER BY jaccard_ppm DESC, common DESC, part_a ASC, part_b ASC
+LIMIT {JAC_TOPK}
+"""
+
+QUERIES["graph_jaccard_neighbors"] = (q_graph_jaccard_neighbors, _SQL_JACCARD)

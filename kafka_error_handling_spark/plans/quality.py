@@ -821,3 +821,80 @@ GROUP BY grp
 """
 
 QUERIES["quality_breach_streaks"] = (q_breach_streaks, SQL_BREACH_STREAKS)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-partition balance: what salting actually buys
+# ---------------------------------------------------------------------------
+
+_PB_BUCKETS = 32
+_PB_SALTS = 4
+
+
+def q_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducer-balance report for the events user_id shuffle, raw vs
+    salted: (scheme, n_buckets, min_rows, max_rows, imbalance_ppm) where
+    imbalance = max_bucket * n_buckets * 1e6 / total (1e6 = perfectly
+    uniform).  `quality_key_skew` profiles the KEY distribution; this
+    gate profiles what the shuffle layer actually sees — a straggler
+    forecast.  The salted scheme appends a per-row salt in [0, 4) to the
+    hash input (the standard skew-join mitigation; downstream the 4
+    partial aggregates re-merge on the unsalted key).  Deterministic md5
+    bucketing stands in for the engine's hash partitioner so the oracle
+    can reproduce it."""
+    e = _t(spark, sf_dir, "events")
+    from ..datapipe.sampling import hash_bucket
+
+    raw_b = hash_bucket(F.col("user_id").cast("string")) % _PB_BUCKETS
+    salted_key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        (F.col("event_id") % _PB_SALTS).cast("string"),
+    )
+    salted_b = hash_bucket(salted_key) % _PB_BUCKETS
+    schemes = []
+    for scheme, b in (("raw", raw_b), ("salted", salted_b)):
+        schemes.append(
+            e.select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.lit(scheme).alias("scheme"),
+                F.lit(_PB_BUCKETS).alias("n_buckets"),
+                F.min("n").alias("min_rows"),
+                F.max("n").alias("max_rows"),
+                F.expr(
+                    f"(max(n) * {_PB_BUCKETS} * 1000000) DIV sum(n)"
+                ).alias("imbalance_ppm"),
+            )
+        )
+    return schemes[0].unionByName(schemes[1])
+
+
+_SQL_PARTITION_BALANCE = f"""
+WITH raw_b AS (
+  SELECT (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) % {_PB_BUCKETS} AS bucket
+  FROM events
+), salted_b AS (
+  SELECT (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || '|' ||
+                                   CAST(event_id % {_PB_SALTS} AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000000) % {_PB_BUCKETS} AS bucket
+  FROM events
+), raw_c AS (SELECT bucket, count(*) AS n FROM raw_b GROUP BY bucket),
+salted_c AS (SELECT bucket, count(*) AS n FROM salted_b GROUP BY bucket)
+SELECT 'raw' AS scheme, {_PB_BUCKETS} AS n_buckets,
+       min(n) AS min_rows, max(n) AS max_rows,
+       CAST((max(n) * {_PB_BUCKETS} * 1000000) // sum(n) AS BIGINT)
+         AS imbalance_ppm
+FROM raw_c
+UNION ALL
+SELECT 'salted', {_PB_BUCKETS}, min(n), max(n),
+       CAST((max(n) * {_PB_BUCKETS} * 1000000) // sum(n) AS BIGINT)
+FROM salted_c
+"""
+
+QUERIES["quality_partition_balance"] = (
+    q_partition_balance,
+    _SQL_PARTITION_BALANCE,
+)

@@ -94,6 +94,14 @@ _PRIORITY = [
     "sketch_hll_estimate",
     "graph_triangles",
     "layout_zorder_pruning",
+    "graph_clustering_coeff",
+    "graph_jaccard_neighbors",
+    "embedding_knn_pq",
+    "embedding_pq_recall",
+    "sample_kfold",
+    "quality_partition_balance",
+    "dedup_lsh_s_curve",
+    "sketch_hll_windowed",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",

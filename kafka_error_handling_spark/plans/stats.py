@@ -564,3 +564,152 @@ FROM picked
 """
 
 QUERIES["sketch_hll_estimate"] = (q_sketch_hll_estimate, _SQL_HLL_EST)
+
+
+# ---------------------------------------------------------------------------
+# Windowed HLL: the approximate-distinct dashboard series
+# ---------------------------------------------------------------------------
+
+_HLL_WINDOW_S = 21600  # 6h tumbling, same epoch bucketing as quality_error_slo
+
+
+def q_sketch_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-6h-window approximate distinct users with the full estimator
+    (raw + linear-counting switch), exact answer riding along — the
+    time-series a 100 TB event pipeline actually publishes.  The window
+    dimension changes the aggregation shape, not the sketch: registers
+    combine per (window, bucket) with map-side partial max, one exchange
+    keyed on the window carries <= 64 small ints per window per task, and
+    absent buckets ARE the zero registers (present buckets always have
+    rho >= 1), so no spine join is needed.  Streaming mergeability of the
+    same registers is pinned by
+    ``test_streaming_hll_registers_merge_across_batches``."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = F.expr(f"unix_timestamp(ts) DIV {_HLL_WINDOW_S}")
+    rho = F.when(F.col("w0") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w0")))
+    )
+    regs = (
+        e.select(w.alias("win"), h.alias("h"))
+        .select(
+            "win",
+            F.expr(f"h DIV {1 << _HLL_W_BITS}").alias("bucket"),
+            (F.col("h") % (1 << _HLL_W_BITS)).alias("w0"),
+        )
+        .select("win", "bucket", rho.alias("rho"))
+        .groupBy("win", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    sk = regs.groupBy("win").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(
+                f"cast(pow(2, {_HLL_REG_CLAMP} - least(register, {_HLL_REG_CLAMP}))"
+                " as bigint)"
+            )
+        ).alias("denom_present"),
+    )
+    exact = (
+        e.select(w.alias("win"), "user_id")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    t_const = (HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000
+    ln_arr = F.array(*[F.lit(x) for x in _HLL_LN64_PPM[1:]])
+    out = (
+        sk.join(exact, "win")
+        .withColumn("n_zero_registers", F.lit(HLL_M) - F.col("n_present"))
+        .withColumn(
+            "denom_scaled",
+            F.col("denom_present")
+            + F.col("n_zero_registers") * (1 << _HLL_REG_CLAMP),
+        )
+        .withColumn("ln_ppm", ln_arr)
+        .withColumn(
+            "raw_est", F.expr(f"({_HLL_ALPHA_PPM} * {t_const}) DIV denom_scaled")
+        )
+        .withColumn(
+            "use_lc",
+            (F.col("n_zero_registers") > 0) & (F.col("raw_est") <= 5 * HLL_M // 2),
+        )
+    )
+    lc = F.expr(
+        f"({HLL_M} * element_at(ln_ppm, cast(n_zero_registers as int))) DIV 1000000"
+    )
+    return out.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("win") * _HLL_WINDOW_S), "yyyy-MM-dd HH:mm:ss"
+        ).alias("window_start"),
+        F.when(F.col("use_lc"), lc).otherwise(F.col("raw_est")).alias("est_distinct"),
+        F.when(F.col("use_lc"), F.lit("linear_counting"))
+        .otherwise(F.lit("raw"))
+        .alias("estimator"),
+        "exact_distinct",
+        "n_zero_registers",
+    ).withColumn(
+        "abs_err_ppm",
+        F.expr("(abs(est_distinct - exact_distinct) * 1000000) DIV exact_distinct"),
+    )
+
+
+_SQL_HLL_WINDOWED = f"""
+WITH hashed AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // {_HLL_WINDOW_S} AS win,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+), rho AS (
+  SELECT win, h // {1 << _HLL_W_BITS} AS bucket,
+         CASE WHEN h % {1 << _HLL_W_BITS} = 0 THEN {_HLL_W_BITS + 1}
+              ELSE {_HLL_W_BITS + 1} - length(bin(h % {1 << _HLL_W_BITS}))
+         END AS rho
+  FROM hashed
+), regs AS (
+  SELECT win, bucket, max(rho) AS register FROM rho GROUP BY win, bucket
+), sk AS (
+  SELECT win, count(*) AS n_present,
+         CAST(sum(CAST(pow(2, {_HLL_REG_CLAMP} - least(register, {_HLL_REG_CLAMP}))
+                  AS BIGINT)) AS BIGINT) AS denom_present
+  FROM regs GROUP BY win
+), ex AS (
+  SELECT win, count(*) AS exact_distinct FROM (
+    SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // {_HLL_WINDOW_S} AS win,
+           user_id
+    FROM events
+  ) GROUP BY win
+), est AS (
+  SELECT s.win, s.n_present, e.exact_distinct,
+         {HLL_M} - s.n_present AS n_zero_registers,
+         s.denom_present + ({HLL_M} - s.n_present) * {1 << _HLL_REG_CLAMP}
+           AS denom_scaled,
+         [{", ".join(str(x) for x in _HLL_LN64_PPM[1:])}]::BIGINT[] AS ln_ppm
+  FROM sk s JOIN ex e ON s.win = e.win
+), picked AS (
+  SELECT win, exact_distinct, n_zero_registers,
+         CASE WHEN use_lc
+              THEN ({HLL_M} * ln_ppm[CAST(n_zero_registers AS INT)]) // 1000000
+              ELSE raw_est END AS est_distinct,
+         CASE WHEN use_lc THEN 'linear_counting' ELSE 'raw' END AS estimator
+  FROM (
+    SELECT *,
+           ({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
+             // denom_scaled AS raw_est,
+           n_zero_registers > 0 AND
+           (({_HLL_ALPHA_PPM} * {(HLL_M * HLL_M * (1 << _HLL_REG_CLAMP)) // 1_000_000})
+             // denom_scaled) <= {5 * HLL_M // 2} AS use_lc
+    FROM est
+  )
+)
+SELECT strftime(make_timestamp(win * {_HLL_WINDOW_S} * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       est_distinct, estimator, exact_distinct, n_zero_registers,
+       (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct
+         AS abs_err_ppm
+FROM picked
+"""
+
+QUERIES["sketch_hll_windowed"] = (q_sketch_hll_windowed, _SQL_HLL_WINDOWED)

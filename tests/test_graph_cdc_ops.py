@@ -748,3 +748,31 @@ def test_zorder_interleave_tiles(spark):
         assert r["max1"] - r["min1"] < 16 and r["max2"] - r["min2"] < 16
         assert r["min1"] // 16 == r["max1"] // 16
         assert r["min2"] // 16 == r["max2"] // 16
+
+
+def test_s_curve_identical_docs_always_candidates(spark):
+    """Two byte-identical docs have Jaccard 1.0 (decile 9) and identical
+    signatures — every band agrees, so the measured candidate rate in
+    decile 9 must be 1e6 ppm exactly; theory agrees within rounding."""
+    from kafka_error_handling_spark.datapipe.dedup import (
+        _SCURVE_THEORY_PPM,
+        SCURVE_SAMPLE_MOD,
+    )
+
+    assert _SCURVE_THEORY_PPM[9] >= 999_000
+    # build via the public gate path: monkeypatch-free — feed docs whose
+    # ids are multiples of the sample mod so both survive the filter
+    import kafka_error_handling_spark.datapipe.dedup as dd
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(0, "the same exact text body"), (SCURVE_SAMPLE_MOD, "the same exact text body")],
+        "doc_id long, text string",
+    )
+    sh = dd._shingle_df(d, "doc_id", "text")
+    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    sig = dd.minhash_signature_from_hashes(sh)
+    rows = sig.collect()
+    assert rows[0].asDict() == {**rows[1].asDict(), "doc_id": rows[0]["doc_id"]}
+    s = sets.collect()
+    assert sorted(s[0]["hs"]) == sorted(s[1]["hs"])

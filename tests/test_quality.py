@@ -79,3 +79,19 @@ def test_fk_orphans_finds_only_orphans(spark):
     parent = spark.createDataFrame([(1,), (2,)], "pk int")
     got = sorted(r["fk"] for r in fk_orphans(child, parent, "fk", "pk").collect())
     assert got == [9]
+
+
+def test_partition_balance_schemes_cover_all_rows(spark, sf_dir):
+    """Both schemes must account for every event row (min <= max, 32
+    buckets each) and report imbalance >= 1e6 (uniform floor)."""
+    from kafka_error_handling_spark.plans.quality import q_partition_balance
+
+    rows = {r["scheme"]: r for r in q_partition_balance(spark, sf_dir).collect()}
+    assert set(rows) == {"raw", "salted"}
+    for r in rows.values():
+        assert r["n_buckets"] == 32
+        assert 0 < r["min_rows"] <= r["max_rows"]
+        assert r["imbalance_ppm"] >= 1_000_000
+    # the schemes partition the SAME row set — a salted max above the raw
+    # TOTAL would mean rows were duplicated or dropped
+    assert rows["salted"]["max_rows"] <= rows["raw"]["max_rows"] * 32

@@ -139,3 +139,41 @@ def test_knn_arrow_query_set_size_guard(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(S, "MAX_QUERY_VECTORS", 10)
     with pytest.raises(ValueError, match="MAX_QUERY_VECTORS"):
         S.knn_bruteforce_arrow(e, e)
+
+
+def test_pq_centroid_vectors_reconstruct_exactly(spark, sf_dir):
+    """A corpus vector that IS a sub-codebook centroid (vec_id < PQ_K)
+    must encode to itself in every subspace (sub-distance 0, tie-break
+    moot) and reconstruct bit-exactly — the zero-distortion fixpoint of
+    the quantizer."""
+    from kafka_error_handling_spark.datapipe.similarity import (
+        PQ_K,
+        PQ_M,
+        _dvec,
+        pq_codebook,
+        pq_codes,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e)
+    codes = pq_codes(e.filter(F.col("vec_id") < PQ_K), cb)
+    rows = codes.collect()
+    assert len(rows) == PQ_K * PQ_M
+    assert all(r["code"] == r["vec_id"] for r in rows)
+
+
+def test_kfold_partitions_and_is_split_independent(spark, sf_dir):
+    """Every doc gets exactly one fold in [0, 5); the fold must not be
+    correlated with assign_split's train/val/test label (both are salted
+    differently off the same key)."""
+    from kafka_error_handling_spark.datapipe.sampling import assign_split, kfold_assign
+    from kafka_error_handling_spark.sources.files import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    f = kfold_assign(assign_split(d, "doc_id", {"train": 0.8, "val": 0.2}), "doc_id")
+    folds = f.groupBy("fold").count().collect()
+    assert {r["fold"] for r in folds} == {0, 1, 2, 3, 4}
+    # independence: every (split, fold) cell populated at 500 docs
+    cells = f.groupBy("split", "fold").count().collect()
+    assert len(cells) == 10

@@ -703,3 +703,44 @@ def test_streaming_log_compaction_matches_batch(spark, tmp_path):
     )
     want = {r["k"]: (r["ev"], r["n_superseded"]) for r in batch.collect()}
     assert got == want == {2: ("b", 1), 3: ("c", 0)}
+
+
+def test_streaming_hll_registers_merge_across_batches(spark, tmp_path):
+    """HLL registers are a mergeable semigroup: accumulating elementwise
+    maxes per micro-batch must equal the one-shot batch sketch over the
+    union of the data — the property that lets a stream maintain an
+    approximate-distinct dashboard without keeping the key set in state."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.plans.stats import HLL_M, hll_registers
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # three files -> (with maxFilesPerTrigger=1) three micro-batches
+    for i, lo_hi in enumerate([(0, 40), (30, 80), (75, 130)]):
+        with open(src / f"b{i}.json", "w") as f:
+            for v in range(*lo_hi):
+                f.write(json.dumps({"user_id": v}) + "\n")
+
+    merged = {b: 0 for b in range(HLL_M)}
+
+    def absorb(batch_df, _bid):
+        for r in hll_registers(batch_df, F.col("user_id")).collect():
+            merged[r["bucket"]] = max(merged[r["bucket"]], r["register"])
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    batch = spark.createDataFrame([(v,) for v in range(130)], "user_id long")
+    expected = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(batch, F.col("user_id")).collect()
+    }
+    assert merged == expected
