@@ -199,6 +199,9 @@ EXTENDED = [
     "quality_partition_balance",
     "dedup_lsh_s_curve",
     "sketch_hll_windowed",
+    "embedding_knn_ivfpq",
+    "embedding_ivfpq_recall",
+    "quality_double_charge",
 ]
 
 

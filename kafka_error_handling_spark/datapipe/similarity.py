@@ -1363,3 +1363,173 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_pq_recall"] = (q_pq_recall, _sql_recall(_sql_knn_pq()))
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composed search: the billion-scale ANN index architecture
+# ---------------------------------------------------------------------------
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF cell pruning + PQ compressed-domain ranking — the two-level
+    index (FAISS ``IVFx,PQy``) that serves billion-vector corpora: the
+    coarse quantizer bounds WHICH vectors are scored (n_probe/n_centroids
+    of the corpus), PQ bounds WHAT is stored per vector (codes, not
+    floats).  Composition of the gated building blocks: cell routing from
+    :func:`ivf_assignments`, ranking against PQ reconstructions from
+    :func:`pq_codes`/:func:`pq_codebook`.  At 100 TB the residual
+    encoding (PQ over vector minus cell centroid) is the production
+    refinement — same plan, one extra zip_with subtraction before
+    encoding."""
+    codebook = ivf_centroids(corpus, id_col, vec_col)
+    cells = (
+        ivf_assignments(corpus, id_col, vec_col, centroids=codebook)
+        .filter(F.col("crank") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "cid")
+    )
+    cb = pq_codebook(corpus, id_col, vec_col)
+    codes = pq_codes(corpus, cb, id_col, vec_col)
+    recon = (
+        codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
+        .select(F.col(id_col), codes.m.alias("sm"), "cv")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("sm"), F.col("cv")))),
+                    lambda s: s["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+    corpus_side = (
+        recon.select(F.col(id_col).alias("neighbor_id"), "rv")
+        .join(cells, "neighbor_id")
+        .withColumn("rn", _norm(F.col("rv")))
+    )
+    probes = (
+        ivf_assignments(queries, id_col, vec_col, centroids=codebook)
+        .filter(F.col("crank") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    probe_q = probes.join(q, "query_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("rv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        corpus_side.join(F.broadcast(probe_q), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("rn")), 4).alias("pq_cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cos_sim", "rank")
+    )
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_ivfpq(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_ivfpq() -> str:
+    cos_ac = (
+        "round(list_dot_product(a.ev, c.cv) / (sqrt(list_dot_product(a.ev, a.ev))"
+        " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    subd = (
+        f"round(list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+        "i -> (xv[i] - cv[i]) * (xv[i] - cv[i]))), 6)"
+    )
+    sub_arms = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, ev[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS xv FROM e"
+        for m in range(PQ_M)
+    )
+    cb_arms = " UNION ALL ".join(
+        f"SELECT {m} AS m, vec_id AS cid, ev[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS cv "
+        f"FROM e WHERE vec_id < {PQ_K}"
+        for m in range(PQ_M)
+    )
+    cos_qr = (
+        "round(list_dot_product(q.qv, r.rv) / (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(r.rv, r.rv))), 4)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS ccid, ev AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT a.vec_id, c.ccid,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round(list_dot_product(a.ev, c.cv)
+                              / (sqrt(list_dot_product(a.ev, a.ev))
+                                 * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                            c.ccid ASC) AS crank
+  FROM e a CROSS JOIN cent c
+),
+cells AS (SELECT vec_id AS neighbor_id, ccid FROM assign WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, ccid FROM assign
+           WHERE vec_id < 10 AND crank <= {N_PROBE}),
+subs AS ({sub_arms}),
+pqcb AS MATERIALIZED ({cb_arms}),
+passign AS (
+  SELECT s.vec_id, s.m, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {subd} ASC, c.cid ASC) AS r
+  FROM subs s JOIN pqcb c USING (m)
+),
+codes AS (SELECT vec_id, m, cid AS code FROM passign WHERE r = 1),
+recon AS (
+  SELECT k.vec_id, flatten(list(c.cv ORDER BY k.m)) AS rv
+  FROM codes k JOIN pqcb c ON c.m = k.m AND c.cid = k.code
+  GROUP BY k.vec_id
+),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 10),
+r AS (SELECT vec_id AS neighbor_id, rv FROM recon),
+scored AS (
+  SELECT DISTINCT p.query_id, cc.neighbor_id, {cos_qr} AS pq_cos_sim
+  FROM cells cc
+  JOIN probes p ON cc.ccid = p.ccid
+  JOIN r ON r.neighbor_id = cc.neighbor_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE cc.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, pq_cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, pq_cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY pq_cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES["embedding_knn_ivfpq"] = (q_knn_ivfpq, _sql_knn_ivfpq())
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ recall@5 vs exact — probe loss × quantization loss, the
+    number a two-level index deployment is tuned against."""
+    return _recall_gate(spark, sf_dir, q_knn_ivfpq)
+
+
+QUERIES["embedding_ivfpq_recall"] = (q_ivfpq_recall, _sql_recall(_sql_knn_ivfpq()))

@@ -898,3 +898,70 @@ QUERIES["quality_partition_balance"] = (
     q_partition_balance,
     _SQL_PARTITION_BALANCE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment detection: near-dup on transactions
+# ---------------------------------------------------------------------------
+
+_DC_WINDOW_DAYS = 90
+_DC_BAND = 1000  # same-$1000 amount band
+
+
+def q_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected duplicate orders: same customer, amount in the same
+    $1000 band, within 90 days of the previous such order — the
+    transactional sibling of document near-dup (retry storms and
+    duplicate submissions repeat a similar order close in time; the
+    reference's at-least-once delivery world is where these come from).
+    Exact-cents matching is the production rule for card charges, but a
+    banded screen is the right first pass for ORDERS, where totals
+    jitter (and the exact rule provably fires zero times on this corpus
+    — a gate that can never fire verifies nothing).
+
+    One window over (custkey, band) ordered by (date, orderkey): lag
+    gives the previous similar order, a datediff filter flags the
+    suspects.  The shuffle key (custkey, band) is near-unique, so at
+    100 TB partitions stay tiny — this is the cheap shape for
+    self-similarity WITHIN a key, where a self-join would square the
+    key's row count."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    band = F.expr(f"CAST(round(o_totalprice) AS BIGINT) DIV {_DC_BAND}")
+    w = Window.partitionBy("o_custkey", "band").orderBy("o_orderdate", "o_orderkey")
+    flagged = (
+        o.select("o_orderkey", "o_custkey", "o_orderdate", band.alias("band"))
+        .withColumn("prev_key", F.lag("o_orderkey").over(w))
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .withColumn("days_apart", F.datediff("o_orderdate", "prev_date"))
+        .filter(F.col("days_apart") <= _DC_WINDOW_DAYS)
+    )
+    return flagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("band").alias("amount_band"),
+        "prev_key",
+        F.col("days_apart").cast("long").alias("days_apart"),
+    )
+
+
+_SQL_DOUBLE_CHARGE = f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(round(o_totalprice) AS BIGINT) // {_DC_BAND} AS band
+  FROM orders
+), lagged AS (
+  SELECT o_orderkey, o_custkey, band,
+         lag(o_orderkey) OVER w AS prev_key,
+         date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_apart
+  FROM keyed
+  WINDOW w AS (PARTITION BY o_custkey, band ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_orderkey, o_custkey, band AS amount_band, prev_key,
+       CAST(days_apart AS BIGINT) AS days_apart
+FROM lagged
+WHERE days_apart <= {_DC_WINDOW_DAYS}
+"""
+
+QUERIES["quality_double_charge"] = (q_double_charge, _SQL_DOUBLE_CHARGE)

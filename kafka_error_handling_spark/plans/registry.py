@@ -102,6 +102,9 @@ _PRIORITY = [
     "quality_partition_balance",
     "dedup_lsh_s_curve",
     "sketch_hll_windowed",
+    "embedding_knn_ivfpq",
+    "embedding_ivfpq_recall",
+    "quality_double_charge",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",

@@ -542,3 +542,19 @@ def test_layout_scan_prunes_columns(spark, sf_dir):
     for m in re.finditer(r"ReadSchema: (struct<[^>]*>)", plan):
         schema = m.group(1)
         assert "o_comment" not in schema and "o_totalprice" not in schema, schema
+
+
+def test_ivfpq_no_cartesian_and_single_window_double_charge(spark, sf_dir):
+    """IVFPQ: the only nested-loop joins are the two bounded
+    16-row-codebook coarse-quantization broadcasts — never a corpus
+    cartesian.  Double-charge: exactly one exchange (the (custkey, band)
+    window) and a column-pruned orders scan."""
+    from kafka_error_handling_spark.datapipe.similarity import q_knn_ivfpq
+    from kafka_error_handling_spark.plans.quality import q_double_charge
+
+    p1 = _plan(q_knn_ivfpq(spark, sf_dir))
+    assert "CartesianProduct" not in p1
+    assert p1.count("BroadcastNestedLoopJoin") == 2
+    p2 = _plan(q_double_charge(spark, sf_dir))
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert "o_comment" not in p2

@@ -177,3 +177,22 @@ def test_kfold_partitions_and_is_split_independent(spark, sf_dir):
     # independence: every (split, fold) cell populated at 500 docs
     cells = f.groupBy("split", "fold").count().collect()
     assert len(cells) == 10
+
+
+def test_ivfpq_recall_bounded_by_ivf(spark, sf_dir):
+    """IVF+PQ probes the SAME cells as IVF but ranks candidates through
+    the quantizer, so per-query recall@5 can only lose (modulo one slot
+    of rounded-cosine tie noise) — the dominance structure that makes
+    the two-level index a tuning ladder, not a lottery."""
+    from kafka_error_handling_spark.datapipe.similarity import (
+        q_ivf_recall,
+        q_ivfpq_recall,
+    )
+
+    ivf = {r["query_id"]: r["recall_at_5"] for r in q_ivf_recall(spark, sf_dir).collect()}
+    ivfpq = {
+        r["query_id"]: r["recall_at_5"] for r in q_ivfpq_recall(spark, sf_dir).collect()
+    }
+    assert set(ivf) == set(ivfpq)
+    for qid in ivf:
+        assert ivfpq[qid] <= ivf[qid] + 0.21
