@@ -202,6 +202,9 @@ EXTENDED = [
     "embedding_knn_ivfpq",
     "embedding_ivfpq_recall",
     "quality_double_charge",
+    "layout_compaction_plan",
+    "layout_encoding_advisor",
+    "quality_k_anonymity",
 ]
 
 

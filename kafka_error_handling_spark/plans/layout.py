@@ -199,3 +199,135 @@ FROM report JOIN matching USING (predicate)
 QUERIES = {
     "layout_zorder_pruning": (q_layout_zorder, _sql_layout()),
 }
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_ROWS = 1024
+
+
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE/compaction plan a table-maintenance job would emit
+    for the z-ordered layout: walk the 256 z-files in z order,
+    bin-packing consecutive files into output groups of ~4096 rows
+    (greedy prefix-sum binning: group = exclusive-cumsum DIV target —
+    deterministic, one window over a 256-row frame).  Packing
+    CONSECUTIVE z-files preserves the clustering the layout bought;
+    hash-packing would destroy it.  Output: per compacted group, the
+    input-file span and row count — the artifact the rewrite job
+    executes and the audit trail reviews.  Nothing here scales with row
+    count: the input is the per-file footer table."""
+    orders = _t(spark, sf_dir, "orders")
+    k1 = "o_custkey % 256"
+    k2 = f"datediff(o_orderdate, '{_DATE_EPOCH}') DIV {_DATE_DIV}"
+    z = _interleave_sql("k1", "k2", "DIV")
+    files = (
+        orders.select(
+            F.expr(k1).cast("long").alias("k1"), F.expr(k2).cast("long").alias("k2")
+        )
+        .select(F.expr(f"({z}) DIV {1 << _FILE_SHIFT}").alias("zfile"))
+        .groupBy("zfile")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("zfile").rowsBetween(Window.unboundedPreceding, -1)
+    planned = files.withColumn(
+        "grp",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / F.lit(_COMPACT_TARGET_ROWS),
+    ).withColumn("grp", F.floor("grp").cast("long"))
+    return planned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_input_files"),
+        F.min("zfile").alias("first_file"),
+        F.max("zfile").alias("last_file"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def _sql_compaction() -> str:
+    k1 = "o_custkey % 256"
+    k2 = f"date_diff('day', DATE '{_DATE_EPOCH}', o_orderdate) // {_DATE_DIV}"
+    z = _interleave_sql("k1", "k2", "//")
+    return f"""
+WITH files AS (
+  SELECT zfile, count(*) AS n_rows FROM (
+    SELECT ({z}) // {1 << _FILE_SHIFT} AS zfile
+    FROM (SELECT {k1} AS k1, {k2} AS k2 FROM orders)
+  ) GROUP BY zfile
+),
+planned AS (
+  SELECT zfile, n_rows,
+         CAST(coalesce(sum(n_rows) OVER (ORDER BY zfile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_COMPACT_TARGET_ROWS} AS BIGINT) AS grp
+  FROM files
+)
+SELECT grp, count(*) AS n_input_files,
+       min(zfile) AS first_file, max(zfile) AS last_file,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows
+FROM planned GROUP BY grp
+"""
+
+
+QUERIES["layout_compaction_plan"] = (q_layout_compaction_plan, _sql_compaction())
+
+
+# ---------------------------------------------------------------------------
+# Column-encoding advisor
+# ---------------------------------------------------------------------------
+
+_ENC_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice", "o_orderkey"]
+_ENC_DICT_THRESHOLD_PPM = 100_000  # dictionary-encode below 10% distinct
+
+
+def q_layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column encoding decision for the orders table: distinct ratio
+    (ppm) and average rendered width decide dictionary vs plain encoding
+    — the choice parquet writers make per row group, surfaced as a
+    table-level advisory the way a 100 TB layout review actually
+    consumes it.  One pass per column over a pruned scan (count +
+    count distinct + avg length are map-combinable); the output is five
+    rows, the input never leaves the executors."""
+    o = _t(spark, sf_dir, "orders")
+    parts = []
+    for c in _ENC_COLS:
+        parts.append(
+            o.select(F.col(c).cast("string").alias("v")).agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("v").alias("n_distinct"),
+                F.expr("(count(DISTINCT v) * 1000000) DIV count(*)").alias(
+                    "distinct_ppm"
+                ),
+                F.expr("sum(length(v)) DIV count(*)").alias("avg_len"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "recommend_dict", F.col("distinct_ppm") < _ENC_DICT_THRESHOLD_PPM
+    )
+
+
+def _sql_encoding() -> str:
+    arms = " UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+         count(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+         (count(DISTINCT CAST({c} AS VARCHAR)) * 1000000) // count(*)
+           AS distinct_ppm,
+         CAST(sum(length(CAST({c} AS VARCHAR))) AS BIGINT) // count(*)
+           AS avg_len
+  FROM orders"""
+        for c in _ENC_COLS
+    )
+    return f"""
+SELECT column_name, n_rows, n_distinct, distinct_ppm, avg_len,
+       distinct_ppm < {_ENC_DICT_THRESHOLD_PPM} AS recommend_dict
+FROM ({arms})
+"""
+
+
+QUERIES["layout_encoding_advisor"] = (q_layout_encoding_advisor, _sql_encoding())

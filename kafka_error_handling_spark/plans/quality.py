@@ -965,3 +965,47 @@ WHERE days_apart <= {_DC_WINDOW_DAYS}
 """
 
 QUERIES["quality_double_charge"] = (q_double_charge, _SQL_DOUBLE_CHARGE)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: re-identification risk before data release
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+_KANON_BAL_BAND = 1000  # acctbal quasi-identifier coarsened to $1000 bands
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier groups smaller than k=5 over customers — the
+    re-identification risk audit run before any customer-derived dataset
+    leaves the platform (a (segment, nation, balance-band) combination
+    shared by fewer than k people identifies them).  Training-data
+    governance is part of the 100 TB pipeline, not an afterthought: this
+    is the gate a release job must pass, and the violating-groups
+    listing is what the remediation (further coarsening or suppression)
+    consumes.  One map-combined aggregate; the output is bounded by the
+    quasi-identifier domain, not the row count."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.expr(f"CAST(floor(c_acctbal / {_KANON_BAL_BAND}) AS BIGINT)")
+    return (
+        c.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+            band.alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < _KANON_K)
+    )
+
+
+_SQL_K_ANONYMITY = f"""
+SELECT c_mktsegment AS segment,
+       CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(floor(c_acctbal / {_KANON_BAL_BAND}) AS BIGINT) AS bal_band,
+       count(*) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < {_KANON_K}
+"""
+
+QUERIES["quality_k_anonymity"] = (q_k_anonymity, _SQL_K_ANONYMITY)

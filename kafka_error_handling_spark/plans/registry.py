@@ -105,6 +105,9 @@ _PRIORITY = [
     "embedding_knn_ivfpq",
     "embedding_ivfpq_recall",
     "quality_double_charge",
+    "layout_compaction_plan",
+    "layout_encoding_advisor",
+    "quality_k_anonymity",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",
