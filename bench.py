@@ -205,6 +205,9 @@ EXTENDED = [
     "layout_compaction_plan",
     "layout_encoding_advisor",
     "quality_k_anonymity",
+    "embedding_hard_negatives",
+    "quality_split_leakage",
+    "events_ab_test",
 ]
 
 

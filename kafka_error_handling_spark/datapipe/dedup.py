@@ -1600,3 +1600,91 @@ FROM agg
 
 
 QUERIES["dedup_lsh_s_curve"] = (q_lsh_s_curve, _sql_lsh_s_curve())
+
+
+# ---------------------------------------------------------------------------
+# Cross-split duplicate leakage: the contamination audit
+# ---------------------------------------------------------------------------
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate pairs that CROSS train/val/test boundaries — the
+    test-set contamination auditor.  A duplicated document with copies
+    in train AND test silently inflates eval scores; this gate counts
+    those pairs for every split combination.
+
+    Scale shape: pairs are NEVER materialized — per digest group the
+    per-split copy counts (t, v, s) are enough: within-split pairs are
+    C(n,2), cross-split pairs are n_i*n_j, summed across groups in one
+    map-combined aggregate.  The same identity is what makes this audit
+    runnable on a 100 TB corpus where the dup-pair set itself is
+    quadratic in the biggest group."""
+    from .sampling import assign_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = assign_split(d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    per_digest = (
+        s.select(content_hash(F.col("text")).alias("h"), "split")
+        .groupBy("h")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("t"),
+            F.sum((F.col("split") == "val").cast("long")).alias("v"),
+            F.sum((F.col("split") == "test").cast("long")).alias("s"),
+        )
+    )
+    totals = per_digest.agg(
+        F.sum(F.expr("(t * (t - 1)) DIV 2")).alias("train_train"),
+        F.sum(F.expr("(v * (v - 1)) DIV 2")).alias("val_val"),
+        F.sum(F.expr("(s * (s - 1)) DIV 2")).alias("test_test"),
+        F.sum(F.expr("t * v")).alias("train_val"),
+        F.sum(F.expr("t * s")).alias("train_test"),
+        F.sum(F.expr("v * s")).alias("val_test"),
+    )
+    return totals.selectExpr(
+        "stack(6, 'train_train', train_train, 'val_val', val_val,"
+        " 'test_test', test_test, 'train_val', train_val,"
+        " 'train_test', train_test, 'val_test', val_test)"
+        " AS (split_pair, n_dup_pairs)"
+    )
+
+
+def _sql_split_leakage() -> str:
+    b = (
+        "CAST(concat('0x', substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        " AS BIGINT) % 1000000"
+    )
+    t, v = int(0.90 * 1_000_000), int(0.95 * 1_000_000)
+    return f"""
+WITH labeled AS (
+  SELECT md5(text) AS h,
+         CASE WHEN {b} < {t} THEN 'train'
+              WHEN {b} < {v} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per_digest AS (
+  SELECT h,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM labeled GROUP BY h
+),
+totals AS (
+  SELECT CAST(sum((t * (t - 1)) // 2) AS BIGINT) AS train_train,
+         CAST(sum((v * (v - 1)) // 2) AS BIGINT) AS val_val,
+         CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS test_test,
+         CAST(sum(t * v) AS BIGINT) AS train_val,
+         CAST(sum(t * s) AS BIGINT) AS train_test,
+         CAST(sum(v * s) AS BIGINT) AS val_test
+  FROM per_digest
+)
+SELECT 'train_train' AS split_pair, train_train AS n_dup_pairs FROM totals
+UNION ALL SELECT 'val_val', val_val FROM totals
+UNION ALL SELECT 'test_test', test_test FROM totals
+UNION ALL SELECT 'train_val', train_val FROM totals
+UNION ALL SELECT 'train_test', train_test FROM totals
+UNION ALL SELECT 'val_test', val_test FROM totals
+"""
+
+
+QUERIES["quality_split_leakage"] = (q_split_leakage, _sql_split_leakage())

@@ -1533,3 +1533,75 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["embedding_ivfpq_recall"] = (q_ivfpq_recall, _sql_recall(_sql_knn_ivfpq()))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: the contrastive-training data generator
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar vectors with a DIFFERENT label per anchor —
+    hard negatives for contrastive training (easy negatives teach
+    nothing; the highest-similarity wrong-label examples carry the
+    gradient).  Same broadcast brute-force scoring as the exact kNN
+    baseline with one extra label-inequality predicate pushed into the
+    pair filter — at 100 TB the anchor set is the bounded side and the
+    corpus never shuffles; the bucketed LSH/IVF paths mine approximate
+    hard negatives with the identical predicate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 10)
+    q = anchors.select(
+        F.col("vec_id").alias("query_id"),
+        _dvec("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _dvec("embedding").alias("cv"),
+        F.col("label").alias("n_label"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            F.col("q_label").cast("long").alias("q_label"),
+            "neighbor_id",
+            F.col("n_label").cast("long").alias("n_label"),
+            F.round(dot / (F.col("qn") * F.col("cn")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "q_label", "neighbor_id", "n_label", "cos_sim", "rank")
+    )
+
+
+_SQL_HARD_NEGATIVES = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, ev AS qv, label AS q_label FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, CAST(q.q_label AS BIGINT) AS q_label,
+         c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS n_label,
+         round(list_dot_product(q.qv, c.ev)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.ev, c.ev))), 4) AS cos_sim
+  FROM e c CROSS JOIN q
+  WHERE c.label <> q.q_label
+)
+SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+QUERIES["embedding_hard_negatives"] = (q_hard_negatives, _SQL_HARD_NEGATIVES)

@@ -1788,3 +1788,77 @@ FROM agg
 """
 
 QUERIES["events_bot_regularity"] = (q_bot_regularity, SQL_BOT_REGULARITY)
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout
+# ---------------------------------------------------------------------------
+
+
+def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B readout: users hash into control/treatment
+    ('ab|' salt — independent of every other hash decision, same rule as
+    split/fold salting), conversion = any purchase event.  Output per
+    variant: users, converters, conversion ppm, plus the assignment
+    share ppm — the sample-ratio-mismatch (SRM) check an experiment
+    platform runs before trusting any lift number (a biased assignment
+    invalidates the readout regardless of the metric).  All integer; the
+    significance test belongs downstream (floats), the COUNTS are the
+    gate.  One user-keyed aggregate then a 2-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.select("user_id", (F.col("event_type") == "purchase").alias("p"))
+        .groupBy("user_id")
+        .agg(F.max("p").cast("long").alias("converted"))
+        .withColumn("variant", variant)
+    )
+    counts = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    total = counts.agg(F.sum("n_users").alias("total_users"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.expr("(n_converted * 1000000) DIV n_users").alias("conv_ppm"),
+            F.expr("(n_users * 1000000) DIV total_users").alias("assign_share_ppm"),
+        )
+    )
+
+
+_SQL_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS converted,
+         CASE WHEN CAST(concat('0x', substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant
+  FROM events GROUP BY user_id
+),
+counts AS (
+  SELECT variant, count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY variant
+),
+total AS (SELECT CAST(sum(n_users) AS BIGINT) AS total_users FROM counts)
+SELECT variant, n_users, n_converted,
+       (n_converted * 1000000) // n_users AS conv_ppm,
+       (n_users * 1000000) // total_users AS assign_share_ppm
+FROM counts CROSS JOIN total
+"""
+
+QUERIES["events_ab_test"] = (q_ab_test_readout, _SQL_AB_TEST)

@@ -108,6 +108,9 @@ _PRIORITY = [
     "layout_compaction_plan",
     "layout_encoding_advisor",
     "quality_k_anonymity",
+    "embedding_hard_negatives",
+    "quality_split_leakage",
+    "events_ab_test",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",

@@ -776,3 +776,30 @@ def test_s_curve_identical_docs_always_candidates(spark):
     assert rows[0].asDict() == {**rows[1].asDict(), "doc_id": rows[0]["doc_id"]}
     s = sets.collect()
     assert sorted(s[0]["hs"]) == sorted(s[1]["hs"])
+
+
+def test_split_leakage_counts_match_brute_force(spark, sf_dir):
+    """The C(n,2)/n_i*n_j identity must equal literally materializing the
+    dup pairs and classifying each — checked on the gate corpus."""
+    from itertools import combinations
+
+    from kafka_error_handling_spark.datapipe.dedup import q_split_leakage
+    from kafka_error_handling_spark.datapipe.sampling import assign_split
+    from kafka_error_handling_spark.sources.files import load_table
+
+    got = {r["split_pair"]: r["n_dup_pairs"] for r in q_split_leakage(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    s = assign_split(d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+    rows = s.select(F.md5("text").alias("h"), "split").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["h"]].append(r["split"])
+    expect = defaultdict(int)
+    for splits in groups.values():
+        for a, b in combinations(splits, 2):
+            key = "_".join(sorted((a, b), key=["train", "val", "test"].index))
+            expect[key] += 1
+    for pair in got:
+        assert got[pair] == expect.get(pair, 0), pair
