@@ -208,6 +208,10 @@ EXTENDED = [
     "embedding_hard_negatives",
     "quality_split_leakage",
     "events_ab_test",
+    "events_forecast_backtest",
+    "orders_backlog_curve",
+    "graph_bfs_depth",
+    "events_nested_activity",
 ]
 
 

@@ -1862,3 +1862,224 @@ FROM counts CROSS JOIN total
 """
 
 QUERIES["events_ab_test"] = (q_ab_test_readout, _SQL_AB_TEST)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+_FC_SEASON_DAYS = 7
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest over the daily event series: forecast(day)
+    = actual(day - 7), scored on every day with history, per event type.
+    The seasonal-naive baseline is what any production forecast must
+    beat, and its backtest is pure integer arithmetic — MAE and bias in
+    ppm of actual volume — so the whole evaluation is oracle-exact where
+    a fitted model's floats would not be.  Plan: one daily rollup (the
+    only row-count-bound stage), a self-join on (type, day-7) — an
+    equi-join on a tiny aggregate — and one summary aggregate."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("event_type"),
+            F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    fc = daily.select(
+        "event_type",
+        (F.col("day") + _FC_SEASON_DAYS).alias("day"),
+        F.col("actual").alias("forecast"),
+    )
+    scored = daily.join(fc, ["event_type", "day"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum("actual").alias("total_actual"),
+        F.expr(
+            "(sum(abs(actual - forecast)) * 1000000) DIV sum(actual)"
+        ).alias("mae_ppm"),
+        # over/under split instead of one signed bias: a negative numerator
+        # divides differently across engines (Spark DIV truncates toward
+        # zero, DuckDB // floors) — two non-negative parts are exact in both
+        F.expr(
+            "(sum(greatest(forecast - actual, 0)) * 1000000) DIV sum(actual)"
+        ).alias("over_ppm"),
+        F.expr(
+            "(sum(greatest(actual - forecast, 0)) * 1000000) DIV sum(actual)"
+        ).alias("under_ppm"),
+    )
+
+
+_SQL_FORECAST_BACKTEST = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         count(*) AS actual
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.event_type, a.actual, f.actual AS forecast
+  FROM daily a JOIN daily f
+    ON a.event_type = f.event_type AND a.day = f.day + {_FC_SEASON_DAYS}
+)
+SELECT event_type, count(*) AS n_days_scored,
+       CAST(sum(actual) AS BIGINT) AS total_actual,
+       CAST((sum(abs(actual - forecast)) * 1000000) // sum(actual) AS BIGINT)
+         AS mae_ppm,
+       CAST((sum(greatest(forecast - actual, 0)) * 1000000) // sum(actual) AS BIGINT)
+         AS over_ppm,
+       CAST((sum(greatest(actual - forecast, 0)) * 1000000) // sum(actual) AS BIGINT)
+         AS under_ppm
+FROM scored GROUP BY event_type
+"""
+
+QUERIES["events_forecast_backtest"] = (q_forecast_backtest, _SQL_FORECAST_BACKTEST)
+
+
+# ---------------------------------------------------------------------------
+# Order-backlog curve: sweep-line interval concurrency
+# ---------------------------------------------------------------------------
+
+
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak order backlog: an order is OPEN from o_orderdate until its
+    last lineitem ships; the backlog on a day is how many orders are
+    open.  Interval concurrency via the sweep line — +1 at open, -1
+    after close, running sum ordered by day — which is THE scale shape
+    for interval stabbing: materializing per-day open-order lists is
+    quadratic, the delta stream is 2 rows per order and one global
+    ordered window.  (The single global sort is the honest cost; at
+    100 TB one range-partitions by day and prefix-sums per partition
+    with a tiny offset exchange — same arithmetic.)  Top-20 peak days,
+    deterministic tie-break on day."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    close = l.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.expr("CAST(unix_timestamp(max(l_shipdate)) DIV 86400 AS BIGINT)").alias(
+            "close_day"
+        )
+    )
+    opens = o.select(
+        F.expr("CAST(unix_timestamp(CAST(o_orderdate AS timestamp)) DIV 86400 AS BIGINT)").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closes = close.select((F.col("close_day") + 1).alias("day"), F.lit(-1).alias("delta"))
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = deltas.withColumn("backlog", F.sum("d").over(w))
+    return (
+        curve.select("day", F.col("backlog").cast("long").alias("backlog"))
+        .orderBy(F.desc("backlog"), F.asc("day"))
+        .limit(20)
+    )
+
+
+_SQL_BACKLOG_CURVE = """
+WITH close AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(floor(epoch(max(l_shipdate))) AS BIGINT) // 86400 AS close_day
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS d FROM (
+    SELECT CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) // 86400
+             AS day, 1 AS delta
+    FROM orders
+    UNION ALL
+    SELECT close_day + 1, -1 FROM close
+  ) GROUP BY day
+),
+curve AS (
+  SELECT day, CAST(sum(d) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS backlog
+  FROM deltas
+)
+SELECT day, backlog FROM curve
+ORDER BY backlog DESC, day ASC
+LIMIT 20
+"""
+
+QUERIES["orders_backlog_curve"] = (q_backlog_curve, _SQL_BACKLOG_CURVE)
+
+
+# ---------------------------------------------------------------------------
+# Nested complex-type analytics: array-of-structs, no re-explode
+# ---------------------------------------------------------------------------
+
+_NESTED_LONG_GAP_S = 21600  # 6h
+
+
+def q_nested_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity digest computed INSIDE a nested array of
+    (epoch_s, event_type) structs: event count, long-gap count, max gap,
+    first/last type — one collect per user, then pure array HOFs
+    (sort_array, slice, zip_with, filter, aggregate).  This is the
+    complex-types surface a denormalized 100 TB event store exercises:
+    the nested list is built once and EVERY metric reads it in-place —
+    no second explode, no extra shuffle, no self-join.  The gap stream
+    is zip_with over the array against its own 1-shifted slice (the
+    array-domain lag())."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("es"),
+                F.col("event_type").alias("et"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("ev")).alias("evs"))
+    )
+    n = F.size("evs")
+    gaps = F.zip_with(
+        F.slice(F.col("evs"), 2, n - 1),
+        F.slice(F.col("evs"), 1, n - 1),
+        lambda a, b: a["es"] - b["es"],
+    )
+    return per_user.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.size(F.filter(gaps, lambda g: g > _NESTED_LONG_GAP_S))
+        .cast("long")
+        .alias("n_long_gaps"),
+        F.coalesce(F.array_max(gaps), F.lit(0)).cast("long").alias("max_gap_s"),
+        F.element_at("evs", 1)["et"].alias("first_type"),
+        F.element_at("evs", -1)["et"].alias("last_type"),
+    )
+
+
+_SQL_NESTED_ACTIVITY = f"""
+WITH per_user AS (
+  SELECT user_id,
+         list(struct_pack(es := CAST(floor(epoch(ts)) AS BIGINT), et := event_type)
+              ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_type) AS evs
+  FROM events GROUP BY user_id
+),
+gapped AS (
+  SELECT user_id, evs, len(evs) AS n,
+         list_transform(range(2, len(evs) + 1),
+                        i -> evs[i].es - evs[i-1].es) AS gaps
+  FROM per_user
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(len(list_filter(gaps, g -> g > {_NESTED_LONG_GAP_S})) AS BIGINT)
+         AS n_long_gaps,
+       CAST(coalesce(list_max(gaps), 0) AS BIGINT) AS max_gap_s,
+       evs[1].et AS first_type,
+       evs[-1].et AS last_type
+FROM gapped
+"""
+
+QUERIES["events_nested_activity"] = (q_nested_activity, _SQL_NESTED_ACTIVITY)

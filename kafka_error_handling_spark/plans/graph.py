@@ -516,3 +516,83 @@ LIMIT {JAC_TOPK}
 """
 
 QUERIES["graph_jaccard_neighbors"] = (q_graph_jaccard_neighbors, _SQL_JACCARD)
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS: the recursive-CTE capability, Spark-shaped
+# ---------------------------------------------------------------------------
+
+BFS_MAX_DEPTH = 3
+
+
+def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram from the lowest-id part over the support-2
+    co-purchase graph, depth <= 3: (depth, n_nodes).  This is the
+    recursive-CTE workload (WITH RECURSIVE in a warehouse) expressed the
+    scale-correct Spark way: a BOUNDED unrolled frontier expansion — each
+    hop is one join frontier->edges + one min-aggregate, the same
+    static-plan discipline as the PageRank fixpoint (no driver-side
+    convergence loop; deterministic cost).  The oracle unrolls the same
+    three hops as plain CTEs, so both engines evaluate the identical
+    bounded recursion."""
+    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    seed = both.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("depth")
+    )
+    visited = seed
+    frontier = seed
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        neighbors = (
+            frontier.join(both, frontier.node == both.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("depth"))
+        )
+        neighbors = neighbors.localCheckpoint(eager=True)  # cut lineage per hop
+        visited = visited.unionByName(neighbors)
+        frontier = neighbors
+    return visited.groupBy("depth").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_SQL_BFS = f"""
+WITH sig AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS n_orders FROM (
+      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) GROUP BY src, dst
+  ) WHERE n_orders >= {TRI_MIN_ORDERS}
+),
+nb AS MATERIALIZED (
+  SELECT src, dst FROM sig UNION ALL SELECT dst, src FROM sig
+),
+d0 AS (SELECT min(src) AS node FROM nb),
+d1 AS (
+  SELECT DISTINCT e.dst AS node FROM nb e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS node FROM nb e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.dst AS node FROM nb e JOIN d2 ON e.src = d2.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+    AND e.dst NOT IN (SELECT node FROM d1)
+    AND e.dst NOT IN (SELECT node FROM d2)
+)
+SELECT depth, count(*) AS n_nodes FROM (
+  SELECT 0 AS depth, node FROM d0
+  UNION ALL SELECT 1, node FROM d1
+  UNION ALL SELECT 2, node FROM d2
+  UNION ALL SELECT 3, node FROM d3
+) GROUP BY depth
+"""
+
+QUERIES["graph_bfs_depth"] = (q_graph_bfs_depth, _SQL_BFS)

@@ -111,6 +111,10 @@ _PRIORITY = [
     "embedding_hard_negatives",
     "quality_split_leakage",
     "events_ab_test",
+    "events_forecast_backtest",
+    "orders_backlog_curve",
+    "graph_bfs_depth",
+    "events_nested_activity",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",
