@@ -212,6 +212,8 @@ EXTENDED = [
     "orders_backlog_curve",
     "graph_bfs_depth",
     "events_nested_activity",
+    "text_boolean_search",
+    "vendor_scorecard",
 ]
 
 

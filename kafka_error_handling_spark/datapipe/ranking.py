@@ -252,3 +252,106 @@ FROM ranked WHERE rank <= {KEYWORDS_K}
 """
 
 QUERIES["text_tfidf_keywords"] = (q_tfidf_keywords, SQL_TFIDF_KEYWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive boolean search: AND semantics over the same scoring base
+# ---------------------------------------------------------------------------
+
+
+def boolean_and_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents containing EVERY query term, ranked by BM25 —
+    the conjunctive retrieval mode (`spark AND join AND window`).
+
+    Same fused-scan term-frequency base and broadcast corpus stats as
+    :func:`bm25_topk`; the AND constraint is one more pushed-down
+    predicate, so the plan difference between disjunctive and
+    conjunctive retrieval is exactly a filter — no inverted-index
+    intersection pass.  (An index-backed engine intersects posting
+    lists; the scan-based equivalent at 100 TB is this predicate over a
+    column-pruned scan, with the digest-bucketed layout doing the file
+    pruning.)"""
+    toks = F.split(F.col(text_col), " ")
+
+    def _tf(term):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)]
+    base = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    conj = base
+    for i in range(len(query_terms)):
+        conj = conj.filter(F.col(f"tf_{i}") > 0)
+    scored = conj.crossJoin(broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        score = score + idf * (tf * (_K1 + 1.0)) / norm
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("dl"),
+            (F.floor(score * 10000) / 10000.0).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return boolean_and_topk(d, _QUERY_TERMS[:2], k=20)
+
+
+def _sql_boolean_search() -> str:
+    terms = _QUERY_TERMS[:2]
+    tf = {
+        i: f"len(list_filter(string_split(text, ' '), t -> t = '{term}'))"
+        for i, term in enumerate(terms)
+    }
+    score_terms = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_K1} + 1.0))"
+        f" / (tf_{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    tf_select = ", ".join(f"{e} AS tf_{i}" for i, e in tf.items())
+    df_select = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    conj = " AND ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_select}
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_select} FROM base
+)
+SELECT doc_id, dl, floor((0.0 + {score_terms}) * 10000) / 10000.0 AS bm25
+FROM base CROSS JOIN stats
+WHERE {conj}
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+QUERIES["text_boolean_search"] = (q_boolean_search, _sql_boolean_search())

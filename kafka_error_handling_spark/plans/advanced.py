@@ -2083,3 +2083,105 @@ FROM gapped
 """
 
 QUERIES["events_nested_activity"] = (q_nested_activity, _SQL_NESTED_ACTIVITY)
+
+
+# ---------------------------------------------------------------------------
+# Flagship #6 composition: vendor scorecard
+# ---------------------------------------------------------------------------
+
+
+def q_vendor_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the per-supplier operations scorecard a
+    procurement review reads — revenue (exact integer cent-bps, same
+    unit as the pareto gate), revenue share, return rate, and p90
+    order-to-ship delay — as ONE plan over lineitem ⋈ orders ⋈ supplier.
+
+    Scale shape: all three metrics aggregate on the SAME l_suppkey
+    exchange; the order-date join brings o_orderdate to the lineitem
+    BEFORE aggregation (one shuffle keyed on the orderkey — the fact-
+    to-fact join every warehouse schema pays), and the supplier dim is
+    broadcast.  percentile_disc is exact by contract (the oracle
+    hashes); the 100 TB swap-in is approx_percentile with everything
+    else unchanged.  Top-20 by revenue, deterministic ties."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    unit = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round((1 - F.col("l_discount")) * 100).cast("long")
+    )
+    joined = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        unit.alias("rev"),
+        (F.col("l_returnflag") == "R").cast("long").alias("returned"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_d"),
+    )
+    per_supp = joined.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("rev").alias("rev_cbps"),
+        F.sum("returned").alias("n_returned"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_d)")
+        .cast("long")
+        .alias("p90_ship_delay_d"),
+    )
+    total = per_supp.agg(F.sum("rev_cbps").alias("total_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+            "l_suppkey",
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_lines",
+            "rev_cbps",
+            F.floor(
+                F.col("rev_cbps").cast("double")
+                * 1_000_000.0
+                / F.col("total_rev").cast("double")
+            )
+            .cast("long")
+            .alias("rev_share_ppm"),
+            F.expr("(n_returned * 1000000) DIV n_lines").alias("return_ppm"),
+            "p90_ship_delay_d",
+        )
+        .orderBy(F.desc("rev_cbps"), F.asc("suppkey"))
+        .limit(20)
+    )
+
+
+SQL_VENDOR_SCORECARD = """
+WITH joined AS (
+  SELECT l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS delay_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_supp AS (
+  SELECT l_suppkey, count(*) AS n_lines,
+         CAST(sum(rev) AS BIGINT) AS rev_cbps,
+         CAST(sum(returned) AS BIGINT) AS n_returned,
+         CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_d) AS BIGINT)
+           AS p90_ship_delay_d
+  FROM joined GROUP BY l_suppkey
+),
+total AS (SELECT CAST(sum(rev_cbps) AS BIGINT) AS total_rev FROM per_supp)
+SELECT p.l_suppkey AS suppkey, s.s_name, p.n_lines, p.rev_cbps,
+       CAST(floor(CAST(p.rev_cbps AS DOUBLE) * 1000000.0
+                  / CAST(t.total_rev AS DOUBLE)) AS BIGINT) AS rev_share_ppm,
+       (p.n_returned * 1000000) // p.n_lines AS return_ppm,
+       p.p90_ship_delay_d
+FROM per_supp p CROSS JOIN total t
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+ORDER BY p.rev_cbps DESC, suppkey ASC
+LIMIT 20
+"""
+
+QUERIES["vendor_scorecard"] = (q_vendor_scorecard, SQL_VENDOR_SCORECARD)

@@ -115,6 +115,8 @@ _PRIORITY = [
     "orders_backlog_curve",
     "graph_bfs_depth",
     "events_nested_activity",
+    "text_boolean_search",
+    "vendor_scorecard",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",
