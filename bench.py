@@ -214,6 +214,9 @@ EXTENDED = [
     "events_nested_activity",
     "text_boolean_search",
     "vendor_scorecard",
+    "events_conversion_windows",
+    "dedup_incremental_neardup",
+    "sample_weighting_ess",
 ]
 
 

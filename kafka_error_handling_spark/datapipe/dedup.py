@@ -1688,3 +1688,115 @@ UNION ALL SELECT 'val_test', val_test FROM totals
 
 
 QUERIES["quality_split_leakage"] = (q_split_leakage, _sql_split_leakage())
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: the batch-vs-history LSH probe
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ingestion screen: the newest 20% of docs (the
+    batch) probed against the rest (the history) at the BAND level —
+    per source, how many batch docs share at least one LSH band key
+    with history.  This is the production shape of incremental
+    near-dedup: history keeps its banded signature index (16 small-int
+    keys per doc); a batch probes with an equi-join on (band, key) and
+    never re-pairs history against itself — the cost scales with the
+    BATCH, which is the entire point versus re-running corpus-wide LSH
+    per ingest.  Signature machinery shared with the corpus-wide gates
+    (one explode + md5 pass over each side)."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(F.floor(F.max("doc_id") * 0.8).alias("cut"))
+    dd = d.crossJoin(F.broadcast(cut))
+    history = dd.filter(F.col("doc_id") < F.col("cut")).select("doc_id", "text")
+    batch = dd.filter(F.col("doc_id") >= F.col("cut")).select(
+        "doc_id", "source", "text"
+    )
+
+    def banded(frame):
+        sig = minhash_signature(frame)
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+        return sig.select(
+            "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+        )
+    hist_bands = banded(history).select("band", "bkey").distinct()
+    batch_bands = banded(batch)
+    hits = (
+        batch_bands.join(hist_bands, ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        batch.join(hits.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.coalesce("near_dup", F.lit(False)).cast("long")).alias(
+                "n_near_dup_hits"
+            ),
+        )
+    )
+
+
+def _sql_incremental_neardup() -> str:
+    mins = ", ".join(
+        f"min(({_A[i]}::BIGINT * h + {_B[i]}) % {MH_PRIME}) AS mh{i}"
+        for i in range(NUM_PERM)
+    )
+    k = SHINGLE_K
+    band_arms = " UNION ALL ".join(
+        "SELECT doc_id, "
+        + str(b)
+        + " AS band, "
+        + "||'_'||".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS bkey FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH cut AS (SELECT floor(max(doc_id) * 0.8) AS c FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, {_DUCK_H.format(x='sh')} AS h FROM (
+    SELECT doc_id, unnest([text[i:i+{k - 1}] for i in
+            range(1, greatest(length(text)-{k - 1}, 1) + 1)]) AS sh
+    FROM documents)
+),
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS MATERIALIZED ({band_arms}),
+hist AS (
+  SELECT DISTINCT band, bkey FROM banded, cut WHERE doc_id < c
+),
+batch_hits AS (
+  SELECT DISTINCT b.doc_id FROM banded b, cut
+  WHERE b.doc_id >= c
+    AND EXISTS (SELECT 1 FROM hist h
+                WHERE h.band = b.band AND h.bkey = b.bkey)
+)
+SELECT d.source, count(*) AS n_batch,
+       CAST(sum(CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup_hits
+FROM documents d CROSS JOIN cut
+LEFT JOIN batch_hits bh ON bh.doc_id = d.doc_id
+WHERE d.doc_id >= c
+GROUP BY d.source
+"""
+
+
+QUERIES["dedup_incremental_neardup"] = (
+    q_incremental_neardup,
+    _sql_incremental_neardup(),
+)

@@ -1052,3 +1052,74 @@ GROUP BY 1, 2
 """
 
 QUERIES["sample_kfold"] = (q_sample_kfold, _SQL_KFOLD)
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of the quality weighting
+# ---------------------------------------------------------------------------
+
+
+def q_weighting_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source effective sample size of the quality weighting:
+    ESS = (Σw)² / Σw² — the diagnostic that says how many UNIFORM
+    samples the weighted corpus is worth (ESS ≪ n means a few heavy
+    documents dominate and the weighted estimates are noisy).  Weights
+    are the same quality score the weighted sampler uses, fixed to
+    integer ppm so every sum is exact int64 (a float Σw would be
+    summation-order dependent and unhashable); at 100 TB row counts the
+    squared sums need one more level of scaling (or a DECIMAL
+    accumulator) — the formula and the single map-combined aggregate
+    per source are unchanged."""
+    from .text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    w_ppm = F.expr(
+        "CAST(floor((q + 0.01) * 1000000) AS BIGINT)"
+    )
+    base = d.select(
+        "source", quality_score(F.col("text")).alias("q")
+    ).select("source", w_ppm.alias("w"))
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("sum_w_ppm"),
+            F.sum(F.expr("w * w")).alias("sum_w2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_w_ppm",
+            F.expr("(sum_w_ppm * sum_w_ppm) DIV sum_w2").alias("ess"),
+            F.expr(
+                "(((sum_w_ppm * sum_w_ppm) DIV sum_w2) * 1000000) DIV n_docs"
+            ).alias("ess_ratio_ppm"),
+        )
+    )
+
+
+def _sql_weighting_ess() -> str:
+    from .text import SQL_TEXT_QUALITY
+
+    return f"""
+WITH q AS ({SQL_TEXT_QUALITY}),
+base AS (
+  SELECT d.source,
+         CAST(floor((q.quality + 0.01) * 1000000) AS BIGINT) AS w
+  FROM documents d JOIN q USING (doc_id)
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS sum_w_ppm,
+         CAST(sum(w * w) AS BIGINT) AS sum_w2
+  FROM base GROUP BY source
+)
+SELECT source, n_docs, sum_w_ppm,
+       (sum_w_ppm * sum_w_ppm) // sum_w2 AS ess,
+       (((sum_w_ppm * sum_w_ppm) // sum_w2) * 1000000) // n_docs
+         AS ess_ratio_ppm
+FROM agg
+"""
+
+
+QUERIES["sample_weighting_ess"] = (q_weighting_ess, _sql_weighting_ess())

@@ -2185,3 +2185,103 @@ LIMIT 20
 """
 
 QUERIES["vendor_scorecard"] = (q_vendor_scorecard, SQL_VENDOR_SCORECARD)
+
+
+# ---------------------------------------------------------------------------
+# Conversion-window sensitivity sweep
+# ---------------------------------------------------------------------------
+
+_CONV_WINDOWS_D = [1, 7, 30]
+
+
+def q_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion counted at a ladder of attribution
+    windows (1/7/30 days) in ONE conditional-aggregation pass — the
+    sensitivity artifact that stops window-length debates (same pattern
+    as the embedding threshold sweep: sweep in the aggregate, not in N
+    query reruns).  Per user the anchor is the FIRST signup and the
+    conversion the first purchase after it; the per-user reduction and
+    every ladder rung share one user_id exchange."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.select(
+            "user_id",
+            F.when(
+                F.col("event_type") == "signup",
+                F.expr("CAST(unix_timestamp(ts) AS BIGINT)"),
+            ).alias("signup_s"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(unix_timestamp(ts) AS BIGINT)"),
+            ).alias("purchase_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("signup_s").alias("s0"),
+        )
+        .filter(F.col("s0").isNotNull())
+    )
+    first_purchase_after = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("p"))
+        .join(per_user, "user_id")
+        .filter(F.col("p") >= F.col("s0"))
+        .groupBy("user_id", "s0")
+        .agg(F.min("p").alias("p0"))
+    )
+    base = per_user.join(
+        first_purchase_after.select("user_id", "p0"), "user_id", "left"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_signup_users")]
+    for d in _CONV_WINDOWS_D:
+        aggs.append(
+            F.sum(
+                (
+                    F.col("p0").isNotNull()
+                    & (F.col("p0") - F.col("s0") <= d * 86400)
+                ).cast("long")
+            ).alias(f"conv_{d}d")
+        )
+    row = base.agg(*aggs)
+    stack = ", ".join(
+        f"'{d}d', conv_{d}d, (conv_{d}d * 1000000) DIV n_signup_users"
+        for d in _CONV_WINDOWS_D
+    )
+    return row.selectExpr(
+        "n_signup_users",
+        f"stack({len(_CONV_WINDOWS_D)}, {stack}) AS (conv_window, n_converted, conv_ppm)",
+    ).select("conv_window", "n_signup_users", "n_converted", "conv_ppm")
+
+
+def _sql_conversion_windows() -> str:
+    conv_cols = ", ".join(
+        f"CAST(sum(CASE WHEN p0 IS NOT NULL AND p0 - s0 <= {d} * 86400"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS conv_{d}d"
+        for d in _CONV_WINDOWS_D
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{d}d' AS conv_window, n_signup_users, conv_{d}d AS n_converted,"
+        f" (conv_{d}d * 1000000) // n_signup_users AS conv_ppm FROM agg"
+        for d in _CONV_WINDOWS_D
+    )
+    return f"""
+WITH su AS (
+  SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS s0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, CAST(min(floor(epoch(e.ts))) AS BIGINT) AS p0
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) >= su.s0
+  GROUP BY e.user_id
+),
+base AS (SELECT su.user_id, su.s0, fp.p0 FROM su LEFT JOIN fp ON su.user_id = fp.user_id),
+agg AS (SELECT count(*) AS n_signup_users, {conv_cols} FROM base)
+SELECT conv_window, n_signup_users, n_converted, conv_ppm FROM ({arms})
+"""
+
+
+QUERIES["events_conversion_windows"] = (
+    q_conversion_windows,
+    _sql_conversion_windows(),
+)

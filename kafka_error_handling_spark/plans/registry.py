@@ -117,6 +117,9 @@ _PRIORITY = [
     "events_nested_activity",
     "text_boolean_search",
     "vendor_scorecard",
+    "events_conversion_windows",
+    "dedup_incremental_neardup",
+    "sample_weighting_ess",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",
