@@ -443,3 +443,107 @@ def test_upsample_copy_semantics(spark):
 
     with _pytest.raises(ValueError):
         upsample(df, 0.5)
+
+
+def test_backlog_curve_brute_force(spark, tmp_path):
+    """Sweep-line backlog must equal per-day interval stabbing on a
+    hand-built schedule."""
+    import pandas as pd
+
+    from kafka_error_handling_spark.plans.advanced import q_backlog_curve
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [1, 1, 2],
+            "o_orderstatus": ["O"] * 3,
+            "o_totalprice": [10.0] * 3,
+            "o_orderdate": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-05"]),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3],
+            "l_partkey": [1, 2, 1, 1],
+            "l_suppkey": [1, 1, 1, 1],
+            "l_linenumber": [1, 2, 1, 1],
+            "l_quantity": [1.0] * 4,
+            "l_extendedprice": [1.0] * 4,
+            "l_discount": [0.0] * 4,
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            # order 1 open 01-01..01-03, order 2 open 01-02..01-02,
+            # order 3 open 01-05..01-06
+            "l_shipdate": pd.to_datetime(
+                ["2020-01-02", "2020-01-03", "2020-01-02", "2020-01-06"]
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(orders).write.parquet(str(sf / "orders.parquet"))
+    spark.createDataFrame(li).write.parquet(str(sf / "lineitem.parquet"))
+    rows = {r["day"]: r["backlog"] for r in q_backlog_curve(spark, str(sf)).collect()}
+    day0 = pd.Timestamp("2020-01-01").value // 86_400_000_000_000
+    # backlog: 01-01:1, 01-02:2, 01-03:1(order2 closed), 01-04:0, 01-05:1, 01-06:1
+    assert rows[day0] == 1
+    assert rows[day0 + 1] == 2
+    assert rows[day0 + 2] == 1
+    assert rows[day0 + 4] == 1
+
+
+def test_forecast_backtest_perfect_on_weekly_periodic(spark, tmp_path):
+    """A perfectly 7-day-periodic series must backtest with MAE = 0."""
+    import json
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        for day in range(21):
+            # volume depends only on day-of-week
+            for i in range((day % 7) + 1):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": day * 100 + i,
+                            "ts": f"2020-01-{day + 1:02d}T00:00:0{i % 10}",
+                            "user_id": 1,
+                            "event_type": "click",
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+    df = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).json(str(src))
+    df.write.parquet(str(tmp_path / "sf" / "events.parquet"))
+    from kafka_error_handling_spark.plans.advanced import q_forecast_backtest
+
+    rows = q_forecast_backtest(spark, str(tmp_path / "sf")).collect()
+    assert rows and all(r["mae_ppm"] == 0 and r["over_ppm"] == 0 for r in rows)
+
+
+def test_boolean_search_subset_of_single_term_matches(spark, sf_dir):
+    """Every conjunctive hit must contain BOTH terms — cross-check the
+    fused-scan tf predicate against a direct substring filter."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        _QUERY_TERMS,
+        q_boolean_search,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    hits = [r["doc_id"] for r in q_boolean_search(spark, sf_dir).collect()]
+    d = load_table(spark, sf_dir, "documents")
+    both = {
+        r["doc_id"]
+        for r in d.filter(
+            F.array_contains(F.split("text", " "), _QUERY_TERMS[0])
+            & F.array_contains(F.split("text", " "), _QUERY_TERMS[1])
+        ).collect()
+    }
+    assert set(hits) <= both
