@@ -217,6 +217,7 @@ EXTENDED = [
     "events_conversion_windows",
     "dedup_incremental_neardup",
     "sample_weighting_ess",
+    "embedding_index_balance",
 ]
 
 

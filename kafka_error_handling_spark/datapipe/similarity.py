@@ -1605,3 +1605,61 @@ SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rank FROM (
 """
 
 QUERIES["embedding_hard_negatives"] = (q_hard_negatives, _SQL_HARD_NEGATIVES)
+
+
+# ---------------------------------------------------------------------------
+# IVF index balance: the maintenance trigger
+# ---------------------------------------------------------------------------
+
+
+def q_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy report for the IVF index: per-cell vector counts
+    plus the imbalance summary (max_cell * n_cells * 1e6 / total — 1e6 =
+    perfectly balanced).  This is the metric that triggers re-training
+    the coarse quantizer: probe cost is bounded by the LARGEST probed
+    cell, so a skewed index silently loses the n_probe/n_centroids
+    speedup IVF exists for.  Same artifact family as
+    quality_partition_balance, aimed at the index instead of the
+    shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        ivf_assignments(e)
+        .filter(F.col("crank") == 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    summary = cells.agg(
+        F.lit(N_CENTROIDS).alias("n_cells"),
+        F.min("n_vectors").alias("min_cell"),
+        F.max("n_vectors").alias("max_cell"),
+        F.expr(
+            f"(max(n_vectors) * {N_CENTROIDS} * 1000000) DIV sum(n_vectors)"
+        ).alias("imbalance_ppm"),
+    )
+    return summary
+
+
+_SQL_INDEX_BALANCE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+cent AS (SELECT vec_id AS cid, ev AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT a.vec_id, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round(list_dot_product(a.ev, c.cv)
+                              / (sqrt(list_dot_product(a.ev, a.ev))
+                                 * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                            c.cid ASC) AS crank
+  FROM e a CROSS JOIN cent c
+),
+cells AS (
+  SELECT cid, count(*) AS n_vectors FROM assign WHERE crank = 1 GROUP BY cid
+)
+SELECT {N_CENTROIDS} AS n_cells,
+       min(n_vectors) AS min_cell,
+       max(n_vectors) AS max_cell,
+       CAST((max(n_vectors) * {N_CENTROIDS} * 1000000) // sum(n_vectors)
+            AS BIGINT) AS imbalance_ppm
+FROM cells
+"""
+
+QUERIES["embedding_index_balance"] = (q_index_balance, _SQL_INDEX_BALANCE)

@@ -120,6 +120,7 @@ _PRIORITY = [
     "events_conversion_windows",
     "dedup_incremental_neardup",
     "sample_weighting_ess",
+    "embedding_index_balance",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",

@@ -142,3 +142,38 @@ def test_neardup_components_match_union_find(spark, edges):
         for r in neardup_components(pairs, docs, rounds=25).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# HLL register-merge properties (pure-Python model, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def _hll_model(values):
+    import hashlib
+
+    regs = [0] * 64
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        bucket, w = h >> 42, h % (1 << 42)
+        rho = 43 if w == 0 else 43 - w.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    return regs
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), max_size=60),
+    st.lists(st.integers(min_value=0, max_value=10**6), max_size=60),
+    st.lists(st.integers(min_value=0, max_value=10**6), max_size=60),
+)
+def test_hll_merge_associative_commutative_idempotent(a, b, c):
+    """Register merge is elementwise max — the semigroup the streaming
+    foreachBatch accumulation and any partition split rely on: order,
+    grouping, and duplication of batches must not change the sketch."""
+    merge = lambda x, y: [max(p, q) for p, q in zip(x, y)]  # noqa: E731
+    ra, rb, rc = _hll_model(a), _hll_model(b), _hll_model(c)
+    assert merge(merge(ra, rb), rc) == merge(ra, merge(rb, rc))
+    assert merge(ra, rb) == merge(rb, ra)
+    assert merge(ra, ra) == ra
+    # batch union = register merge
+    assert _hll_model(a + b) == merge(ra, rb)
