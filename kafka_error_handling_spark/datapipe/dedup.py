@@ -153,6 +153,26 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return minhash_signature_from_hashes(_shingle_df(docs, id_col, text_col), id_col)
 
 
+def banded_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bkey) from a signature frame — ONE posexplode over the
+    16 band-key strings.  The single source of band layout/separator for
+    both the corpus-wide candidate join and the incremental probe."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(F.col(id_col), F.posexplode(band_keys).alias("band", "bkey"))
+
+
+
 MAX_LSH_BUCKET = 1000  # stop-bucket cap; see lsh_candidate_pairs
 
 
@@ -179,23 +199,9 @@ def lsh_candidate_pairs(
     is inert and the output byte-identical; the oracles mirror the same
     QUALIFY filter so the contract is explicit, not accidental.
     """
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
     # one pass over the signature frame: posexplode emits (band, key) rows
     # without recomputing upstream once per band
-    banded = sig.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band", "bkey")
-    )
+    banded = banded_keys(sig, id_col)
     from pyspark.sql.window import Window
 
     bucket_sz = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
@@ -1714,25 +1720,10 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
 
-    def banded(frame):
-        sig = minhash_signature(frame)
-        band_keys = F.array(
-            *[
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
-                for b in range(LSH_BANDS)
-            ]
-        )
-        return sig.select(
-            "doc_id", F.posexplode(band_keys).alias("band", "bkey")
-        )
-    hist_bands = banded(history).select("band", "bkey").distinct()
-    batch_bands = banded(batch)
+    hist_bands = (
+        banded_keys(minhash_signature(history)).select("band", "bkey").distinct()
+    )
+    batch_bands = banded_keys(minhash_signature(batch))
     hits = (
         batch_bands.join(hist_bands, ["band", "bkey"], "left_semi")
         .select("doc_id")

@@ -1059,17 +1059,26 @@ QUERIES["sample_kfold"] = (q_sample_kfold, _SQL_KFOLD)
 # ---------------------------------------------------------------------------
 
 
+_ESS_EXPR = (
+    "CAST(floor(CAST(sum_w_ppm AS DOUBLE) * CAST(sum_w_ppm AS DOUBLE)"
+    " / CAST(sum_w2 AS DOUBLE)) AS BIGINT)"
+)
+
+
 def q_weighting_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source effective sample size of the quality weighting:
     ESS = (Σw)² / Σw² — the diagnostic that says how many UNIFORM
     samples the weighted corpus is worth (ESS ≪ n means a few heavy
     documents dominate and the weighted estimates are noisy).  Weights
     are the same quality score the weighted sampler uses, fixed to
-    integer ppm so every sum is exact int64 (a float Σw would be
-    summation-order dependent and unhashable); at 100 TB row counts the
-    squared sums need one more level of scaling (or a DECIMAL
-    accumulator) — the formula and the single map-combined aggregate
-    per source are unchanged."""
+    integer ppm so both SUMS are exact int64 (a float Σw would be
+    summation-order dependent and unhashable).  The final ratio squares
+    Σw through DOUBLES with the same op order on both engines — an int64
+    (Σw)² overflows at ~3k docs/source (round-4 review, against the
+    suite's own 100× stress tier), while the double square is exact to
+    2^53 and IEEE-identical cross-engine.  Σw² itself overflows int64 at
+    ~9M docs/source; past that the accumulator becomes DECIMAL(38),
+    formula unchanged."""
     from .text import quality_score
 
     d = load_table(spark, sf_dir, "documents")
@@ -1090,10 +1099,8 @@ def q_weighting_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "sum_w_ppm",
-            F.expr("(sum_w_ppm * sum_w_ppm) DIV sum_w2").alias("ess"),
-            F.expr(
-                "(((sum_w_ppm * sum_w_ppm) DIV sum_w2) * 1000000) DIV n_docs"
-            ).alias("ess_ratio_ppm"),
+            F.expr(_ESS_EXPR).alias("ess"),
+            F.expr(f"({_ESS_EXPR} * 1000000) DIV n_docs").alias("ess_ratio_ppm"),
         )
     )
 
@@ -1115,8 +1122,10 @@ agg AS (
   FROM base GROUP BY source
 )
 SELECT source, n_docs, sum_w_ppm,
-       (sum_w_ppm * sum_w_ppm) // sum_w2 AS ess,
-       (((sum_w_ppm * sum_w_ppm) // sum_w2) * 1000000) // n_docs
+       CAST(floor(CAST(sum_w_ppm AS DOUBLE) * CAST(sum_w_ppm AS DOUBLE)
+                  / CAST(sum_w2 AS DOUBLE)) AS BIGINT) AS ess,
+       (CAST(floor(CAST(sum_w_ppm AS DOUBLE) * CAST(sum_w_ppm AS DOUBLE)
+                   / CAST(sum_w2 AS DOUBLE)) AS BIGINT) * 1000000) // n_docs
          AS ess_ratio_ppm
 FROM agg
 """

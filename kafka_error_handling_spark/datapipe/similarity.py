@@ -1235,6 +1235,28 @@ def pq_codebook(
     return out
 
 
+def pq_reconstruct(
+    codes: DataFrame, cb: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, rv): PQ reconstruction — each vector's selected sub-centroids
+    re-assembled in subspace order (sort_array over (m, cv) structs keeps
+    the concat deterministic).  Shared by the flat-PQ and IVF+PQ search
+    paths so a tie-break or rounding change cannot desynchronize them."""
+    return (
+        codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
+        .select(F.col(id_col), codes.m.alias("sm"), "cv")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("sm"), F.col("cv")))),
+                    lambda s: s["cv"],
+                )
+            ).alias("rv")
+        )
+    )
+
+
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1256,19 +1278,7 @@ def knn_pq(
     reconstructed corpus."""
     cb = pq_codebook(corpus, id_col, vec_col)
     codes = pq_codes(corpus, cb, id_col, vec_col)
-    recon = (
-        codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
-        .select(F.col(id_col), codes.m.alias("sm"), "cv")
-        .groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct(F.col("sm"), F.col("cv")))),
-                    lambda s: s["cv"],
-                )
-            ).alias("rv")
-        )
-    )
+    recon = pq_reconstruct(codes, cb, id_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -1299,12 +1309,10 @@ def knn_pq(
     )
 
 
-def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    return knn_pq(e, e.filter(F.col("vec_id") < 10), k=5)
-
-
-def _sql_knn_pq() -> str:
+def _sql_pq_fragments() -> dict:
+    """Shared DuckDB fragments for the PQ family: sub-vector arms, the
+    per-subspace codebook arms, and the rounded sub-distance — ONE
+    definition consumed by both _sql_knn_pq and _sql_knn_ivfpq."""
     subd = (
         f"round(list_sum(list_transform(range(1, {PQ_SUB + 1}), "
         "i -> (xv[i] - cv[i]) * (xv[i] - cv[i]))), 6)"
@@ -1318,6 +1326,17 @@ def _sql_knn_pq() -> str:
         f"FROM e WHERE vec_id < {PQ_K}"
         for m in range(PQ_M)
     )
+    return {"subd": subd, "sub_arms": sub_arms, "cb_arms": cb_arms}
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_pq(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_pq() -> str:
+    f = _sql_pq_fragments()
+    subd, sub_arms, cb_arms = f["subd"], f["sub_arms"], f["cb_arms"]
     cos = (
         "round(list_dot_product(q.qv, r.rv) / (sqrt(list_dot_product(q.qv, q.qv))"
         " * sqrt(list_dot_product(r.rv, r.rv))), 4)"
@@ -1396,19 +1415,7 @@ def knn_ivfpq(
     )
     cb = pq_codebook(corpus, id_col, vec_col)
     codes = pq_codes(corpus, cb, id_col, vec_col)
-    recon = (
-        codes.join(F.broadcast(cb), (codes.m == cb.m) & (codes.code == cb.cid))
-        .select(F.col(id_col), codes.m.alias("sm"), "cv")
-        .groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct(F.col("sm"), F.col("cv")))),
-                    lambda s: s["cv"],
-                )
-            ).alias("rv")
-        )
-    )
+    recon = pq_reconstruct(codes, cb, id_col)
     corpus_side = (
         recon.select(F.col(id_col).alias("neighbor_id"), "rv")
         .join(cells, "neighbor_id")
@@ -1458,19 +1465,8 @@ def _sql_knn_ivfpq() -> str:
         "round(list_dot_product(a.ev, c.cv) / (sqrt(list_dot_product(a.ev, a.ev))"
         " * sqrt(list_dot_product(c.cv, c.cv))), 6)"
     )
-    subd = (
-        f"round(list_sum(list_transform(range(1, {PQ_SUB + 1}), "
-        "i -> (xv[i] - cv[i]) * (xv[i] - cv[i]))), 6)"
-    )
-    sub_arms = " UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, ev[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS xv FROM e"
-        for m in range(PQ_M)
-    )
-    cb_arms = " UNION ALL ".join(
-        f"SELECT {m} AS m, vec_id AS cid, ev[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}] AS cv "
-        f"FROM e WHERE vec_id < {PQ_K}"
-        for m in range(PQ_M)
-    )
+    f = _sql_pq_fragments()
+    subd, sub_arms, cb_arms = f["subd"], f["sub_arms"], f["cb_arms"]
     cos_qr = (
         "round(list_dot_product(q.qv, r.rv) / (sqrt(list_dot_product(q.qv, q.qv))"
         " * sqrt(list_dot_product(r.rv, r.rv))), 4)"
@@ -1620,13 +1616,21 @@ def q_index_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell, so a skewed index silently loses the n_probe/n_centroids
     speedup IVF exists for.  Same artifact family as
     quality_partition_balance, aimed at the index instead of the
-    shuffle."""
+    shuffle.  Empty cells MUST appear as zero rows (a dead centroid is
+    exactly the pathology this trigger exists to expose — round-4
+    review), so occupied-cell counts join a full centroid spine."""
     e = load_table(spark, sf_dir, "embeddings")
-    cells = (
+    spine = e.sparkSession.range(N_CENTROIDS).select(
+        F.col("id").cast("long").alias("cid")
+    )
+    occupied = (
         ivf_assignments(e)
         .filter(F.col("crank") == 1)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    cells = spine.join(F.broadcast(occupied), "cid", "left").select(
+        "cid", F.coalesce("n_vectors", F.lit(0)).alias("n_vectors")
     )
     summary = cells.agg(
         F.lit(N_CENTROIDS).alias("n_cells"),
@@ -1651,8 +1655,13 @@ assign AS (
                             c.cid ASC) AS crank
   FROM e a CROSS JOIN cent c
 ),
-cells AS (
+occupied AS (
   SELECT cid, count(*) AS n_vectors FROM assign WHERE crank = 1 GROUP BY cid
+),
+cells AS (
+  SELECT s.cid, CAST(coalesce(o.n_vectors, 0) AS BIGINT) AS n_vectors
+  FROM (SELECT unnest(range(0, {N_CENTROIDS})) AS cid) s
+  LEFT JOIN occupied o USING (cid)
 )
 SELECT {N_CENTROIDS} AS n_cells,
        min(n_vectors) AS min_cell,

@@ -1806,13 +1806,13 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance test belongs downstream (floats), the COUNTS are the
     gate.  One user-keyed aggregate then a 2-row rollup."""
     e = _t(spark, sf_dir, "events")
+    from ..datapipe.sampling import hash_bucket
+
+    # hash_bucket % 2 == raw-hash % 2 (the ppm denominator is even), so
+    # the shared salted-bucket helper serves here too — one bucketing
+    # scheme across split/fold/ab decisions (round-4 review)
     variant = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 2
+        hash_bucket(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2
         == 0,
         F.lit("control"),
     ).otherwise(F.lit("treatment"))
@@ -2210,15 +2210,9 @@ def q_conversion_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type") == "signup",
                 F.expr("CAST(unix_timestamp(ts) AS BIGINT)"),
             ).alias("signup_s"),
-            F.when(
-                F.col("event_type") == "purchase",
-                F.expr("CAST(unix_timestamp(ts) AS BIGINT)"),
-            ).alias("purchase_s"),
         )
         .groupBy("user_id")
-        .agg(
-            F.min("signup_s").alias("s0"),
-        )
+        .agg(F.min("signup_s").alias("s0"))
         .filter(F.col("s0").isNotNull())
     )
     first_purchase_after = (

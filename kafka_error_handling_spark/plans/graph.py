@@ -261,6 +261,20 @@ TRI_MIN_ORDERS = 2  # an edge is significant iff the pair co-occurs in >= 2 orde
 TRI_TOPK = 20
 
 
+# the support-2 edge CTE shared verbatim by every graph oracle — ONE
+# definition so a change to the support threshold or canonicalization
+# rule cannot desynchronize the four consumers (round-4 review)
+_SIG_SQL = f"""sig AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, count(*) AS n_orders FROM (
+      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ) GROUP BY src, dst
+  ) WHERE n_orders >= {TRI_MIN_ORDERS}
+)"""
+
+
 def significant_edges(lineitem: DataFrame, min_orders: int = TRI_MIN_ORDERS) -> DataFrame:
     """Canonical (src < dst) part pairs co-purchased in at least
     ``min_orders`` DISTINCT orders.  Support-thresholding the raw
@@ -279,6 +293,29 @@ def significant_edges(lineitem: DataFrame, min_orders: int = TRI_MIN_ORDERS) -> 
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_orders)
         .select("src", "dst")
+    )
+
+
+# The support-2 edge set memoized per (session, sf_dir, lineitem stamp) —
+# same derived-artifact pattern as the raw co-purchase edges above: one
+# pair-expansion + support filter serves triangles, clustering
+# coefficient, neighbor-Jaccard, and BFS (measured ~3s of redundant
+# extraction per consumer in the bench sweep).
+_SIG_EDGES_CACHE: dict = {}
+
+
+def _sig_edges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..memo import stamped_memo
+
+    return stamped_memo(
+        _SIG_EDGES_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        os.path.join(sf_dir, "lineitem.parquet"),
+        lambda: significant_edges(_t(spark, sf_dir, "lineitem")).localCheckpoint(
+            eager=True
+        ),
     )
 
 
@@ -310,7 +347,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: top-20 parts by triangle count in the support-2 co-purchase
     graph — the local-community-density signal (a node in many triangles
     sits inside a clique-ish neighborhood, not a hub-and-spoke one)."""
-    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    edges = _sig_edges_for(spark, sf_dir)
     return (
         triangle_counts(edges)
         .orderBy(F.desc("n_triangles"), F.asc("node"))
@@ -320,15 +357,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TRIANGLES = f"""
-WITH sig AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst, count(*) AS n_orders FROM (
-      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ) GROUP BY src, dst
-  ) WHERE n_orders >= {TRI_MIN_ORDERS}
-),
+WITH {_SIG_SQL},
 tris AS (
   SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
   FROM sig e1
@@ -363,7 +392,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     and degree frames — the expensive wedge join is shared with
     `graph_triangles` at the plan level and, at 100 TB, via a published
     triangle-count artifact."""
-    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    edges = _sig_edges_for(spark, sf_dir)
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -388,15 +417,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CLUSTERING = f"""
-WITH sig AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst, count(*) AS n_orders FROM (
-      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ) GROUP BY src, dst
-  ) WHERE n_orders >= {TRI_MIN_ORDERS}
-),
+WITH {_SIG_SQL},
 deg AS (
   SELECT node, count(*) AS deg FROM (
     SELECT src AS node FROM sig UNION ALL SELECT dst FROM sig
@@ -445,7 +466,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     an anti-join drops actual edges, and degrees come from the one-row-
     per-node frame.  jaccard = common / (deg_u + deg_v - common), exact
     integer ppm."""
-    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    edges = _sig_edges_for(spark, sf_dir)
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -484,15 +505,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JACCARD = f"""
-WITH sig AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst, count(*) AS n_orders FROM (
-      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ) GROUP BY src, dst
-  ) WHERE n_orders >= {TRI_MIN_ORDERS}
-),
+WITH {_SIG_SQL},
 nb AS MATERIALIZED (
   SELECT src, dst FROM sig UNION ALL SELECT dst, src FROM sig
 ),
@@ -535,7 +548,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence loop; deterministic cost).  The oracle unrolls the same
     three hops as plain CTEs, so both engines evaluate the identical
     bounded recursion."""
-    edges = significant_edges(_t(spark, sf_dir, "lineitem"))
+    edges = _sig_edges_for(spark, sf_dir)
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -559,15 +572,7 @@ def q_graph_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BFS = f"""
-WITH sig AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst, count(*) AS n_orders FROM (
-      SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS src, b.l_partkey AS dst
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ) GROUP BY src, dst
-  ) WHERE n_orders >= {TRI_MIN_ORDERS}
-),
+WITH {_SIG_SQL},
 nb AS MATERIALIZED (
   SELECT src, dst FROM sig UNION ALL SELECT dst, src FROM sig
 ),
