@@ -218,6 +218,8 @@ EXTENDED = [
     "dedup_incremental_neardup",
     "sample_weighting_ess",
     "embedding_index_balance",
+    "events_seasonal_anomaly",
+    "multimodal_ahash",
 ]
 
 

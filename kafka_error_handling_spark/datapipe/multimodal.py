@@ -603,3 +603,72 @@ FROM scal
 """
 
 QUERIES["corpus_media_funnel"] = (q_corpus_media_funnel, SQL_CORPUS_MEDIA_FUNNEL)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash): near-dup for MEDIA, not bytes
+# ---------------------------------------------------------------------------
+
+
+def ahash_stub(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit average-hash per payload as a 64-char bitstring.
+
+    Real aHash decodes the image, resizes to 8x8 grayscale, and sets bit
+    j iff pixel_j > mean — byte-identical payloads that RE-ENCODE
+    differently still collide, which is why media dedup cannot stop at
+    the CAS digest (`multimodal_dedup`).  The stub synthesizes the 64
+    'pixels' deterministically from the payload digest (md5(digest||j)
+    first byte), so the *plumbing* — Arrow-batched mapInPandas over
+    binary payloads, one hash row per payload, band-joinable output — is
+    the production shape while the codec stays a documented seam.  The
+    bit threshold compares pixel*64 > total in exact integers (a float
+    mean would tie-break differently across platforms)."""
+    out_schema = StructType(
+        [df.schema[id_col], StructField("ahash_bits", StringType(), False)]
+    )
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                px = [
+                    int(
+                        hashlib.md5(f"{digest}{j}".encode()).hexdigest()[:2], 16
+                    )
+                    for j in range(64)
+                ]
+                total = sum(px)
+                bits = "".join("1" if p * 64 > total else "0" for p in px)
+                rows.append({id_col: rid, "ahash_bits": bits})
+            yield pd.DataFrame(rows, columns=[id_col, "ahash_bits"])
+
+    return df.mapInPandas(_ahash, out_schema)
+
+
+def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    return ahash_stub(d).select("doc_id", "ahash_bits")
+
+
+SQL_MULTIMODAL_AHASH = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           j -> CAST(concat('0x', substr(md5(md5(text) || CAST(j AS VARCHAR)),
+                                          1, 2)) AS BIGINT)) AS pixels
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(pixels,
+           p -> CASE WHEN p * 64 > list_sum(pixels) THEN '1' ELSE '0' END),
+         '') AS ahash_bits
+FROM px
+"""
+
+QUERIES["multimodal_ahash"] = (q_multimodal_ahash, SQL_MULTIMODAL_AHASH)

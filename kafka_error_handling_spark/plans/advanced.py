@@ -2279,3 +2279,81 @@ QUERIES["events_conversion_windows"] = (
     q_conversion_windows,
     _sql_conversion_windows(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly detection
+# ---------------------------------------------------------------------------
+
+_SR_K_X100 = 300  # flag |residual| > 3.0 * MAD (k scaled by 100, integer)
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomalies after removing weekly seasonality: the
+    residual is actual minus the day-of-week MEDIAN (an integer from the
+    data — robust where the mean chases the outliers it should flag),
+    the threshold is 3x the MAD of all residuals (global, also exact
+    integers).  The composition a monitoring pipeline actually deploys —
+    de-season first, THEN robust-threshold; flagging raw volumes pages
+    on every weekend.  Two small aggregates over the daily rollup (one
+    per-weekday median, one global MAD) and a broadcast join back; the
+    only row-count-bound stage is the daily rollup itself."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("actual"))
+        .withColumn("dow", F.expr("day % 7"))
+    )
+    dow_med = daily.groupBy("dow").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY actual) AS BIGINT)")
+        .alias("dow_median")
+    )
+    resid = daily.join(F.broadcast(dow_med), "dow").withColumn(
+        "residual", F.col("actual") - F.col("dow_median")
+    )
+    mad = resid.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))"
+            " AS BIGINT)"
+        ).alias("mad")
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .filter(F.expr(f"abs(residual) * 100 > {_SR_K_X100} * greatest(mad, 1)"))
+        .select("day", "dow", "actual", "dow_median", "residual", "mad")
+        .orderBy(F.desc(F.abs(F.col("residual"))), F.asc("day"))
+        .limit(20)
+    )
+
+
+_SQL_SEASONAL_ANOMALY = f"""
+WITH daily AS (
+  SELECT day, count(*) AS actual, day % 7 AS dow FROM (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events
+  ) GROUP BY day
+),
+dow_med AS (
+  SELECT dow,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY actual) AS BIGINT)
+           AS dow_median
+  FROM daily GROUP BY dow
+),
+resid AS (
+  SELECT d.day, d.dow, d.actual, m.dow_median,
+         d.actual - m.dow_median AS residual
+  FROM daily d JOIN dow_med m USING (dow)
+),
+mad AS (
+  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))
+              AS BIGINT) AS mad
+  FROM resid
+)
+SELECT day, dow, actual, dow_median, residual, mad
+FROM resid CROSS JOIN mad
+WHERE abs(residual) * 100 > {_SR_K_X100} * greatest(mad, 1)
+ORDER BY abs(residual) DESC, day ASC
+LIMIT 20
+"""
+
+QUERIES["events_seasonal_anomaly"] = (q_seasonal_anomaly, _SQL_SEASONAL_ANOMALY)

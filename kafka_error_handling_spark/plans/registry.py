@@ -121,6 +121,8 @@ _PRIORITY = [
     "dedup_incremental_neardup",
     "sample_weighting_ess",
     "embedding_index_balance",
+    "events_seasonal_anomaly",
+    "multimodal_ahash",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",

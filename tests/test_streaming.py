@@ -744,3 +744,59 @@ def test_streaming_hll_registers_merge_across_batches(spark, tmp_path):
         for r in hll_registers(batch, F.col("user_id")).collect()
     }
     assert merged == expected
+
+
+def test_streaming_incremental_neardup_probe(spark, tmp_path):
+    """Per-micro-batch near-dup screening: each batch's banded signature
+    keys probe the accumulated history index (the streaming shape of
+    dedup_incremental_neardup) — a near-copy arriving in a LATER batch
+    must flag, the first copy must not, and the index grows by exactly
+    the batch's distinct band keys."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe.dedup import (
+        banded_keys,
+        minhash_signature,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        [(1, base_text), (2, "completely different content about spark windows")],
+        [(3, base_text + " extra"), (4, "yet another unrelated document body")],
+    ]
+    for i, docs in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, text in docs:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    history_keys: set = set()
+    flagged: dict = {}
+
+    def probe(batch_df, _bid):
+        bk = banded_keys(minhash_signature(batch_df)).collect()
+        by_doc: dict = {}
+        for r in bk:
+            by_doc.setdefault(r["doc_id"], set()).add((r["band"], r["bkey"]))
+        for did, keys in sorted(by_doc.items()):
+            flagged[did] = bool(keys & history_keys)
+            history_keys.update(keys)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # the file source does not guarantee which batch fires first, but the
+    # probe contract is order-symmetric: whichever near-copy arrives
+    # SECOND flags against the first, the first never flags, and the two
+    # unrelated docs never flag
+    assert flagged[1] != flagged[3]
+    assert flagged[2] is False
+    assert flagged[4] is False
