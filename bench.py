@@ -220,6 +220,8 @@ EXTENDED = [
     "embedding_index_balance",
     "events_seasonal_anomaly",
     "multimodal_ahash",
+    "multimodal_ahash_neardup",
+    "sketch_kmv_union",
 ]
 
 

@@ -672,3 +672,93 @@ FROM px
 """
 
 QUERIES["multimodal_ahash"] = (q_multimodal_ahash, SQL_MULTIMODAL_AHASH)
+
+
+# ---------------------------------------------------------------------------
+# aHash near-dup pairs: pigeonhole banding over the perceptual hash
+# ---------------------------------------------------------------------------
+
+_AHASH_BANDS = 8  # 8-bit bands over the 64-bit hash
+_AHASH_MAX_HAMMING = 7  # <= 7 flips leave at least one band intact
+
+
+def q_multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs: media whose aHash bitstrings differ in
+    at most 7 of 64 bits — found with the same pigeonhole plan as
+    SimHash text dedup (any pair within hamming 7 agrees EXACTLY on one
+    of the 8 byte bands, so a per-band equi-join has full recall), then
+    an exact hamming verify on the candidates.  One band explode + one
+    equi-join; never all-pairs.  Output: (id_a, id_b, hamming)."""
+    d = with_payload(
+        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    h = ahash_stub(d).select("doc_id", "ahash_bits")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(F.col("ahash_bits"), b * 8 + 1, 8).alias("bkey"),
+            )
+            for b in range(_AHASH_BANDS)
+        ]
+    )
+    banded = h.select(
+        "doc_id", "ahash_bits", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        "ahash_bits",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash_bits").alias("bits_a"),
+        "band", "bkey",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash_bits").alias("bits_b"),
+        "band", "bkey",
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("bits_a"), ""),
+                F.split(F.col("bits_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda t: t,
+        )
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+SQL_MULTIMODAL_AHASH_NEARDUP = f"""
+WITH h AS ({SQL_MULTIMODAL_AHASH}),
+banded AS (
+  SELECT doc_id, ahash_bits, band,
+         substr(ahash_bits, band * 8 + 1, 8) AS bkey
+  FROM h, (SELECT unnest(range(0, {_AHASH_BANDS})) AS band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ahash_bits AS bits_a, b.ahash_bits AS bits_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(range(1, 65),
+                i -> bits_a[i:i] <> bits_b[i:i])) AS INT) AS hamming
+FROM pairs
+WHERE len(list_filter(range(1, 65), i -> bits_a[i:i] <> bits_b[i:i]))
+      <= {_AHASH_MAX_HAMMING}
+"""
+
+QUERIES["multimodal_ahash_neardup"] = (
+    q_multimodal_ahash_neardup,
+    SQL_MULTIMODAL_AHASH_NEARDUP,
+)

@@ -123,6 +123,8 @@ _PRIORITY = [
     "embedding_index_balance",
     "events_seasonal_anomaly",
     "multimodal_ahash",
+    "multimodal_ahash_neardup",
+    "sketch_kmv_union",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",

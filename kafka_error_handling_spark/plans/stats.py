@@ -713,3 +713,108 @@ FROM picked
 """
 
 QUERIES["sketch_hll_windowed"] = (q_sketch_hll_windowed, _SQL_HLL_WINDOWED)
+
+
+# ---------------------------------------------------------------------------
+# KMV set semantics: sketch union = union sketch
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users across TWO event-type populations estimated by
+    merging their KMV sketches — merge = union the two k-min sets, keep
+    the k smallest (the semigroup KMV shares with HLL registers), which
+    is how a 100 TB deployment answers 'distinct across sources' from
+    per-source sketches WITHOUT re-scanning either.  The gate publishes
+    the merged estimate next to the exact union count and, as the
+    set-semantics witness, the per-side estimates — union_est <=
+    side sums (inclusion) is checkable downstream."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+    def side_topk(pred):
+        return (
+            e.filter(pred)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy(F.asc("h"))
+            .limit(KMV_K)
+        )
+
+    a = side_topk(F.col("event_type") == "click")
+    b = side_topk(F.col("event_type") == "purchase")
+    merged = a.unionByName(b).distinct().orderBy(F.asc("h")).limit(KMV_K)
+
+    def est_of(topk):
+        return topk.agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+        ).select(
+            F.when(
+                F.col("n") < KMV_K, F.col("n")
+            )  # under-filled sketch IS exact
+            .otherwise(F.expr(f"({KMV_K - 1} * {2 ** _KMV_BITS}) DIV kth"))
+            .alias("est")
+        )
+
+    exact = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    return (
+        est_of(merged)
+        .select(F.col("est").alias("union_est"))
+        .crossJoin(F.broadcast(est_of(a).select(F.col("est").alias("click_est"))))
+        .crossJoin(
+            F.broadcast(est_of(b).select(F.col("est").alias("purchase_est")))
+        )
+        .crossJoin(F.broadcast(exact))
+        .withColumn(
+            "abs_err_ppm",
+            F.expr("(abs(union_est - exact_union) * 1000000) DIV exact_union"),
+        )
+    )
+
+
+SQL_SKETCH_KMV_UNION = f"""
+WITH ha AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS h
+  FROM events WHERE event_type = 'click'
+),
+hb AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase'
+),
+ta AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+tb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+tm AS (SELECT DISTINCT h FROM (SELECT h FROM ta UNION ALL SELECT h FROM tb)
+       ORDER BY h LIMIT {KMV_K}),
+est AS (
+  SELECT
+    (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+                 ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // max(h) END FROM tm)
+      AS union_est,
+    (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+                 ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // max(h) END FROM ta)
+      AS click_est,
+    (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+                 ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // max(h) END FROM tb)
+      AS purchase_est,
+    (SELECT count(DISTINCT user_id) FROM events
+     WHERE event_type IN ('click', 'purchase')) AS exact_union
+)
+SELECT CAST(union_est AS BIGINT) AS union_est,
+       CAST(click_est AS BIGINT) AS click_est,
+       CAST(purchase_est AS BIGINT) AS purchase_est,
+       exact_union,
+       (abs(CAST(union_est AS BIGINT) - exact_union) * 1000000) // exact_union
+         AS abs_err_ppm
+FROM est
+"""
+
+QUERIES["sketch_kmv_union"] = (q_sketch_kmv_union, SQL_SKETCH_KMV_UNION)
