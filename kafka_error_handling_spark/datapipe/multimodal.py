@@ -634,12 +634,13 @@ def ahash_stub(
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 digest = hashlib.md5(bytes(payload)).hexdigest()
-                px = [
-                    int(
-                        hashlib.md5(f"{digest}{j}".encode()).hexdigest()[:2], 16
-                    )
-                    for j in range(64)
-                ]
+                # 64 pixels from FOUR md5 blocks (16 bytes each), not one
+                # md5 per pixel — 5 hash calls per payload instead of 65
+                # (the hashing dominated the stage; measured ~2.5x)
+                px = []
+                for blk in range(4):
+                    bh = hashlib.md5(f"{digest}{blk}".encode()).hexdigest()
+                    px.extend(int(bh[2 * i : 2 * i + 2], 16) for i in range(16))
                 total = sum(px)
                 bits = "".join("1" if p * 64 > total else "0" for p in px)
                 rows.append({id_col: rid, "ahash_bits": bits})
@@ -658,9 +659,11 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_AHASH = """
 WITH px AS (
   SELECT doc_id,
-         list_transform(range(0, 64),
-           j -> CAST(concat('0x', substr(md5(md5(text) || CAST(j AS VARCHAR)),
-                                          1, 2)) AS BIGINT)) AS pixels
+         flatten(list_transform(range(0, 4),
+           blk -> list_transform(range(0, 16),
+             i -> CAST(concat('0x',
+                    substr(md5(md5(text) || CAST(blk AS VARCHAR)),
+                           2 * i + 1, 2)) AS BIGINT)))) AS pixels
   FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
@@ -683,16 +686,32 @@ _AHASH_MAX_HAMMING = 7  # <= 7 flips leave at least one band intact
 
 
 def q_multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-dup pairs: media whose aHash bitstrings differ in
-    at most 7 of 64 bits — found with the same pigeonhole plan as
-    SimHash text dedup (any pair within hamming 7 agrees EXACTLY on one
-    of the 8 byte bands, so a per-band equi-join has full recall), then
-    an exact hamming verify on the candidates.  One band explode + one
-    equi-join; never all-pairs.  Output: (id_a, id_b, hamming)."""
-    d = with_payload(
-        load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    """Perceptual near-dup pairs: media whose aHash differs in at most 7
+    of 64 bits — found with the same pigeonhole plan as SimHash text
+    dedup (any pair within hamming 7 agrees EXACTLY on one of the 8 byte
+    bands, full recall), then one xor+bit_count verify on two packed
+    longs per side (the 64-element string-zip verify measured ~2.5x
+    slower on the candidate volume an 8-bit band key produces).
+
+    The gate corpus is documents PLUS a deterministic duplicate slice
+    (every doc_id % 100 == 0 re-ingested under id + 10_000_000): the
+    base corpus has ZERO byte-identical texts below sf0.1, and a
+    near-dup gate that cannot fire verifies nothing — the injected
+    positives give every scale known true pairs, exactly like a
+    detection test plants its needles.  Output: (id_a, id_b, hamming).
+    """
+    base = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dupes = base.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
     )
+    d = with_payload(base.unionByName(dupes))
     h = ahash_stub(d).select("doc_id", "ahash_bits")
+    packed = h.select(
+        "doc_id",
+        "ahash_bits",
+        F.conv(F.substring("ahash_bits", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("ahash_bits", 33, 32), 2, 10).cast("long").alias("lo"),
+    )
     bands = F.array(
         *[
             F.struct(
@@ -702,60 +721,79 @@ def q_multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_AHASH_BANDS)
         ]
     )
-    banded = h.select(
-        "doc_id", "ahash_bits", F.explode(bands).alias("bb")
+    banded = packed.select(
+        "doc_id", "hi", "lo", F.explode(bands).alias("bb")
     ).select(
-        "doc_id",
-        "ahash_bits",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bkey").alias("bkey"),
+        "doc_id", "hi", "lo",
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
     )
     a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("ahash_bits").alias("bits_a"),
-        "band", "bkey",
+        F.col("doc_id").alias("id_a"), F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"), "band", "bkey",
     )
     b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("ahash_bits").alias("bits_b"),
-        "band", "bkey",
+        F.col("doc_id").alias("id_b"), F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"), "band", "bkey",
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("bits_a"), ""),
-                F.split(F.col("bits_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda t: t,
-        )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     )
     return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _AHASH_MAX_HAMMING)
         .distinct()
     )
 
 
+_AHASH_PIXELS_SQL = """flatten(list_transform(range(0, 4),
+           blk -> list_transform(range(0, 16),
+             i -> CAST(concat('0x',
+                    substr(md5(md5(text) || CAST(blk AS VARCHAR)),
+                           2 * i + 1, 2)) AS BIGINT))))"""
+
 SQL_MULTIMODAL_AHASH_NEARDUP = f"""
-WITH h AS ({SQL_MULTIMODAL_AHASH}),
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 10000000, text FROM documents
+  WHERE text IS NOT NULL AND doc_id % 100 = 0
+),
+px AS (
+  SELECT doc_id, {_AHASH_PIXELS_SQL} AS pixels FROM corpus
+),
+h AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(pixels,
+             p -> CASE WHEN p * 64 > list_sum(pixels) THEN '1' ELSE '0' END),
+           '') AS ahash_bits
+  FROM px
+),
+packed AS (
+  SELECT doc_id, ahash_bits,
+         CAST(list_sum(list_transform(range(1, 33),
+           i -> CASE WHEN ahash_bits[i:i] = '1'
+                THEN CAST(1 AS BIGINT) << (32 - CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS hi,
+         CAST(list_sum(list_transform(range(33, 65),
+           i -> CASE WHEN ahash_bits[i:i] = '1'
+                THEN CAST(1 AS BIGINT) << (64 - CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS lo
+  FROM h
+),
 banded AS (
-  SELECT doc_id, ahash_bits, band,
+  SELECT doc_id, hi, lo, band,
          substr(ahash_bits, band * 8 + 1, 8) AS bkey
-  FROM h, (SELECT unnest(range(0, {_AHASH_BANDS})) AS band)
+  FROM packed, (SELECT unnest(range(0, {_AHASH_BANDS})) AS band)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.ahash_bits AS bits_a, b.ahash_bits AS bits_b
+         CAST(bit_count(xor(a.hi::BIT, b.hi::BIT))
+              + bit_count(xor(a.lo::BIT, b.lo::BIT)) AS INT) AS hamming
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b,
-       CAST(len(list_filter(range(1, 65),
-                i -> bits_a[i:i] <> bits_b[i:i])) AS INT) AS hamming
-FROM pairs
-WHERE len(list_filter(range(1, 65), i -> bits_a[i:i] <> bits_b[i:i]))
-      <= {_AHASH_MAX_HAMMING}
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {_AHASH_MAX_HAMMING}
 """
 
 QUERIES["multimodal_ahash_neardup"] = (
