@@ -222,6 +222,7 @@ EXTENDED = [
     "multimodal_ahash",
     "multimodal_ahash_neardup",
     "sketch_kmv_union",
+    "corpus_release_gate",
 ]
 
 

@@ -66,3 +66,4 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dead_letter.cause.error_class").alias("error_class"),
     )
     return ok.unionByName(dlq)
+

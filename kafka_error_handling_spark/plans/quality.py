@@ -1009,3 +1009,102 @@ HAVING count(*) < {_KANON_K}
 """
 
 QUERIES["quality_k_anonymity"] = (q_k_anonymity, _SQL_K_ANONYMITY)
+
+
+# ---------------------------------------------------------------------------
+# Flagship #7: the dataset release gate
+# ---------------------------------------------------------------------------
+
+# release thresholds — the checklist a dataset must clear before leaving
+# the platform; values are POLICY, the point is the one-plan evaluation
+_RG_MAX_KANON_VIOLATIONS = 500   # QI groups under k (customers table)
+_RG_MAX_EVAL_LEAKAGE = 0         # dup pairs crossing into val/test
+_RG_MAX_CONTAMINATED = 10        # docs overlapping the benchmark set
+_RG_MIN_GOPHER_PASS_PPM = 500_000  # >= 50% of docs must pass quality
+
+
+def q_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release checklist, evaluated as ONE result set: four
+    independent governance/quality audits (k-anonymity violations,
+    duplicate leakage into eval splits, benchmark contamination,
+    Gopher-rule pass rate) each reduced to a single metric and compared
+    against its release threshold — (check, value, threshold, passed).
+
+    Composition, not re-implementation: every sub-check calls the
+    already-gated operator and aggregates its output, and the oracle
+    composes the same operators' oracle SQL as subqueries — the flagship
+    inherits the correctness of its parts by construction.  Each branch
+    is a small aggregate; the union is 4 rows."""
+    from ..datapipe.dedup import q_split_leakage
+    from ..datapipe.text import q_decontaminate, q_gopher_report
+
+    kanon = q_k_anonymity(spark, sf_dir).agg(
+        F.lit("k_anonymity_violations").alias("check"),
+        F.count(F.lit(1)).alias("value"),
+        F.lit(_RG_MAX_KANON_VIOLATIONS).alias("threshold"),
+    )
+    leak = (
+        q_split_leakage(spark, sf_dir)
+        .filter(F.col("split_pair").isin("train_test", "val_test"))
+        .agg(
+            F.lit("eval_leakage_pairs").alias("check"),
+            F.sum("n_dup_pairs").alias("value"),
+            F.lit(_RG_MAX_EVAL_LEAKAGE).alias("threshold"),
+        )
+    )
+    contam = q_decontaminate(spark, sf_dir).agg(
+        F.lit("contaminated_docs").alias("check"),
+        F.count(F.lit(1)).alias("value"),
+        F.lit(_RG_MAX_CONTAMINATED).alias("threshold"),
+    )
+    gopher = q_gopher_report(spark, sf_dir).agg(
+        F.lit("gopher_pass_ppm").alias("check"),
+        F.expr("(sum(n_pass) * 1000000) DIV sum(n_docs)").alias("value"),
+        F.lit(_RG_MIN_GOPHER_PASS_PPM).alias("threshold"),
+    )
+    out = kanon.unionByName(leak).unionByName(contam).unionByName(gopher)
+    return out.withColumn(
+        "passed",
+        F.when(
+            F.col("check") == "gopher_pass_ppm",
+            F.col("value") >= F.col("threshold"),
+        ).otherwise(F.col("value") <= F.col("threshold")),
+    )
+
+
+def _sql_release_gate() -> str:
+    # compose the sibling gates' oracle SQL as subqueries — one source of
+    # truth (the registry loads plans.quality after the datapipe modules,
+    # so these imports are cycle-safe at module-load time)
+    from ..datapipe import text as _text
+    from ..datapipe.dedup import _sql_split_leakage
+
+    decon_sql = _text.QUERIES["text_decontaminate"][1]
+    gopher_sql = _text.QUERIES["quality_gopher_report"][1]
+    return f"""
+SELECT "check", value, threshold,
+       CASE WHEN "check" = 'gopher_pass_ppm' THEN value >= threshold
+            ELSE value <= threshold END AS passed
+FROM (
+  SELECT 'k_anonymity_violations' AS "check",
+         (SELECT count(*) FROM ({_SQL_K_ANONYMITY})) AS value,
+         {_RG_MAX_KANON_VIOLATIONS} AS threshold
+  UNION ALL
+  SELECT 'eval_leakage_pairs',
+         (SELECT CAST(sum(n_dup_pairs) AS BIGINT) FROM ({_sql_split_leakage()})
+          WHERE split_pair IN ('train_test', 'val_test')),
+         {_RG_MAX_EVAL_LEAKAGE}
+  UNION ALL
+  SELECT 'contaminated_docs',
+         (SELECT count(*) FROM ({decon_sql})),
+         {_RG_MAX_CONTAMINATED}
+  UNION ALL
+  SELECT 'gopher_pass_ppm',
+         (SELECT CAST((sum(n_pass) * 1000000) // sum(n_docs) AS BIGINT)
+          FROM ({gopher_sql})),
+         {_RG_MIN_GOPHER_PASS_PPM}
+)
+"""
+
+
+QUERIES["corpus_release_gate"] = (q_release_gate, _sql_release_gate())

@@ -125,6 +125,7 @@ _PRIORITY = [
     "multimodal_ahash",
     "multimodal_ahash_neardup",
     "sketch_kmv_union",
+    "corpus_release_gate",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",
