@@ -72,16 +72,14 @@ def _modules():
 
 
 # Driver-budget ordering (VERDICT r3 item 1): rotate the ~50-row driver
-# budget onto the rows that most need fresh evidence.  Block 1 = rows whose
-# implementation or oracle changed AFTER their last green driver row (the
-# post-r3 perf/advice commits reworked int8 knn scoring, semdedup pair
-# stage, k-means centroid memo, minhash temp views, exact-substring keying,
-# the incremental-dedup oracle, and the multimodal decode seam).  Block 2 =
-# the 36 rows whose latest green driver row is round 1 (oldest evidence).
-# Block 3 = the capture/log/describe family (r3-green, but capture.py's
-# payload hoist + stack-trace cache landed after r3; pytest pins
-# byte-identical output, driver row re-confirms).  Everything else (r2/r3
-# green, untouched since) follows in registry order.
+# budget onto the rows that most need fresh evidence.  After the round-4
+# third continuation the head is: 3 rows whose RESULTS changed in round 4
+# (salted split), then the 36 gates new this continuation (no driver row
+# yet), then the 3 chunk gates whose occ-key representation changed
+# (values identical, implementation new) — 42 rows, so the ~50-row budget
+# covers every new/changed gate plus the oldest-evidence tail below.
+# Later blocks keep the earlier round-4 ordering (earlier-round-4 news,
+# then implementation-changed, then oldest-green r1/r2 rows).
 _PRIORITY = [
     # block 0a FIRST: results CHANGED in round 4 (salted split assignment)
     # — their previous green driver rows no longer describe current
