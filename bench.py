@@ -223,6 +223,7 @@ EXTENDED = [
     "multimodal_ahash_neardup",
     "sketch_kmv_union",
     "corpus_release_gate",
+    "graph_kcore",
 ]
 
 

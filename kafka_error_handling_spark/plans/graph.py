@@ -601,3 +601,87 @@ SELECT depth, count(*) AS n_nodes FROM (
 """
 
 QUERIES["graph_bfs_depth"] = (q_graph_bfs_depth, _SQL_BFS)
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling: the community-mining preprocessor
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size of the support-2 graph after each of 3 rounds of k-core
+    peeling (drop nodes with degree < 4, recompute degrees on the
+    survivor subgraph, repeat): (round, n_nodes, n_edges).  Peeling is
+    the standard preprocessor before community detection at scale — it
+    strips the low-degree periphery that dominates volume but carries no
+    community signal.  Same bounded-unrolled discipline as PageRank/BFS:
+    each round is one degree aggregate + one semi-join pair, the edge
+    frame is checkpointed per round (lineage cut), and the round count
+    is static so the plan and the oracle (the same three rounds as
+    unrolled CTEs) evaluate the identical bounded fixpoint — full k-core
+    convergence is the while-loop version of exactly this round body."""
+    edges = _sig_edges_for(spark, sf_dir)  # canonical src < dst
+    rows = []
+    cur = edges
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        both = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        keep = (
+            both.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        cur = (
+            cur.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        cur = cur.localCheckpoint(eager=True)
+        n_nodes = (
+            cur.select(F.col("src").alias("n"))
+            .unionByName(cur.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        rows.append((rnd, n_nodes, cur.count()))
+    return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")
+
+
+def _sql_kcore() -> str:
+    prev = "sig"
+    its = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        its.append(f"""keep{r} AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT src AS node FROM {prev} UNION ALL SELECT dst FROM {prev}
+    ) GROUP BY node
+  ) WHERE deg >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE EXISTS (SELECT 1 FROM keep{r} k WHERE k.node = e.src)
+    AND EXISTS (SELECT 1 FROM keep{r} k WHERE k.node = e.dst)
+)""")
+        prev = f"e{r}"
+    rounds = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+       (SELECT count(*) FROM (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e{r} UNION ALL SELECT dst FROM e{r})))
+         AS n_nodes,
+       (SELECT count(*) FROM e{r}) AS n_edges"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH {{_SIG_SQL}},
+{",".join(its)}
+SELECT round, n_nodes, n_edges FROM ({rounds})
+""".replace("{_SIG_SQL}", _SIG_SQL)
+
+
+QUERIES["graph_kcore"] = (q_graph_kcore, _sql_kcore())

@@ -124,6 +124,7 @@ _PRIORITY = [
     "multimodal_ahash_neardup",
     "sketch_kmv_union",
     "corpus_release_gate",
+    "graph_kcore",
     # occ-key representation changed (struct keys) after the r3-green rows
     "dedup_chunks",
     "dedup_chunks_apply",
