@@ -694,15 +694,28 @@ def q_multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower on the candidate volume an 8-bit band key produces).
 
     The gate corpus is documents PLUS a deterministic duplicate slice
-    (every doc_id % 100 == 0 re-ingested under id + 10_000_000): the
+    (every doc_id % 100 == 0 re-ingested under id + max(10M, max_id+1),
+    an id space disjoint from the real corpus at any scale): the
     base corpus has ZERO byte-identical texts below sf0.1, and a
     near-dup gate that cannot fire verifies nothing — the injected
     positives give every scale known true pairs, exactly like a
     detection test plants its needles.  Output: (id_a, id_b, hamming).
     """
     base = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    dupes = base.filter(F.col("doc_id") % 100 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    # injected ids must live in a space disjoint from real ids at ANY
+    # corpus size: offset = max(10M, max(doc_id)+1), a broadcast 1-row
+    # scalar, so a corpus with doc_id >= 10M can never collide with a
+    # planted needle (values unchanged below that size)
+    offset = base.agg(
+        F.greatest(F.lit(10_000_000), F.max("doc_id") + F.lit(1)).alias(
+            "dup_offset"
+        )
+    )
+    dupes = (
+        base.filter(F.col("doc_id") % 100 == 0)
+        .crossJoin(F.broadcast(offset))
+        .withColumn("doc_id", F.col("doc_id") + F.col("dup_offset"))
+        .drop("dup_offset")
     )
     d = with_payload(base.unionByName(dupes))
     h = ahash_stub(d).select("doc_id", "ahash_bits")
@@ -757,7 +770,9 @@ SQL_MULTIMODAL_AHASH_NEARDUP = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL
   UNION ALL
-  SELECT doc_id + 10000000, text FROM documents
+  SELECT doc_id + (SELECT greatest(10000000, max(doc_id) + 1)
+                   FROM documents WHERE text IS NOT NULL), text
+  FROM documents
   WHERE text IS NOT NULL AND doc_id % 100 = 0
 ),
 px AS (

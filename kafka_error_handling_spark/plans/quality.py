@@ -1045,7 +1045,11 @@ def q_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     leak = (
         q_split_leakage(spark, sf_dir)
-        .filter(F.col("split_pair").isin("train_test", "val_test"))
+        .filter(
+            # any pair that crosses into val or test contaminates eval:
+            # train->val leakage counts too, not just test-facing pairs
+            F.col("split_pair").isin("train_test", "val_test", "train_val")
+        )
         .agg(
             F.lit("eval_leakage_pairs").alias("check"),
             F.sum("n_dup_pairs").alias("value"),
@@ -1092,7 +1096,7 @@ FROM (
   UNION ALL
   SELECT 'eval_leakage_pairs',
          (SELECT CAST(sum(n_dup_pairs) AS BIGINT) FROM ({_sql_split_leakage()})
-          WHERE split_pair IN ('train_test', 'val_test')),
+          WHERE split_pair IN ('train_test', 'val_test', 'train_val')),
          {_RG_MAX_EVAL_LEAKAGE}
   UNION ALL
   SELECT 'contaminated_docs',

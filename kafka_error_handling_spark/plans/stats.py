@@ -336,8 +336,9 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "abs_err_ppm",
             F.expr(
-                "(abs(est_distinct - exact_distinct) * 1000000)"
-                " DIV exact_distinct"
+                "CASE WHEN exact_distinct = 0 THEN 0 ELSE"
+                " (abs(est_distinct - exact_distinct) * 1000000)"
+                " DIV exact_distinct END"
             ),
         )
     )
@@ -357,9 +358,11 @@ SELECT {KMV_K} AS k, kth_hash,
             ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // kth_hash
        END AS est_distinct,
        exact_distinct,
-       (abs(CASE WHEN n_sampled < {KMV_K} THEN exact_distinct
-                 ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // kth_hash END
-            - exact_distinct) * 1000000) // exact_distinct AS abs_err_ppm
+       CASE WHEN exact_distinct = 0 THEN 0
+            ELSE (abs(CASE WHEN n_sampled < {KMV_K} THEN exact_distinct
+                           ELSE ({KMV_K - 1} * {2 ** _KMV_BITS}) // kth_hash END
+                      - exact_distinct) * 1000000) // exact_distinct
+       END AS abs_err_ppm
 FROM sk CROSS JOIN ex
 """
 
@@ -456,14 +459,16 @@ QUERIES["sketch_hll_registers"] = (q_sketch_hll_registers, _SQL_HLL_REGS)
 
 
 # linear-counting table: LN64_PPM[V] = round(1e6 * ln(64 / V)) for
-# V = 1..63 zero registers.  ln is NOT engine-stable as a runtime float,
-# but V only takes 63 values — precomputing the table in ppm makes the
-# small-range correction of the HLL paper exactly reproducible.  The
-# table is generated once here and interpolated into BOTH plans.
+# V = 1..64 zero registers (V=64 — the empty-input case, ln(1)=0 — must
+# be present: element_at past the end is a runtime error under Spark's
+# ANSI mode).  ln is NOT engine-stable as a runtime float, but V only
+# takes 64 values — precomputing the table in ppm makes the small-range
+# correction of the HLL paper exactly reproducible.  The table is
+# generated once here and interpolated into BOTH plans.
 import math as _math
 
 _HLL_LN64_PPM = [0] + [
-    round(1_000_000 * _math.log(HLL_M / v)) for v in range(1, HLL_M)
+    round(1_000_000 * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
 ]
 
 
@@ -523,7 +528,11 @@ def q_sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "abs_err_ppm",
-            F.expr("(abs(est_distinct - exact_distinct) * 1000000) DIV exact_distinct"),
+            F.expr(
+                "CASE WHEN exact_distinct = 0 THEN 0 ELSE"
+                " (abs(est_distinct - exact_distinct) * 1000000)"
+                " DIV exact_distinct END"
+            ),
         )
     )
 
@@ -558,8 +567,9 @@ picked AS (
   )
 )
 SELECT m, est_distinct, estimator, exact_distinct, n_zero_registers,
-       (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct
-         AS abs_err_ppm
+       CASE WHEN exact_distinct = 0 THEN 0
+            ELSE (abs(est_distinct - exact_distinct) * 1000000)
+                 // exact_distinct END AS abs_err_ppm
 FROM picked
 """
 
@@ -652,7 +662,11 @@ def q_sketch_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_registers",
     ).withColumn(
         "abs_err_ppm",
-        F.expr("(abs(est_distinct - exact_distinct) * 1000000) DIV exact_distinct"),
+        F.expr(
+            "CASE WHEN exact_distinct = 0 THEN 0 ELSE"
+            " (abs(est_distinct - exact_distinct) * 1000000)"
+            " DIV exact_distinct END"
+        ),
     )
 
 
@@ -707,8 +721,9 @@ WITH hashed AS (
 SELECT strftime(make_timestamp(win * {_HLL_WINDOW_S} * 1000000),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        est_distinct, estimator, exact_distinct, n_zero_registers,
-       (abs(est_distinct - exact_distinct) * 1000000) // exact_distinct
-         AS abs_err_ppm
+       CASE WHEN exact_distinct = 0 THEN 0
+            ELSE (abs(est_distinct - exact_distinct) * 1000000)
+                 // exact_distinct END AS abs_err_ppm
 FROM picked
 """
 
@@ -774,7 +789,10 @@ def q_sketch_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(exact))
         .withColumn(
             "abs_err_ppm",
-            F.expr("(abs(union_est - exact_union) * 1000000) DIV exact_union"),
+            F.expr(
+                "CASE WHEN exact_union = 0 THEN 0 ELSE"
+                " (abs(union_est - exact_union) * 1000000) DIV exact_union END"
+            ),
         )
     )
 
@@ -812,8 +830,9 @@ SELECT CAST(union_est AS BIGINT) AS union_est,
        CAST(click_est AS BIGINT) AS click_est,
        CAST(purchase_est AS BIGINT) AS purchase_est,
        exact_union,
-       (abs(CAST(union_est AS BIGINT) - exact_union) * 1000000) // exact_union
-         AS abs_err_ppm
+       CASE WHEN exact_union = 0 THEN 0
+            ELSE (abs(CAST(union_est AS BIGINT) - exact_union) * 1000000)
+                 // exact_union END AS abs_err_ppm
 FROM est
 """
 
