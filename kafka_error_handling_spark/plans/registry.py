@@ -71,73 +71,21 @@ def _modules():
     return mods
 
 
-# Driver-budget ordering (VERDICT r3 item 1): rotate the ~50-row driver
-# budget onto the rows that most need fresh evidence.  After the round-4
-# third continuation the head is: 3 rows whose RESULTS changed in round 4
-# (salted split), then the 36 gates new this continuation (no driver row
-# yet), then the 3 chunk gates whose occ-key representation changed
-# (values identical, implementation new) — 42 rows, so the ~50-row budget
-# covers every new/changed gate plus the oldest-evidence tail below.
-# Later blocks keep the earlier round-4 ordering (earlier-round-4 news,
-# then implementation-changed, then oldest-green r1/r2 rows).
+# Driver-budget ordering (VERDICT r4 item 1: pay the driver-evidence
+# debt).  The registry is FROZEN this round — zero new names — and the
+# ~50-row driver budget goes entirely to rows without fresh driver
+# evidence.  Head: the 51 rows never driver-checked (r4 additions from
+# the second/third continuations), oldest-waiting first;
+# embedding_lsh_recall sits at position 51 (just past a 50-row budget)
+# because its three sibling recall gates (pq/ivfpq/int8) share the
+# recall-harness machinery and are r4-driver-green.  Then the r1-stale
+# and r2-stale rows (round 6's budget), then r3/r4-green rows in their
+# prior order.  Invariant kept from r4: rows whose RESULTS change in a
+# round must move to the head so a budget cutoff never drops them
+# (none this round: the r5 advisory fixes were verified output-neutral
+# at both test SFs).
 _PRIORITY = [
-    # block 0a FIRST: results CHANGED in round 4 (salted split assignment)
-    # — their previous green driver rows no longer describe current
-    # output, so a driver-budget cutoff must never drop them
-    "sample_split_assignment",
-    "corpus_pipeline",
-    "pipeline_chunked_corpus",
-    # new in round-4 third continuation — no driver row yet
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "graph_triangles",
-    "layout_zorder_pruning",
-    "graph_clustering_coeff",
-    "graph_jaccard_neighbors",
-    "embedding_knn_pq",
-    "embedding_pq_recall",
-    "sample_kfold",
-    "quality_partition_balance",
-    "dedup_lsh_s_curve",
-    "sketch_hll_windowed",
-    "embedding_knn_ivfpq",
-    "embedding_ivfpq_recall",
-    "quality_double_charge",
-    "layout_compaction_plan",
-    "layout_encoding_advisor",
-    "quality_k_anonymity",
-    "embedding_hard_negatives",
-    "quality_split_leakage",
-    "events_ab_test",
-    "events_forecast_backtest",
-    "orders_backlog_curve",
-    "graph_bfs_depth",
-    "events_nested_activity",
-    "text_boolean_search",
-    "vendor_scorecard",
-    "events_conversion_windows",
-    "dedup_incremental_neardup",
-    "sample_weighting_ess",
-    "embedding_index_balance",
-    "events_seasonal_anomaly",
-    "multimodal_ahash",
-    "multimodal_ahash_neardup",
-    "sketch_kmv_union",
-    "corpus_release_gate",
-    "graph_kcore",
-    # occ-key representation changed (struct keys) after the r3-green rows
-    "dedup_chunks",
-    "dedup_chunks_apply",
-    "dedup_cdc_chunks",
-    # block 0: new earlier in round 4 — no driver row exists yet (listed
-    # before the second-continuation block: they have waited longer)
-    "dlq_replay",
-    "events_anomaly_mad",
-    "quality_winsorize",
-    "events_rate_limit",
-    "chunk_sliding_window",
-    "dedup_containment",
-    "sample_temperature",
+    # never driver-checked (positions 1-50: the round-5 driver budget)
     "text_tfidf_keywords",
     "sample_global_shuffle",
     "quality_psi_drift",
@@ -149,7 +97,6 @@ _PRIORITY = [
     "corpus_pretrain_mix",
     "dedup_minhash_est_error",
     "embedding_threshold_sweep",
-    # block 00: new in round-4 second continuation — no driver row yet
     "graph_pagerank",
     "cdc_log_compaction",
     "dlq_age_report",
@@ -179,7 +126,6 @@ _PRIORITY = [
     "quality_breach_streaks",
     "text_lang_confusion",
     "events_bot_regularity",
-    # (block 0a and the earlier block-0 rows moved to the head above)
     "events_time_to_convert",
     "basket_pair_counts",
     "events_markov_transitions",
@@ -190,18 +136,9 @@ _PRIORITY = [
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
+    # never driver-checked, demoted just past the budget (siblings green)
     "embedding_lsh_recall",
-    # block 1: changed after last green driver row
-    "dedup_ngram_jaccard",
-    "embedding_knn_int8",
-    "embedding_int8_recall",
-    "embedding_semdedup",
-    "embedding_kmeans",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "dedup_incremental",
-    "multimodal_decode",
-    # block 2: r1-latest green (oldest evidence), cheap rows first
+    # r1-stale: newest green driver row is round 1
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
@@ -238,18 +175,11 @@ _PRIORITY = [
     "range_join_followups",
     "session_windows",
     "salted_join_agg",
-    # block 3: capture family (r3-green; capture.py touched post-r3)
-    "capture_map_values_success",
-    "capture_map_values_dlq",
-    "log_errors_drop",
-    "capture_flat_map_tokens",
-    "capture_flat_map_errors",
-    "capture_map_rekey",
-    "capture_process_fanout",
-    "capture_process_values",
-    "describe_passthrough",
-    "describe_struct_result",
-    # block 4: r2-latest green rows, shared-tokenization consumers first
+    # r2-stale: newest green driver row is round 2
+    "dedup_ngram_jaccard",
+    "embedding_knn_int8",
+    "embedding_int8_recall",
+    "multimodal_decode",
     "text_stats",
     "text_bm25_topk",
     "text_vocab_df",
@@ -290,6 +220,103 @@ _PRIORITY = [
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "q22_no_order_customers",
+    # r3/r4-green rows (fresh driver evidence), prior order
+    "sample_split_assignment",
+    "corpus_pipeline",
+    "pipeline_chunked_corpus",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_triangles",
+    "layout_zorder_pruning",
+    "graph_clustering_coeff",
+    "graph_jaccard_neighbors",
+    "embedding_knn_pq",
+    "embedding_pq_recall",
+    "sample_kfold",
+    "quality_partition_balance",
+    "dedup_lsh_s_curve",
+    "sketch_hll_windowed",
+    "embedding_knn_ivfpq",
+    "embedding_ivfpq_recall",
+    "quality_double_charge",
+    "layout_compaction_plan",
+    "layout_encoding_advisor",
+    "quality_k_anonymity",
+    "embedding_hard_negatives",
+    "quality_split_leakage",
+    "events_ab_test",
+    "events_forecast_backtest",
+    "orders_backlog_curve",
+    "graph_bfs_depth",
+    "events_nested_activity",
+    "text_boolean_search",
+    "vendor_scorecard",
+    "events_conversion_windows",
+    "dedup_incremental_neardup",
+    "sample_weighting_ess",
+    "embedding_index_balance",
+    "events_seasonal_anomaly",
+    "multimodal_ahash",
+    "multimodal_ahash_neardup",
+    "sketch_kmv_union",
+    "corpus_release_gate",
+    "graph_kcore",
+    "dedup_chunks",
+    "dedup_chunks_apply",
+    "dedup_cdc_chunks",
+    "dlq_replay",
+    "events_anomaly_mad",
+    "quality_winsorize",
+    "events_rate_limit",
+    "chunk_sliding_window",
+    "dedup_containment",
+    "sample_temperature",
+    "embedding_semdedup",
+    "embedding_kmeans",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "dedup_incremental",
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "capture_flat_map_errors",
+    "capture_map_rekey",
+    "capture_process_fanout",
+    "capture_process_values",
+    "describe_passthrough",
+    "describe_struct_result",
+    "serde_json_captured",
+    "error_headers",
+    "sliding_windows",
+    "exact_percentiles",
+    "event_funnel",
+    "bloom_pruned_join",
+    "forward_fill",
+    "event_sessionize",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
+    "q12_priority_by_returnflag",
+    "text_pii_scrub",
+    "text_bigram_counts",
+    "text_repetition",
+    "text_decontaminate",
+    "text_lm_score",
+    "quality_gopher_report",
+    "corpus_pipeline_priority",
+    "dedup_neardup_keep",
+    "dedup_fuzzy_names",
+    "dedup_priority_source",
+    "sample_pack_sequences",
+    "sample_quality_curriculum",
+    "sample_weighted_quality",
+    "asof_join_forward",
+    "merge_upsert",
+    "scd2_intervals",
+    "quality_profile_columns",
+    "quality_fk_orphans",
+    "quality_validate_dlq",
+    "quality_key_skew",
 ]
 
 

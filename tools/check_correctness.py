@@ -156,6 +156,91 @@ def frame_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_evidence() -> dict:
+    """query -> newest round with a green driver row (CORRECTNESS_r*.json)."""
+    import glob
+    import json
+    import re
+
+    latest = {}
+    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            ok = isinstance(row, dict) and (
+                row.get("hash_match")
+                or (row.get("rows_match") and not row.get("err"))
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def update_evidence(passed_names, sf_label: str) -> None:
+    """Record a green local run per (query, sf) and regenerate EVIDENCE.md.
+
+    The staleness ledger the r4 verdict asked for: one line per registry
+    row mapping it to its newest green DRIVER round (the hard signal,
+    from CORRECTNESS_r*.json) and its newest green LOCAL sweep date per
+    SF (the soft signal, accumulated here across runs in EVIDENCE.json).
+    Regenerated on every check_correctness run so it is build-fresh.
+    """
+    import json
+
+    import __spark_entry__ as entrymod
+
+    ledger_path = os.path.join(_ROOT, "EVIDENCE.json")
+    try:
+        ledger = json.load(open(ledger_path))
+    except Exception:
+        ledger = {}
+    today = time.strftime("%Y-%m-%d")
+    for name in passed_names:
+        ledger.setdefault(name, {})[sf_label] = today
+    json.dump(ledger, open(ledger_path, "w"), indent=0, sort_keys=True)
+
+    driver = _driver_evidence()
+    names = list(entrymod.queries().keys())
+    lines = [
+        "# Evidence ledger",
+        "",
+        "Generated by `tools/check_correctness.py` after every local run.",
+        "`driver` = newest round with a green driver row in"
+        " `CORRECTNESS_r*.json` (the hard signal; `-` = never"
+        " driver-checked).  `local sf*` = date of the newest green local"
+        " oracle sweep at that scale factor.  Rows in registry order ="
+        " driver-budget priority order.",
+        "",
+        "| # | query | driver | local sf0.001 | local sf0.01 | local sf0.1 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for i, name in enumerate(names, 1):
+        loc = ledger.get(name, {})
+        lines.append(
+            f"| {i} | {name} | "
+            f"{('r%d' % driver[name]) if name in driver else '-'} | "
+            f"{loc.get('sf0.001', '-')} | {loc.get('sf0.01', '-')} | "
+            f"{loc.get('sf0.1', '-')} |"
+        )
+    never = sum(1 for n in names if n not in driver)
+    lines.append("")
+    lines.append(
+        f"Registry: {len(names)} rows; {len(names) - never} with >=1 green"
+        f" driver row, {never} never driver-checked."
+    )
+    with open(os.path.join(_ROOT, "EVIDENCE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main():
     args = [a for a in sys.argv[1:] if a != "--lint"]
     lint_only = "--lint" in sys.argv[1:]
@@ -193,6 +278,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    passed_names = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -208,6 +294,7 @@ def main():
         if name not in oracles:
             print(f"okR  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            passed_names.append(name)
             continue
         try:
             rel = con.sql(oracles[name])
@@ -244,6 +331,8 @@ def main():
         else:
             print(f"ok   {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            passed_names.append(name)
+    update_evidence(passed_names, os.path.basename(os.path.normpath(sf_dir)))
     print(f"\n{n_pass} ok, {n_fail} fail")
     spark.stop()
     sys.exit(1 if n_fail else 0)
