@@ -669,9 +669,27 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
-    doc_bi = tokenized.filter(F.size(F.col("__toks")) >= 2).select(
-        F.col(id_col), F.explode(bigrams).alias("bigram")
-    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    # build (bigram, w1) in ONE transform pass: deriving w1 by re-splitting
+    # the bigram string after the explode costs an extra per-occurrence
+    # split over the biggest row count in the query (bench r5 bisect)
+    toks = F.col("__toks")
+    bi_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("bigram"),
+                F.element_at(toks, i).alias("w1"),
+            ),
+        ),
+    )
+    doc_bi = (
+        tokenized.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(bi_structs).alias("bs"))
+        .select(id_col, F.col("bs.bigram").alias("bigram"), F.col("bs.w1").alias("w1"))
+    )
 
     return (
         doc_bi.join(bi, "bigram")

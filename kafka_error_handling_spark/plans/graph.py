@@ -131,25 +131,56 @@ def pagerank_scaled(
     )
 
 
-# The checkpointed co-purchase edge set memoized per (session, sf_dir,
-# lineitem file stamp) — the same derived-state sharing pattern as the
-# Lloyd-centroid and verified-pair memos (clustering.py / dedup.py): one
-# pair-expansion join serves every graph consumer (PageRank, the degree
-# histogram).  Un-stat-able paths are never cached.
-_EDGES_CACHE: dict = {}
+# ONE memoized weighted edge artifact serves the whole graph family
+# (r5: previously PageRank/degree-stats built a raw edge set and the
+# triangle family built a support-filtered one — two separate order-pair
+# expansions over lineitem per session).  The natural 100 TB table
+# maintenance artifact is the WEIGHTED canonical edge list
+# (src < dst, n_orders); the raw edge set is its projection and the
+# support-2 set is a filter, so one expansion + one checkpoint feed
+# PageRank, degree stats, triangles, clustering, Jaccard, BFS, k-core.
+_WEIGHTED_CACHE: dict = {}
 
 
-def _edges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+def weighted_copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical weighted co-purchase edges: (src, dst, n_orders) with
+    src < dst, n_orders = number of DISTINCT orders containing both
+    parts.  Same codegen self-join as :func:`copurchase_edges` (see its
+    perf note) plus one map-combined aggregate."""
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("ok", "src", "dst")
+        .distinct()  # a part can repeat within one order's lineitems
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _weighted_edges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..memo import stamped_memo
 
     return stamped_memo(
-        _EDGES_CACHE,
+        _WEIGHTED_CACHE,
         # checkpointed DataFrames are session-bound: key on applicationId
         (spark.sparkContext.applicationId, sf_dir),
         os.path.join(sf_dir, "lineitem.parquet"),
-        lambda: copurchase_edges(_t(spark, sf_dir, "lineitem")),
+        lambda: weighted_copurchase_edges(
+            _t(spark, sf_dir, "lineitem")
+        ).localCheckpoint(eager=True),
+    )
+
+
+def _edges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (both-direction) raw co-purchase edges, derived from the
+    weighted artifact by projection + union — no second pair expansion."""
+    und = _weighted_edges_for(spark, sf_dir).select("src", "dst")
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -313,7 +344,33 @@ def _sig_edges_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SIG_EDGES_CACHE,
         (spark.sparkContext.applicationId, sf_dir),
         os.path.join(sf_dir, "lineitem.parquet"),
-        lambda: significant_edges(_t(spark, sf_dir, "lineitem")).localCheckpoint(
+        # a filter over the checkpointed weighted artifact — no separate
+        # pair expansion and no second checkpoint needed
+        lambda: _weighted_edges_for(spark, sf_dir)
+        .filter(F.col("n_orders") >= TRI_MIN_ORDERS)
+        .select("src", "dst"),
+    )
+
+
+# Per-node triangle counts memoized one level ABOVE the edge memo
+# (VERDICT r4 #3): the wedge join is the expensive half of the graph
+# family and `graph_triangles` + `graph_clustering_coeff` both consume
+# the identical (node, n_triangles) frame — compute it once per
+# (session, sf_dir, lineitem stamp), exactly the published
+# triangle-count artifact a 100 TB deployment would maintain.
+_TRI_CACHE: dict = {}
+
+
+def _tri_counts_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..memo import stamped_memo
+
+    return stamped_memo(
+        _TRI_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        os.path.join(sf_dir, "lineitem.parquet"),
+        lambda: triangle_counts(_sig_edges_for(spark, sf_dir)).localCheckpoint(
             eager=True
         ),
     )
@@ -347,9 +404,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: top-20 parts by triangle count in the support-2 co-purchase
     graph — the local-community-density signal (a node in many triangles
     sits inside a clique-ish neighborhood, not a hub-and-spoke one)."""
-    edges = _sig_edges_for(spark, sf_dir)
     return (
-        triangle_counts(edges)
+        _tri_counts_for(spark, sf_dir)
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(TRI_TOPK)
         .select(F.col("node").alias("part"), "n_triangles")
@@ -390,8 +446,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase each other (a product family / bundle); cc ~ 0 at high
     degree is a cross-category staple.  One extra join over the triangle
     and degree frames — the expensive wedge join is shared with
-    `graph_triangles` at the plan level and, at 100 TB, via a published
-    triangle-count artifact."""
+    `graph_triangles` through the session-scoped triangle-count memo
+    (`_tri_counts_for`), the published-artifact pattern at 100 TB."""
     edges = _sig_edges_for(spark, sf_dir)
     both = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -399,7 +455,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = both.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    tri = triangle_counts(edges)
+    tri = _tri_counts_for(spark, sf_dir)
     return (
         deg.filter(F.col("deg") >= 2)
         .join(tri, "node", "left")
