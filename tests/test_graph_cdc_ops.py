@@ -803,3 +803,52 @@ def test_split_leakage_counts_match_brute_force(spark, sf_dir):
             expect[key] += 1
     for pair in got:
         assert got[pair] == expect.get(pair, 0), pair
+
+
+def test_weighted_edges_count_distinct_orders(spark):
+    """The weighted artifact counts DISTINCT orders per canonical pair —
+    duplicate lineitems within one order must not inflate the weight."""
+    from kafka_error_handling_spark.plans.graph import weighted_copurchase_edges
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 11), (3, 10), (3, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {
+        (r["src"], r["dst"]): r["n_orders"]
+        for r in weighted_copurchase_edges(li).collect()
+    }
+    assert got == {(10, 11): 2, (10, 12): 1}
+
+
+def test_graph_memos_share_one_artifact(spark, sf_dir):
+    """triangles + clustering coeff + pagerank must share ONE weighted
+    edge build and ONE triangle-count frame per (session, sf_dir) — the
+    r5 derived-artifact contract that keeps the family's wedge join and
+    pair expansion single-execution."""
+    from kafka_error_handling_spark.plans import graph as G
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    G._WEIGHTED_CACHE.clear()
+    G._SIG_EDGES_CACHE.clear()
+    G._TRI_CACHE.clear()
+    tri_top = G.q_graph_triangles(spark, sf_dir).collect()
+    cc = G.q_graph_clustering_coeff(spark, sf_dir).collect()
+    G.q_graph_pagerank(spark, sf_dir).collect()
+    assert list(G._WEIGHTED_CACHE) == [key]
+    assert list(G._TRI_CACHE) == [key]
+    # the memoized support-filtered set equals a fresh extraction
+    from kafka_error_handling_spark.sources.files import load_table
+
+    fresh = {
+        (r["src"], r["dst"])
+        for r in G.significant_edges(load_table(spark, sf_dir, "lineitem")).collect()
+    }
+    memo = {(r["src"], r["dst"]) for r in G._sig_edges_for(spark, sf_dir).collect()}
+    assert fresh == memo
+    # clustering coeff must report the SAME triangle counts as the
+    # triangle gate for every part both rank
+    tri_by_part = {r["part"]: r["n_triangles"] for r in tri_top}
+    for r in cc:
+        if r["part"] in tri_by_part:
+            assert r["n_triangles"] == tri_by_part[r["part"]]
