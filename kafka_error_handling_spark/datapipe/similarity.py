@@ -685,13 +685,29 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 QUERIES["embedding_knn_ivf"] = (q_knn_ivf, _sql_knn_ivf())
 
 
+_EXACT_KNN_CACHE: dict = {}
+
+
 def _recall_gate(spark, sf_dir, approx_fn) -> DataFrame:
     """Per-query recall@5 of an approximate ranking against the exact
     brute-force ranking — quantization/probe loss measured, not guessed
     (same sketch-accuracy-gate pattern as approx_distinct); shared by
-    the int8 / IVF / LSH recall gates so the semantics live in ONE
-    place (round-4 review: three verbatim copies)."""
-    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    the int8 / IVF / LSH / PQ / IVFPQ recall gates so the semantics live
+    in ONE place (round-4 review: three verbatim copies).  The exact
+    ranking is the same 50-row frame for every recall gate in a session —
+    memoized like the other derived artifacts."""
+    import os
+
+    from ..memo import stamped_memo
+
+    exact = stamped_memo(
+        _EXACT_KNN_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        lambda: q_knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True),
+    )
     approx = approx_fn(spark, sf_dir).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
@@ -1257,12 +1273,42 @@ def pq_reconstruct(
     )
 
 
+# The PQ reconstruction of the gate corpus, memoized per (session,
+# sf_dir, embeddings stamp) — the encode+reconstruct pipeline (subspace
+# explode × codebook argmin × sorted reassembly) is the expensive half
+# of the PQ family and is consumed VERBATIM by four gates
+# (embedding_knn_pq / _ivfpq and both recall gates, which re-invoke the
+# query functions).  Same published-artifact pattern as the graph edge
+# and Lloyd-centroid memos: at 100 TB the PQ code table is maintained
+# as an index artifact, never re-encoded per query.
+_PQ_RECON_CACHE: dict = {}
+
+
+def _pq_recon_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..memo import stamped_memo
+
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        cb = pq_codebook(e)
+        return pq_reconstruct(pq_codes(e, cb), cb).localCheckpoint(eager=True)
+
+    return stamped_memo(
+        _PQ_RECON_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        os.path.join(sf_dir, "embeddings.parquet"),
+        build,
+    )
+
+
 def knn_pq(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recon: DataFrame = None,
 ) -> DataFrame:
     """Top-k by cosine in the COMPRESSED domain: each corpus vector is
     replaced by its PQ reconstruction (concat of its selected
@@ -1275,10 +1321,12 @@ def knn_pq(
     parity envelope.  Scale shape: codes + reconstruction are one
     broadcast join + one sorted re-assembly per vector (no corpus
     shuffle); scoring is the brute-force broadcast pattern over the
-    reconstructed corpus."""
-    cb = pq_codebook(corpus, id_col, vec_col)
-    codes = pq_codes(corpus, cb, id_col, vec_col)
-    recon = pq_reconstruct(codes, cb, id_col)
+    reconstructed corpus.  ``recon`` injects a prebuilt reconstruction
+    artifact (see :func:`_pq_recon_for`); when None it is built inline."""
+    if recon is None:
+        cb = pq_codebook(corpus, id_col, vec_col)
+        codes = pq_codes(corpus, cb, id_col, vec_col)
+        recon = pq_reconstruct(codes, cb, id_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -1331,7 +1379,9 @@ def _sql_pq_fragments() -> dict:
 
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_pq(e, e.filter(F.col("vec_id") < 10), k=5)
+    return knn_pq(
+        e, e.filter(F.col("vec_id") < 10), k=5, recon=_pq_recon_for(spark, sf_dir)
+    )
 
 
 def _sql_knn_pq() -> str:
@@ -1396,6 +1446,7 @@ def knn_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = N_PROBE,
+    recon: DataFrame = None,
 ) -> DataFrame:
     """IVF cell pruning + PQ compressed-domain ranking — the two-level
     index (FAISS ``IVFx,PQy``) that serves billion-vector corpora: the
@@ -1413,9 +1464,10 @@ def knn_ivfpq(
         .filter(F.col("crank") == 1)
         .select(F.col(id_col).alias("neighbor_id"), "cid")
     )
-    cb = pq_codebook(corpus, id_col, vec_col)
-    codes = pq_codes(corpus, cb, id_col, vec_col)
-    recon = pq_reconstruct(codes, cb, id_col)
+    if recon is None:
+        cb = pq_codebook(corpus, id_col, vec_col)
+        codes = pq_codes(corpus, cb, id_col, vec_col)
+        recon = pq_reconstruct(codes, cb, id_col)
     corpus_side = (
         recon.select(F.col(id_col).alias("neighbor_id"), "rv")
         .join(cells, "neighbor_id")
@@ -1457,7 +1509,9 @@ def knn_ivfpq(
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_ivfpq(e, e.filter(F.col("vec_id") < 10), k=5)
+    return knn_ivfpq(
+        e, e.filter(F.col("vec_id") < 10), k=5, recon=_pq_recon_for(spark, sf_dir)
+    )
 
 
 def _sql_knn_ivfpq() -> str:
