@@ -890,14 +890,18 @@ QUERIES["events_time_to_convert"] = (q_time_to_convert, SQL_TIME_TO_CONVERT)
 
 
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    # the canonical pair-support frame IS the weighted co-purchase edge
+    # artifact (r5): one shared build serves the graph family, this gate,
+    # and the association rules
+    from .graph import _weighted_edges_for
+
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _weighted_edges_for(spark, sf_dir)
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            "n_orders",
+        )
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(50)
     )
@@ -1128,23 +1132,25 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized), and the order-count scalar rides a 1-row broadcast.
     Top-k via TakeOrdered — no global sort.
     """
-    # the distinct (order, part) projection feeds FOUR consumers (both
-    # pair-join sides, the per-part counts, the order total): checkpoint it
-    # once — same discipline as copurchase_edges, and the SQL twin already
-    # marks it MATERIALIZED
+    # the distinct (order, part) projection feeds the per-part counts and
+    # the order total; the PAIR support frame comes from the shared
+    # weighted co-purchase edge artifact (r5) instead of a second
+    # basket-expansion join — the SQL twin marks its twin MATERIALIZED
+    from .graph import _weighted_edges_for
+
     items = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        _weighted_edges_for(spark, sf_dir)
+        .select(
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
+            F.col("n_orders").alias("n_ab"),
+        )
         .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
     )
     # both directions: a→b and b→a have different confidence
