@@ -547,3 +547,33 @@ def test_boolean_search_subset_of_single_term_matches(spark, sf_dir):
         ).collect()
     }
     assert set(hits) <= both
+
+
+def test_pq_memos_share_one_artifact(spark, sf_dir):
+    """The PQ reconstruction and the exact-knn eval frames are built once
+    per (session, sf_dir) and shared by the PQ/IVFPQ gates and every
+    recall gate — and the memoized reconstruction must equal a fresh
+    inline build (r5 derived-artifact contract)."""
+    from kafka_error_handling_spark.datapipe import similarity as S
+    from kafka_error_handling_spark.sources.files import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    S._PQ_RECON_CACHE.clear()
+    S._EXACT_KNN_CACHE.clear()
+    S.q_knn_pq(spark, sf_dir).collect()
+    S.q_knn_ivfpq(spark, sf_dir).collect()
+    S.q_pq_recall(spark, sf_dir).collect()
+    S.q_ivfpq_recall(spark, sf_dir).collect()
+    assert list(S._PQ_RECON_CACHE) == [key]
+    assert list(S._EXACT_KNN_CACHE) == [key]
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebook(e)
+    fresh = {
+        (r["vec_id"], tuple(r["rv"]))
+        for r in S.pq_reconstruct(S.pq_codes(e, cb), cb).collect()
+    }
+    memo = {
+        (r["vec_id"], tuple(r["rv"]))
+        for r in S._pq_recon_for(spark, sf_dir).collect()
+    }
+    assert fresh == memo
