@@ -852,3 +852,30 @@ def test_graph_memos_share_one_artifact(spark, sf_dir):
     for r in cc:
         if r["part"] in tri_by_part:
             assert r["n_triangles"] == tri_by_part[r["part"]]
+
+
+def test_hll_and_kmv_estimates_survive_empty_input(spark, sf_dir, tmp_path):
+    """An EMPTY events table zeroes all 64 registers: the linear-counting
+    table must have its V=64 entry (element_at one past a 63-entry array
+    is a runtime error under ANSI mode) and every abs_err_ppm must guard
+    the exact=0 division (r5 advisory fix, pinned here)."""
+    from kafka_error_handling_spark.plans.stats import (
+        q_sketch_hll_estimate,
+        q_sketch_kmv,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    empty_dir = str(tmp_path / "sf_empty")
+    load_table(spark, sf_dir, "events").limit(0).write.parquet(
+        f"{empty_dir}/events.parquet"
+    )
+    row = q_sketch_hll_estimate(spark, empty_dir).collect()[0]
+    assert row["est_distinct"] == 0
+    assert row["exact_distinct"] == 0
+    assert row["n_zero_registers"] == 64
+    assert row["estimator"] == "linear_counting"
+    assert row["abs_err_ppm"] == 0
+    krow = q_sketch_kmv(spark, empty_dir).collect()[0]
+    assert krow["est_distinct"] == 0
+    assert krow["exact_distinct"] == 0
+    assert krow["abs_err_ppm"] == 0
