@@ -1,0 +1,154 @@
+"""Scale-stress harness: disjoint-replica scaling of the heavy families.
+
+Replicates the gate tables N× with DISJOINT key spaces (each replica's
+orders/parts/docs/vectors are shifted into their own id range), runs a
+family's core pipeline at 1× and N×, and prints one JSON line of wall
+ratios.  Disjoint replication is the fair plan-scaling probe: the result
+is N independent copies of the workload, so a scale-correct plan should
+grow ~linearly in wall (ratio ≲ N on a fixed-size machine) and a plan
+with a hidden quadratic term shows ratio >> N.
+
+This formalizes the ad-hoc sessions behind the 10×/100× numbers in
+docs/SCALE.md (stop-bucket finding, triangle sublinearity, the r5
+unified-edge-artifact check) so the evidence is reproducible.
+
+Usage:  python tools/stress.py [N] [family ...]
+        N defaults to 10; families default to all.
+Families: graph, basket, dedup, text, embed
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# id shifts big enough that no replica overlaps another at any tested SF
+ORDER_SHIFT = 10_000_000_000
+PART_SHIFT = 1_000_000_000
+DOC_SHIFT = 1_000_000_000
+VEC_SHIFT = 1_000_000_000
+
+
+def _replicate(df, n, shifts):
+    """n disjoint copies; ``shifts`` maps column -> per-replica stride."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in shifts:
+        out = out.withColumn(c, F.col(c).cast("long"))
+    out = out.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+    for c, stride in shifts.items():
+        out = out.withColumn(
+            c, F.col(c) + F.col("_rep").cast("long") * F.lit(stride)
+        )
+    return out.drop("_rep")
+
+
+def _families(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe import dedup as D
+    from kafka_error_handling_spark.datapipe import text as T
+    from kafka_error_handling_spark.plans import graph as G
+    from kafka_error_handling_spark.sources.files import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+    def graph(n):
+        df = _replicate(
+            li, n, {"l_orderkey": ORDER_SHIFT, "l_partkey": PART_SHIFT}
+        )
+        w = G.weighted_copurchase_edges(df).localCheckpoint(eager=True)
+        sig = w.filter(F.col("n_orders") >= 2).select("src", "dst")
+        G.triangle_counts(sig).count()
+        und = w.select("src", "dst")
+        both = und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        G.pagerank_scaled(both).count()
+
+    def basket(n):
+        df = _replicate(
+            li, n, {"l_orderkey": ORDER_SHIFT, "l_partkey": PART_SHIFT}
+        )
+        (
+            G.weighted_copurchase_edges(df)
+            .orderBy(F.desc("n_orders"), F.asc("src"), F.asc("dst"))
+            .limit(50)
+            .count()
+        )
+
+    def dedup(n):
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        D.exact_dedup(df).count()
+        D.simhash(df).count()
+
+    def text(n):
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        T.lm_score(df).count()
+
+    def embed(n):
+        df = _replicate(emb, n, {"vec_id": VEC_SHIFT})
+        # brute-force knn of a FIXED query set against the replicated
+        # corpus — the query side must not scale with the corpus
+        from kafka_error_handling_spark.datapipe.similarity import knn_bruteforce
+
+        knn_bruteforce(df, emb.filter(F.col("vec_id") < 10), k=5).count()
+
+    return {
+        "graph": graph,
+        "basket": basket,
+        "dedup": dedup,
+        "text": text,
+        "embed": embed,
+    }
+
+
+def main():
+    args = sys.argv[1:]
+    n = int(args[0]) if args and args[0].isdigit() else 10
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("keh-stress")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    fams = _families(spark)
+    picked = [a for a in args if a in fams] or list(fams)
+    out = {}
+    for name in picked:
+        fn = fams[name]
+        fn(1)  # warm plan compilation off the measurement
+        t0 = time.time()
+        fn(1)
+        base = time.time() - t0
+        t0 = time.time()
+        fn(n)
+        big = time.time() - t0
+        out[name] = {
+            "x1_s": round(base, 2),
+            f"x{n}_s": round(big, 2),
+            "ratio": round(big / base, 2) if base > 0 else None,
+        }
+    print(json.dumps({"metric": "stress", "n": n, "sf_dir": SF_DIR, "families": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
