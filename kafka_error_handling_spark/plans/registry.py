@@ -71,72 +71,23 @@ def _modules():
     return mods
 
 
-# Driver-budget ordering (VERDICT r4 item 1: pay the driver-evidence
-# debt).  The registry is FROZEN this round — zero new names — and the
-# ~50-row driver budget goes entirely to rows without fresh driver
-# evidence.  Head: the 51 rows never driver-checked (r4 additions from
-# the second/third continuations), oldest-waiting first;
-# embedding_lsh_recall sits at position 51 (just past a 50-row budget)
-# because its three sibling recall gates (pq/ivfpq/int8) share the
-# recall-harness machinery and are r4-driver-green.  Then the r1-stale
-# and r2-stale rows (round 6's budget), then r3/r4-green rows in their
-# prior order.  Invariant kept from r4: rows whose RESULTS change in a
-# round must move to the head so a budget cutoff never drops them
-# (none this round: the r5 advisory fixes were verified output-neutral
-# at both test SFs).
+# Driver-budget ordering (VERDICT r5 item 1: finish paying the
+# driver-evidence debt).  Registry FROZEN again — zero new names — and
+# the ~50-row round-6 driver budget goes entirely to the 81 rows without
+# fresh driver evidence.  Head: embedding_lsh_recall (the single row
+# never driver-checked, deliberately parked at position 51 in r5), then
+# the 36 r1-stale rows (the §2.7 relational/window/TPC-H core, all
+# touched by the r3 tokenization and r4 memo refactors), then the 44
+# r2-stale rows oldest-first.  A 50-row budget covers the head + the
+# first 13 r2-stale rows; round 7's half-budget retires the remainder.
+# Tail: r3/r4-green rows in prior order, then the 50 rows r5 just
+# proved (the freshest evidence in the ledger).  Invariant kept from
+# r4: rows whose RESULTS change in a round must move to the head so a
+# budget cutoff never drops them (none this round: the round-6 changes
+# are evidence tooling, a test-pin tighten, and stress coverage — no
+# query-result change).
 _PRIORITY = [
-    # never driver-checked (positions 1-50: the round-5 driver budget)
-    "text_tfidf_keywords",
-    "sample_global_shuffle",
-    "quality_psi_drift",
-    "asof_join_nearest",
-    "cdc_snapshot_diff",
-    "retention_cohorts",
-    "pareto_supplier_revenue",
-    "attribution_last_touch",
-    "corpus_pretrain_mix",
-    "dedup_minhash_est_error",
-    "embedding_threshold_sweep",
-    "graph_pagerank",
-    "cdc_log_compaction",
-    "dlq_age_report",
-    "text_char_entropy",
-    "events_debounce",
-    "quality_error_slo",
-    "corpus_token_budget",
-    "basket_association_rules",
-    "graph_degree_stats",
-    "customer_rfm_segments",
-    "multimodal_dedup",
-    "events_decayed_engagement",
-    "sample_bootstrap_tokens",
-    "scd2_point_in_time",
-    "events_dau_wau",
-    "attribution_linear",
-    "embedding_dim_stats",
-    "text_bpe_merge_candidates",
-    "orders_ship_delay_sla",
-    "events_cohort_ltv",
-    "quality_benford_digits",
-    "text_vocab_coverage",
-    "events_concentration",
-    "corpus_media_funnel",
-    "sketch_kmv_distinct",
-    "dlq_poison_causes",
-    "quality_breach_streaks",
-    "text_lang_confusion",
-    "events_bot_regularity",
-    "events_time_to_convert",
-    "basket_pair_counts",
-    "events_markov_transitions",
-    "dedup_cluster_stats",
-    "embedding_norm_stats",
-    "quality_reconcile_orders",
-    "sample_upsample",
-    "events_interarrival_stats",
-    "text_source_kl",
-    "embedding_ivf_recall",
-    # never driver-checked, demoted just past the budget (siblings green)
+    # the last never-driver-checked row (VERDICT r5 item 1, first)
     "embedding_lsh_recall",
     # r1-stale: newest green driver row is round 1
     "text_quality",
@@ -317,6 +268,58 @@ _PRIORITY = [
     "quality_fk_orphans",
     "quality_validate_dlq",
     "quality_key_skew",
+    # r5-green rows (the round-5 driver budget, 50/50 green — the
+    # freshest evidence in the ledger, so lowest re-check priority)
+    "text_tfidf_keywords",
+    "sample_global_shuffle",
+    "quality_psi_drift",
+    "asof_join_nearest",
+    "cdc_snapshot_diff",
+    "retention_cohorts",
+    "pareto_supplier_revenue",
+    "attribution_last_touch",
+    "corpus_pretrain_mix",
+    "dedup_minhash_est_error",
+    "embedding_threshold_sweep",
+    "graph_pagerank",
+    "cdc_log_compaction",
+    "dlq_age_report",
+    "text_char_entropy",
+    "events_debounce",
+    "quality_error_slo",
+    "corpus_token_budget",
+    "basket_association_rules",
+    "graph_degree_stats",
+    "customer_rfm_segments",
+    "multimodal_dedup",
+    "events_decayed_engagement",
+    "sample_bootstrap_tokens",
+    "scd2_point_in_time",
+    "events_dau_wau",
+    "attribution_linear",
+    "embedding_dim_stats",
+    "text_bpe_merge_candidates",
+    "orders_ship_delay_sla",
+    "events_cohort_ltv",
+    "quality_benford_digits",
+    "text_vocab_coverage",
+    "events_concentration",
+    "corpus_media_funnel",
+    "sketch_kmv_distinct",
+    "dlq_poison_causes",
+    "quality_breach_streaks",
+    "text_lang_confusion",
+    "events_bot_regularity",
+    "events_time_to_convert",
+    "basket_pair_counts",
+    "events_markov_transitions",
+    "dedup_cluster_stats",
+    "embedding_norm_stats",
+    "quality_reconcile_orders",
+    "sample_upsample",
+    "events_interarrival_stats",
+    "text_source_kl",
+    "embedding_ivf_recall",
 ]
 
 

@@ -480,8 +480,9 @@ def q_sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 under the register clamp, so E_raw is bit-reproducible.  Per
     the HLL paper, when E_raw <= 5m/2 and zero registers exist the
     estimate switches to linear counting m*ln(m/V) — ln comes from a
-    63-entry ppm table baked into both plans (runtime ln/pow floats are
-    not engine-stable; a 63-value domain doesn't need them)."""
+    64-entry ppm table covering V=1..64 baked into both plans (runtime
+    ln/pow floats are not engine-stable; a 64-value domain doesn't need
+    them; V=64 = all registers zero = empty input, estimate 0)."""
     e = _t(spark, sf_dir, "events")
     regs = hll_registers(e, F.col("user_id"))
     sk = regs.agg(

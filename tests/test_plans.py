@@ -241,7 +241,9 @@ def test_capture_overhead_budget(spark, sf_dir):
             capture_map_values(events, rate, DoubleType(), value_col="props")
         ).count()
     )
-    assert wrapped / unwrapped < 1.6, f"capture overhead {wrapped/unwrapped:.2f}x"
+    # pin tightened 1.6 -> 1.4 (VERDICT r5 item 4): driver-measured ratio
+    # is 1.25x with both legs >2s — keep the tripwire near reality
+    assert wrapped / unwrapped < 1.4, f"capture overhead {wrapped/unwrapped:.2f}x"
 
 
 def test_sessionize_single_exchange(spark, sf_dir):

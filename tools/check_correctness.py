@@ -176,9 +176,17 @@ def _driver_evidence() -> dict:
         except Exception:
             continue
         for name, row in data.items():
-            ok = isinstance(row, dict) and (
-                row.get("hash_match")
-                or (row.get("rows_match") and not row.get("err"))
+            if not isinstance(row, dict):
+                continue
+            # green ONLY when the value hash matched, or when the row is a
+            # rows-only gate (hash_match is None: no oracle SQL) that
+            # matched row counts cleanly.  A hash_match=False row with
+            # equal counts is a VALUE MISMATCH and must never be ledgered
+            # as verified (ADVICE r5 medium — r1/r2 contain such rows).
+            ok = row.get("hash_match") is True or (
+                row.get("hash_match") is None
+                and row.get("rows_match")
+                and not row.get("err")
             )
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -203,10 +211,13 @@ def update_evidence(passed_names, sf_label: str) -> None:
         ledger = json.load(open(ledger_path))
     except Exception:
         ledger = {}
-    today = time.strftime("%Y-%m-%d")
-    for name in passed_names:
-        ledger.setdefault(name, {})[sf_label] = today
-    json.dump(ledger, open(ledger_path, "w"), indent=0, sort_keys=True)
+    # only the canonical SFs are ledgered — a run against a temp/bench dir
+    # must not accumulate invisible entries the MD never renders (ADVICE r5)
+    if sf_label in ("sf0.001", "sf0.01", "sf0.1"):
+        today = time.strftime("%Y-%m-%d")
+        for name in passed_names:
+            ledger.setdefault(name, {})[sf_label] = today
+        json.dump(ledger, open(ledger_path, "w"), indent=0, sort_keys=True)
 
     driver = _driver_evidence()
     names = list(entrymod.queries().keys())

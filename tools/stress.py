@@ -114,8 +114,34 @@ def _families(spark):
     }
 
 
+FAMILY_NAMES = ("graph", "basket", "dedup", "text", "embed")
+
+
+def _git_sha() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     args = sys.argv[1:]
+    # reject typos BEFORE Spark startup — an unknown family must not
+    # silently fall back to running all families (ADVICE r5)
+    unknown = [a for a in args if not a.isdigit() and a not in FAMILY_NAMES]
+    if unknown:
+        print(
+            f"unknown family {unknown}; usage: stress.py [N] "
+            f"[{' '.join(FAMILY_NAMES)} ...]",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     n = int(args[0]) if args and args[0].isdigit() else 10
     from pyspark.sql import SparkSession
 
@@ -130,6 +156,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     fams = _families(spark)
+    assert tuple(fams) == FAMILY_NAMES
     picked = [a for a in args if a in fams] or list(fams)
     out = {}
     for name in picked:
@@ -146,7 +173,23 @@ def main():
             f"x{n}_s": round(big, 2),
             "ratio": round(big / base, 2) if base > 0 else None,
         }
-    print(json.dumps({"metric": "stress", "n": n, "sf_dir": SF_DIR, "families": out}))
+    line = json.dumps(
+        {
+            "metric": "stress",
+            "n": n,
+            "sf_dir": SF_DIR,
+            "git_sha": _git_sha(),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "families": out,
+        }
+    )
+    print(line)
+    # append to the (gitignored) local run ledger; the per-round N=30
+    # lines are quoted verbatim into docs/SCALE.md as the durable record
+    runs_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    with open(os.path.join(runs_dir, "stress.jsonl"), "a") as f:
+        f.write(line + "\n")
     spark.stop()
 
 
