@@ -194,8 +194,9 @@ def test_capture_overhead_budget(spark, sf_dir):
     r1 ~1.0x drifted to 1.73x in the r2 driver bench; the hot loop is now
     specialized — dtype-dispatched normalizers, no per-row tuple packing).
 
-    Bound is deliberately generous (1.6x, min-of-3) so the test catches a
-    regression back to 2x without flaking on machine noise; the precise
+    Bound is 1.4x (min-of-3; tightened from 1.6x per VERDICT r5 item 4 —
+    the driver-measured ratio is 1.25x with both legs >2s) so the test
+    catches a regression without flaking on machine noise; the precise
     number is reported by bench.py (target <=1.3x)."""
     import json as _json
     import time as _time

@@ -36,12 +36,24 @@ VEC_SHIFT = 1_000_000_000
 
 
 def _replicate(df, n, shifts):
-    """n disjoint copies; ``shifts`` maps column -> per-replica stride."""
+    """n disjoint copies; ``shifts`` maps column -> per-replica stride.
+
+    The narrow 1x input is repartitioned BEFORE the xN explode: the gate
+    parquet is one row group = one scan task, so without this the whole
+    Nx fan-out (and the shuffle write feeding the first join) runs
+    single-threaded — a harness artifact, not a plan property.  A real
+    Nx corpus is Nx files read by Nx scan tasks; spreading the explode
+    across the cluster's task slots is the faithful simulation (found at
+    N=30: basket measured 55x wall for 30x data, all of it one core
+    exploding 18M rows — 21.5x / 143s -> 48s after this fix).
+    """
     from pyspark.sql import functions as F
 
     out = df
     for c in shifts:
         out = out.withColumn(c, F.col(c).cast("long"))
+    sc = df.sparkSession.sparkContext
+    out = out.repartition(max(sc.defaultParallelism, 32))
     out = out.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
     for c, stride in shifts.items():
         out = out.withColumn(
