@@ -159,14 +159,14 @@ def frame_hash(cols, rows):
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _driver_evidence() -> dict:
+def _driver_evidence(root: str = _ROOT) -> dict:
     """query -> newest round with a green driver row (CORRECTNESS_r*.json)."""
     import glob
     import json
     import re
 
     latest = {}
-    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
