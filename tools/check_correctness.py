@@ -270,10 +270,17 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    # KEH_CHECK_MASTER / KEH_CHECK_SHUFFLE perturb the session layout —
+    # a result that changes with partition count (top-k ties, any_value,
+    # first-in-group) is nondeterministic at cluster scale even when the
+    # default-layout hash matches the oracle.  Defaults unchanged.
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("KEH_CHECK_MASTER", "local[8]"))
         .appName("keh-correctness")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("KEH_CHECK_SHUFFLE", "8"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
