@@ -273,8 +273,12 @@ def main():
     # KEH_CHECK_MASTER / KEH_CHECK_SHUFFLE perturb the session layout —
     # a result that changes with partition count (top-k ties, any_value,
     # first-in-group) is nondeterministic at cluster scale even when the
-    # default-layout hash matches the oracle.  Defaults unchanged.
-    spark = (
+    # default-layout hash matches the oracle.  KEH_CHECK_CONF takes
+    # "key=value;key=value" for arbitrary execution-strategy perturbation
+    # (e.g. adaptive off, autoBroadcastJoinThreshold=-1 to force every
+    # join onto the shuffle path) — results must be invariant to ALL of
+    # these; only the physical strategy may change.  Defaults unchanged.
+    builder = (
         SparkSession.builder.master(os.environ.get("KEH_CHECK_MASTER", "local[8]"))
         .appName("keh-correctness")
         .config(
@@ -283,8 +287,13 @@ def main():
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    for kv in os.environ.get("KEH_CHECK_CONF", "").split(";"):
+        if kv.strip():
+            k, _, v = kv.partition("=")
+            assert _, f"KEH_CHECK_CONF entry without '=': {kv!r}"
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
