@@ -15,21 +15,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from plan_lint import lint_plan, plan_string  # noqa: E402
 
-# one representative per family; membership frozen for comparability
-LINT_SUBSET = [
-    "q3_top_revenue_orders",      # relational join+agg+topk
-    "window_topk_orders",         # window functions
-    "capture_map_values_dlq",     # error-capture (Arrow UDF path)
-    "dedup_minhash_lsh",          # banded LSH join
-    "embedding_knn_ivf",          # bucketed ANN
-    "text_lm_score",              # bigram-LM token joins
-    "graph_pagerank",             # iterative graph
-    "sample_stratified_exact",    # sampling windows
-    "quality_split_leakage",      # governance join matrix
-    "multimodal_ahash",           # binary-column pipeline
-    "sketch_hll_estimate",        # sketch registers
-    "asof_join_nearest",          # as-of join
-]
+# one representative per family; membership frozen for comparability.
+# Values = (max_shuffles, max_arrow_python) measured under the pytest
+# session conf — a drift tripwire, not a target: a plan that grows a NEW
+# shuffle exchange or a NEW Python operator fails here before the bench
+# ever notices the slowdown.  A plan that improves (fewer) passes; move
+# the pin down when that happens.
+LINT_SUBSET = {
+    "q3_top_revenue_orders": (1, 0),    # relational join+agg+topk
+    "window_topk_orders": (1, 0),       # window functions
+    "capture_map_values_dlq": (0, 1),   # error-capture (Arrow UDF path)
+    "dedup_minhash_lsh": (2, 0),        # banded LSH join
+    "embedding_knn_ivf": (2, 2),        # bucketed ANN
+    "text_lm_score": (5, 0),            # bigram-LM token joins
+    "graph_pagerank": (0, 0),           # iterative graph (broadcast ranks)
+    "sample_stratified_exact": (1, 0),  # sampling windows
+    "quality_split_leakage": (2, 0),    # governance join matrix
+    "multimodal_ahash": (0, 1),         # binary-column pipeline
+    "sketch_hll_estimate": (4, 0),      # sketch registers
+    "asof_join_nearest": (1, 0),        # as-of join
+}
 
 
 def test_lint_detects_red_nodes():
@@ -62,10 +67,18 @@ def test_lint_clean_plan_counts():
     assert res["arrow_python"] == 1
 
 
-@pytest.mark.parametrize("name", LINT_SUBSET)
+@pytest.mark.parametrize("name", sorted(LINT_SUBSET))
 def test_registry_plan_is_clean(spark, sf_dir, name):
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()[name](spark, sf_dir)
     res = lint_plan(plan_string(df))
     assert res["red"] == [], f"{name}: {res['red']}"
+    max_shuffles, max_arrow = LINT_SUBSET[name]
+    assert res["shuffles"] <= max_shuffles, (
+        f"{name}: plan grew a shuffle ({res['shuffles']} > {max_shuffles})"
+    )
+    assert res["arrow_python"] <= max_arrow, (
+        f"{name}: plan grew a Python operator"
+        f" ({res['arrow_python']} > {max_arrow})"
+    )
