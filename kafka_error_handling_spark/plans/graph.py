@@ -39,6 +39,13 @@ from ..sources.files import load_table as _t
 PR_SCALE = 1_000_000_000_000
 PR_ITERS = 3
 PR_TOPK = 20
+# regime crossover for pagerank_scaled: broadcast the per-iteration rank
+# frame only while |V| fits comfortably inside the driver-result /
+# broadcast budget.  2M nodes is the N=100 stress record (green, 29.4x
+# wall for 100x data); the N=300 probe (6M nodes) blew the 1 GiB
+# spark.driver.maxResultSize cap on the rank-frame broadcast collect —
+# the measured ceiling of the broadcast regime on this box.
+PR_BROADCAST_MAX_NODES = 2_000_000
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -71,7 +78,7 @@ def pagerank_scaled(
     edges: DataFrame,
     iters: int = PR_ITERS,
     scale: int = PR_SCALE,
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list; returns
     (node, deg, rank_scaled) with rank in parts-per-``scale`` of total mass.
@@ -85,11 +92,16 @@ def pagerank_scaled(
     domain graphs: here 20k nodes vs 2.4M edges): the per-iteration rank
     and degree frames are broadcast so the ONLY exchange per round is the
     map-combined contribution sum — the checkpointed edge frame is never
-    reshuffled.  For web-scale graphs where |V| itself is huge, pass
-    False and pre-partition edges and ranks on the node key instead: every
-    iteration then reuses one co-partitioned exchange layout.
+    reshuffled.  ``False`` is the web-scale regime where |V| itself is
+    huge: rank/degree joins run as ordinary key-shuffle joins, so nothing
+    node-count-shaped is ever collected to the driver or broadcast (on a
+    real cluster, bucket the edge table on the node key to make those
+    shuffles one-sided).  The default ``None`` AUTO-SELECTS: ``deg`` is
+    one row per node and already checkpoint-materialized, so its count is
+    a cheap bounded scalar, and the broadcast regime is used only up to
+    ``PR_BROADCAST_MAX_NODES`` — the same query survives any graph size
+    without the caller knowing the crossover.
     """
-    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     # callers hand in edges whose expensive construction is already cut by
     # a checkpoint (see copurchase_edges); re-reading that per pass is
     # cheaper than materializing the 2x-size directed list again, so no
@@ -97,6 +109,9 @@ def pagerank_scaled(
     # node; per-iteration ranks) get checkpointed
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.localCheckpoint(eager=True)  # one row per node — tiny
+    if broadcast_ranks is None:
+        broadcast_ranks = deg.count() <= PR_BROADCAST_MAX_NODES
+    hint = F.broadcast if broadcast_ranks else (lambda df: df)
     ed = edges.join(hint(deg), "src")
 
     # deg already holds one row per node — no second distinct over edges

@@ -50,6 +50,26 @@ def test_pagerank_matches_brute_force_model(spark):
     assert got[3] > got[4]
 
 
+def test_pagerank_regimes_are_value_identical(spark):
+    """The broadcast-ranks and shuffle-join regimes are PLAN variants of
+    one algorithm — identical integer arithmetic, so identical ranks.
+    Pins the auto-crossover (PR_BROADCAST_MAX_NODES) as a pure physical
+    choice: the N=300 stress can demote to shuffle joins without the
+    gate hash moving."""
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    directed = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(directed, "src long, dst long")
+    res = {}
+    for regime in (True, False):
+        res[regime] = sorted(
+            (r["node"], r["deg"], r["rank_scaled"])
+            for r in pagerank_scaled(
+                edges, iters=3, broadcast_ranks=regime
+            ).collect()
+        )
+    assert res[True] == res[False]
+
+
 def test_pagerank_mass_approximately_conserved(spark):
     und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1)]
     directed = und + [(b, a) for a, b in und]

@@ -46,6 +46,15 @@ def _replicate(df, n, shifts):
     across the cluster's task slots is the faithful simulation (found at
     N=30: basket measured 55x wall for 30x data, all of it one core
     exploding 18M rows — 21.5x / 143s -> 48s after this fix).
+
+    Because Generate does not scale `sizeInBytes`, every frame built
+    through this function carries a 1x static size estimate — the
+    stress session therefore runs with implicit broadcast DISABLED
+    (see main()): a statically mis-planned BroadcastHashJoin cannot be
+    demoted by AQE (it only promotes SMJ->BHJ), and at N=300 the
+    "tiny" replica side was a ~2 GB broadcast collect that died on
+    spark.driver.maxResultSize (N<=100 squeaked under the 1 GiB cap
+    and silently measured a broadcast no real-scale plan would pick).
     """
     from pyspark.sql import functions as F
 
@@ -162,6 +171,12 @@ def main():
         .appName("keh-stress")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
+        # every _replicate output carries a 1x static size estimate
+        # (Generate doesn't scale sizeInBytes), so any IMPLICIT broadcast
+        # decision in this session is based on a deliberately false size;
+        # disable it (explicit F.broadcast hints in gate code still fire).
+        # A real Nx corpus has true scan stats and never hits this.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
