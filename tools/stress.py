@@ -166,10 +166,18 @@ def main():
     n = int(args[0]) if args and args[0].isdigit() else 10
     from pyspark.sql import SparkSession
 
+    # Shuffle partitions must scale with the data, exactly as a real
+    # deployment sizes them: pinned at 64, the N=300 graph leg OOMed in
+    # an SMJ sort (each of 64 partitions outgrew its share of execution
+    # memory across 32 concurrent tasks — UNABLE_TO_ACQUIRE_MEMORY),
+    # while N<=100 fit.  2*N keeps per-partition sort footprint roughly
+    # constant as N grows; AQE coalesces the excess at small N.
+    shuffle_parts = max(64, 2 * n)
+
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("keh-stress")
-        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         # every _replicate output carries a 1x static size estimate
         # (Generate doesn't scale sizeInBytes), so any IMPLICIT broadcast
