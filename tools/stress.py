@@ -185,7 +185,15 @@ def main():
         # disable it (explicit F.broadcast hints in gate code still fire).
         # A real Nx corpus has true scan stats and never hits this.
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.driver.memory", "24g")
+        # single-JVM local mode: driver heap IS the cluster's total
+        # memory.  24g covers N<=100; the N=300 graph leg additionally
+        # needs the ~360M-edge memo artifact resident (heap OOM in
+        # MemoryStore re-caching it from disk at 24g) — overridable so
+        # extreme-N probes can use the machine's actual RAM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("KEH_STRESS_DRIVER_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
