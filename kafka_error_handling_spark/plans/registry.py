@@ -71,75 +71,16 @@ def _modules():
     return mods
 
 
-# Driver-budget ordering (VERDICT r5 item 1: finish paying the
-# driver-evidence debt).  Registry FROZEN again — zero new names — and
-# the ~50-row round-6 driver budget goes entirely to the 81 rows without
-# fresh driver evidence.  Head: embedding_lsh_recall (the single row
-# never driver-checked, deliberately parked at position 51 in r5), then
-# the 36 r1-stale rows (the §2.7 relational/window/TPC-H core, all
-# touched by the r3 tokenization and r4 memo refactors), then the 44
-# r2-stale rows oldest-first.  A 50-row budget covers the head + the
-# first 13 r2-stale rows; round 7's half-budget retires the remainder.
-# Tail: r3/r4-green rows in prior order, then the 50 rows r5 just
-# proved (the freshest evidence in the ledger).  Invariant kept from
-# r4: rows whose RESULTS change in a round must move to the head so a
-# budget cutoff never drops them (none this round: the round-6 changes
-# are evidence tooling, a test-pin tighten, and stress coverage — no
-# query-result change).
 _PRIORITY = [
-    # the last never-driver-checked row (VERDICT r5 item 1, first)
-    "embedding_lsh_recall",
-    # r1-stale: newest green driver row is round 1
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "corpus_curation",
-    "dedup_exact",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "window_topk_orders",
-    "window_running_sum",
-    "window_lag_lead",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "distinct_aggs",
-    "set_ops",
-    "semi_anti_join",
-    "sort_limit_topk",
-    "scalar_functions",
-    "event_time_windows",
-    "unpivot_metrics",
-    "window_analytic_suite",
-    "temporal_regex_functions",
-    "window_value_frames",
-    "q14_promo_revenue",
-    "stats_aggs",
-    "outer_joins",
-    "window_range_frame",
-    "conditional_pivot",
-    "q4_priority_exists",
-    "q17_small_qty_revenue",
-    "q18_large_volume_orders",
-    "min_per_group_joinback",
-    "range_join_followups",
-    "session_windows",
-    "salted_join_agg",
-    # r2-stale: newest green driver row is round 2
-    "dedup_ngram_jaccard",
-    "embedding_knn_int8",
-    "embedding_int8_recall",
-    "multimodal_decode",
-    "text_stats",
-    "text_bm25_topk",
-    "text_vocab_df",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "embedding_knn",
-    "embedding_knn_arrow",
-    "embedding_lsh_buckets",
+    # r7 driver-budget ordering (VERDICT r6 item 1): graph_pagerank FIRST
+    # — its regime-selection code changed in r6 (plans/graph.py:95-116)
+    # and the changed-rows-first invariant must hold — then the final 31
+    # r2-stale rows (the whole remaining evidence debt: the TPC-H
+    # remainder, the knn-LSH family, the multimodal trio, the samplers).
+    # 32 rows; the ~50-row budget then re-freshens the oldest r3-green
+    # rows.  Tail: r4/r5/r6-green in recency order (freshest last).
+    "graph_pagerank",
+    # r2-stale: newest green driver row is round 2 — the last debt
     "embedding_knn_lsh",
     "embedding_knn_lsh_multiprobe",
     "embedding_neardup",
@@ -171,7 +112,54 @@ _PRIORITY = [
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "q22_no_order_customers",
-    # r3/r4-green rows (fresh driver evidence), prior order
+    # r3-green rows, prior order (next-oldest evidence)
+    "embedding_semdedup",
+    "embedding_kmeans",
+    "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "dedup_incremental",
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "capture_flat_map_errors",
+    "capture_map_rekey",
+    "capture_process_fanout",
+    "capture_process_values",
+    "describe_passthrough",
+    "describe_struct_result",
+    "serde_json_captured",
+    "error_headers",
+    "sliding_windows",
+    "exact_percentiles",
+    "event_funnel",
+    "bloom_pruned_join",
+    "forward_fill",
+    "event_sessionize",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
+    "q12_priority_by_returnflag",
+    "text_pii_scrub",
+    "text_bigram_counts",
+    "text_repetition",
+    "text_decontaminate",
+    "text_lm_score",
+    "quality_gopher_report",
+    "corpus_pipeline_priority",
+    "dedup_neardup_keep",
+    "dedup_fuzzy_names",
+    "dedup_priority_source",
+    "sample_pack_sequences",
+    "sample_quality_curriculum",
+    "sample_weighted_quality",
+    "asof_join_forward",
+    "merge_upsert",
+    "scd2_intervals",
+    "quality_profile_columns",
+    "quality_fk_orphans",
+    "quality_validate_dlq",
+    "quality_key_skew",
+    # r4-green rows, prior order
     "sample_split_assignment",
     "corpus_pipeline",
     "pipeline_chunked_corpus",
@@ -222,54 +210,7 @@ _PRIORITY = [
     "chunk_sliding_window",
     "dedup_containment",
     "sample_temperature",
-    "embedding_semdedup",
-    "embedding_kmeans",
-    "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "dedup_incremental",
-    "capture_map_values_success",
-    "capture_map_values_dlq",
-    "log_errors_drop",
-    "capture_flat_map_tokens",
-    "capture_flat_map_errors",
-    "capture_map_rekey",
-    "capture_process_fanout",
-    "capture_process_values",
-    "describe_passthrough",
-    "describe_struct_result",
-    "serde_json_captured",
-    "error_headers",
-    "sliding_windows",
-    "exact_percentiles",
-    "event_funnel",
-    "bloom_pruned_join",
-    "forward_fill",
-    "event_sessionize",
-    "sketch_countmin",
-    "sketch_countmin_estimate",
-    "q12_priority_by_returnflag",
-    "text_pii_scrub",
-    "text_bigram_counts",
-    "text_repetition",
-    "text_decontaminate",
-    "text_lm_score",
-    "quality_gopher_report",
-    "corpus_pipeline_priority",
-    "dedup_neardup_keep",
-    "dedup_fuzzy_names",
-    "dedup_priority_source",
-    "sample_pack_sequences",
-    "sample_quality_curriculum",
-    "sample_weighted_quality",
-    "asof_join_forward",
-    "merge_upsert",
-    "scd2_intervals",
-    "quality_profile_columns",
-    "quality_fk_orphans",
-    "quality_validate_dlq",
-    "quality_key_skew",
-    # r5-green rows (the round-5 driver budget, 50/50 green — the
-    # freshest evidence in the ledger, so lowest re-check priority)
+    # r5-green rows, prior order
     "text_tfidf_keywords",
     "sample_global_shuffle",
     "quality_psi_drift",
@@ -281,7 +222,6 @@ _PRIORITY = [
     "corpus_pretrain_mix",
     "dedup_minhash_est_error",
     "embedding_threshold_sweep",
-    "graph_pagerank",
     "cdc_log_compaction",
     "dlq_age_report",
     "text_char_entropy",
@@ -320,8 +260,59 @@ _PRIORITY = [
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
+    # r6-green rows (the round-6 driver budget, 50/50 green — the
+    # freshest evidence in the ledger, so lowest re-check priority)
+    "embedding_lsh_recall",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "corpus_curation",
+    "dedup_exact",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "window_topk_orders",
+    "window_running_sum",
+    "window_lag_lead",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "distinct_aggs",
+    "set_ops",
+    "semi_anti_join",
+    "sort_limit_topk",
+    "scalar_functions",
+    "event_time_windows",
+    "unpivot_metrics",
+    "window_analytic_suite",
+    "temporal_regex_functions",
+    "window_value_frames",
+    "q14_promo_revenue",
+    "stats_aggs",
+    "outer_joins",
+    "window_range_frame",
+    "conditional_pivot",
+    "q4_priority_exists",
+    "q17_small_qty_revenue",
+    "q18_large_volume_orders",
+    "min_per_group_joinback",
+    "range_join_followups",
+    "session_windows",
+    "salted_join_agg",
+    "dedup_ngram_jaccard",
+    "embedding_knn_int8",
+    "embedding_int8_recall",
+    "multimodal_decode",
+    "text_stats",
+    "text_bm25_topk",
+    "text_vocab_df",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "embedding_knn",
+    "embedding_knn_arrow",
+    "embedding_lsh_buckets",
 ]
-
 
 def _merged() -> dict:
     flat = {}
