@@ -224,6 +224,8 @@ EXTENDED = [
     "sketch_kmv_union",
     "corpus_release_gate",
     "graph_kcore",
+    # round-7 additions
+    "graph_connected_components",
 ]
 
 
@@ -366,6 +368,21 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
+    # Machine-noise canary (VERDICT r6 item 2): the r6 driver bench read
+    # ~1.2-1.5x slower than an identical-code clean-local run — a full
+    # judge investigation to conclude "driver-machine contention".  The
+    # artifact now carries its own verdict: one fixed cheap query timed
+    # (min of 3) immediately before and after the basket, plus the host
+    # load average at both points.  A canary delta > 20% flags the run as
+    # noisy — its per-query numbers measure the machine, not the code.
+    CANARY = "q1_pricing_summary"
+
+    def _canary_time() -> float:
+        return min(_timed(qs[CANARY]) for _ in range(3))
+
+    canary_start = round(_canary_time(), 3)
+    load_start = [round(x, 2) for x in os.getloadavg()]
+
     timings: dict[str, float] = {}
     for name in names:
         elapsed = _timed(qs[name])
@@ -383,6 +400,9 @@ def main() -> None:
                 break
             elapsed = again
         timings[name] = round(elapsed, 3)
+
+    canary_end = round(_canary_time(), 3)
+    load_end = [round(x, 2) for x in os.getloadavg()]
 
     _overhead_pair(spark, timings)
 
@@ -411,6 +431,9 @@ def main() -> None:
     for leg in ("events_transform_unwrapped", "events_transform_capture_wrapped"):
         if leg in timings:
             slow10[leg] = timings[leg]
+    canary_ratio = (
+        round(canary_end / canary_start, 3) if canary_start > 0 else None
+    )
     summary = {
         "metric": "headline_total",
         "value": basket_total,
@@ -420,13 +443,29 @@ def main() -> None:
         "n_queries": len(timings),
         "pair_ratio": pair_ratio,
         "basket_size": sum(1 for n in timings if n in HEADLINE_BASKET),
+        "canary": {
+            "query": CANARY,
+            "start_s": canary_start,
+            "end_s": canary_end,
+            "ratio": canary_ratio,
+            "load_avg_start": load_start,
+            "load_avg_end": load_end,
+            # true => this run's numbers carry machine noise: the same
+            # fixed query drifted >20% between basket start and end
+            "noisy": bool(canary_ratio and abs(canary_ratio - 1.0) > 0.2),
+        },
         "detail": detail_path,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # memoized-artifact observability (VERDICT r6 item 3): per-stamp-path
+    # [hits, builds] in the detail file shows whether e.g. the Lloyd
+    # centroid memo was reused or silently rebuilt inside a timed query
+    from kafka_error_handling_spark import memo as _memo
+
     try:
         os.makedirs(os.path.dirname(detail_path) or ".", exist_ok=True)
         with open(detail_path, "w") as f:
-            json.dump(dict(summary, queries=timings), f)
+            json.dump(dict(summary, queries=timings, memo=_memo.STATS), f)
     except OSError:
         pass
     print(json.dumps(summary))

@@ -27,18 +27,29 @@ from typing import Callable, TypeVar
 
 T = TypeVar("T")
 
+# Hit/build counters per stamp path, e.g. {"…/embeddings.parquet": [hits,
+# builds]} — observability for the bench (VERDICT r6 item 3: an unexplained
+# per-query drift needs to show whether the memoized artifact was reused or
+# silently rebuilt inside the timing).  Process-local, reset never; readers
+# snapshot-and-diff.
+STATS: dict[str, list] = {}
+
 
 def stamped_memo(cache: dict, key, stamp_path: str, build: Callable[[], T]) -> T:
     """Return ``cache[key]``'s value if its file stamp is current, else
     ``build()`` (cached only when ``stamp_path`` is stat-able)."""
+    counters = STATS.setdefault(stamp_path, [0, 0])
     try:
         st = os.stat(stamp_path)
         stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
+        counters[1] += 1
         return build()
     hit = cache.get(key)
     if hit is not None and hit[0] == stamp:
+        counters[0] += 1
         return hit[1]
+    counters[1] += 1
     val = build()
     cache[key] = (stamp, val)
     return val

@@ -41,11 +41,33 @@ PR_ITERS = 3
 PR_TOPK = 20
 # regime crossover for pagerank_scaled: broadcast the per-iteration rank
 # frame only while |V| fits comfortably inside the driver-result /
-# broadcast budget.  2M nodes is the N=100 stress record (green, 29.4x
-# wall for 100x data); the N=300 probe (6M nodes) blew the 1 GiB
-# spark.driver.maxResultSize cap on the rank-frame broadcast collect —
-# the measured ceiling of the broadcast regime on this box.
+# broadcast budget.  The crossover is DERIVED from the session's
+# spark.driver.maxResultSize at a conservative 512 bytes/node — the
+# N=300 probe measured ~180 B/node effective on the rank-frame broadcast
+# collect (6M nodes blew the 1 GiB default; 2M, the N=100 stress record,
+# was green), so 512 keeps ~2x slack and lands on exactly 2M nodes at
+# the 1g default (ADVICE r6: a byte budget, not a hardcoded node count).
+# PR_BROADCAST_MAX_NODES is the fallback when maxResultSize is unlimited.
 PR_BROADCAST_MAX_NODES = 2_000_000
+PR_BROADCAST_BYTES_PER_NODE = 512
+
+
+def _broadcast_max_nodes(spark: SparkSession) -> int:
+    """Broadcast-regime node ceiling from ``spark.driver.maxResultSize``."""
+    try:
+        raw = spark.conf.get("spark.driver.maxResultSize", "1g")
+    except Exception:
+        return PR_BROADCAST_MAX_NODES
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = str(raw).strip().lower().removesuffix("b")
+    mult = units.get(s[-1:], None)
+    try:
+        nbytes = int(float(s[:-1]) * mult) if mult else int(s)
+    except ValueError:
+        return PR_BROADCAST_MAX_NODES
+    if nbytes <= 0:  # 0 = unlimited: keep the last-known-green static cap
+        return PR_BROADCAST_MAX_NODES
+    return nbytes // PR_BROADCAST_BYTES_PER_NODE
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -98,9 +120,12 @@ def pagerank_scaled(
     real cluster, bucket the edge table on the node key to make those
     shuffles one-sided).  The default ``None`` AUTO-SELECTS: ``deg`` is
     one row per node and already checkpoint-materialized, so its count is
-    a cheap bounded scalar, and the broadcast regime is used only up to
-    ``PR_BROADCAST_MAX_NODES`` — the same query survives any graph size
-    without the caller knowing the crossover.
+    a cheap bounded scalar, and the broadcast regime is used only while
+    |V| fits the session's ``spark.driver.maxResultSize`` byte budget
+    (:func:`_broadcast_max_nodes`) — the same query survives any graph
+    size without the caller knowing the crossover.  (The auto-probe runs
+    one count() at DataFrame-construction time; pass an explicit bool in
+    plan-only contexts that must not launch jobs.)
     """
     # callers hand in edges whose expensive construction is already cut by
     # a checkpoint (see copurchase_edges); re-reading that per pass is
@@ -110,7 +135,7 @@ def pagerank_scaled(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     deg = deg.localCheckpoint(eager=True)  # one row per node — tiny
     if broadcast_ranks is None:
-        broadcast_ranks = deg.count() <= PR_BROADCAST_MAX_NODES
+        broadcast_ranks = deg.count() <= _broadcast_max_nodes(edges.sparkSession)
     hint = F.broadcast if broadcast_ranks else (lambda df: df)
     ed = edges.join(hint(deg), "src")
 
@@ -756,3 +781,152 @@ SELECT round, n_nodes, n_edges FROM ({rounds})
 
 
 QUERIES["graph_kcore"] = (q_graph_kcore, _sql_kcore())
+
+
+# ---------------------------------------------------------------------------
+# Unbounded connected components: the convergence-loop fixpoint consumer
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 64  # safety bound on the convergence loop, not a semantic cap
+
+
+def connected_components(
+    edges: DataFrame,
+    broadcast_labels: bool | None = None,
+    max_rounds: int = CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Exact connected components by min-label propagation iterated UNTIL
+    CONVERGED; returns (node, comp_id) with comp_id = the component's
+    minimum node id.  ``edges`` must be canonical (src < dst, no dups).
+
+    This promotes the bounded label propagation of
+    ``datapipe.dedup.neardup_components`` (fixed 5 rounds — fine for
+    dense near-dup clusters, wrong for long paths) to the
+    unbounded-until-converged variant, using the same auto-regime
+    scaffold as :func:`pagerank_scaled`:
+
+    - each round is ONE join (labels -> symmetrized edges) + one
+      min-aggregate on the node key, the per-round label frame is
+      localCheckpoint-ed (lineage cut — without it round t re-executes
+      rounds 1..t-1 and the chain goes quadratic, the measured PageRank
+      failure mode), and on a cluster both sides co-partition on the
+      node key so every round reuses one exchange layout;
+    - the regime guard: labels are broadcast per round only while |V|
+      fits the ``spark.driver.maxResultSize``-derived byte budget
+      (:func:`_broadcast_max_nodes`), else the joins run key-shuffled
+      and nothing node-count-shaped ever reaches the driver;
+    - CONVERGENCE is detected from one 1-row aggregate per round: labels
+      only ever decrease under min-propagation, so the label-sum is
+      strictly decreasing until fixpoint and "sum unchanged" == "no
+      label changed".  The sum rides a DECIMAL(38,0) cast (a bigint sum
+      could overflow silently at 1e9 nodes x 1e9 ids).  Per-round driver
+      traffic is that single scalar — bounded at any graph size.
+    - each round ALSO path-shortcuts: after the edge hop, labels chase
+      one pointer (label <- label(label), a self-join of the one-row-
+      per-node label frame).  Edge hops alone converge in O(diameter)
+      rounds; with shortcutting the label-pointer trees halve in height
+      per round, so convergence is O(log diameter) — the pointer-
+      jumping idea behind Shiloach-Vishkin / the MapReduce large-star
+      algorithm.  Measured on the sf0.01 gate graph (one 1860-node
+      component): 20 rounds / 19.4s plain, 6 rounds / ~8s shortcut.
+
+    ``max_rounds`` raises rather than silently truncating, so a graph
+    that somehow exceeds the budget (2^64 diameter would be required)
+    is loud, never wrong.
+    """
+    nb = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = (
+        nb.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    if broadcast_labels is None:
+        # same bounded scalar probe as pagerank_scaled: lab is one row per
+        # node and already materialized, so count() is cheap
+        broadcast_labels = lab.count() <= _broadcast_max_nodes(edges.sparkSession)
+    hint = F.broadcast if broadcast_labels else (lambda df: df)
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        neigh = nb.join(hint(lab), nb.dst == lab.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        hop = (
+            neigh.unionByName(lab)  # self label rides along — no self-loop edges
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer-jump: label <- label(label).  Labels are node ids, every
+        # node has a row in `hop`, and label(v) <= v, so the inner join is
+        # total and labels can only decrease — the convergence invariant
+        # is untouched while pointer-tree height halves per round.
+        ptr = hop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        lab_next = (
+            hop.join(hint(ptr), hop.label == ptr.p_node)
+            .select("node", F.col("p_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lab_next.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+        lab = lab_next
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} rounds "
+            "(graph diameter exceeds the propagation budget; use a "
+            "pointer-jumping variant for long-path graphs)"
+        )
+    return lab.select("node", F.col("label").alias("comp_id"))
+
+
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: component-size histogram (size, n_components) of the
+    support-2 co-purchase graph under EXACT connected components — the
+    converged fixpoint, not a bounded approximation.  The three SFs are
+    genuinely different regimes for the loop (sf0.001: one 200-node
+    component; sf0.01: one giant 1860-node component plus satellites;
+    sf0.1: ~2.3k small components), so the convergence detection itself
+    is exercised, not just one lucky round count."""
+    comp = connected_components(_sig_edges_for(spark, sf_dir))
+    sizes = comp.groupBy("comp_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components"))
+
+
+# The oracle runs the SAME fixpoint as a recursive CTE: reach(v, l)
+# enumerates labels l reachable by v, pruned to l < dst on the recursive
+# step — safe for the min because a component's minimum id is smaller
+# than every node it propagates to (an intermediate pair (v, l > v) can
+# be dropped: l is then not v's component minimum, and any path from the
+# true minimum m to any w has m < w at every hop's OUTPUT pair).  UNION
+# (distinct) recursion terminates at the closure; min(l) per node is the
+# component id — converged semantics on both engines, no round constant
+# to keep in sync.
+_SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {_SIG_SQL},
+nb AS MATERIALIZED (
+  SELECT src, dst FROM sig UNION ALL SELECT dst, src FROM sig
+),
+reach(node, label) AS (
+  SELECT src, src FROM nb
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN nb e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+comp AS (SELECT node, min(label) AS comp_id FROM reach GROUP BY node),
+sizes AS (SELECT comp_id, count(*) AS size FROM comp GROUP BY comp_id)
+SELECT size, count(*) AS n_components
+FROM sizes GROUP BY size
+"""
+
+QUERIES["graph_connected_components"] = (
+    q_graph_connected_components,
+    _SQL_CONNECTED_COMPONENTS,
+)

@@ -112,6 +112,10 @@ _PRIORITY = [
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "q22_no_order_customers",
+    # new in r7 (never driver-checked — VERDICT r6 item 4: operator
+    # growth resumes behind driver evidence once the debt block above is
+    # inside the budget)
+    "graph_connected_components",
     # r3-green rows, prior order (next-oldest evidence)
     "embedding_semdedup",
     "embedding_kmeans",

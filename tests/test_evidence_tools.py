@@ -97,22 +97,30 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r5 item 1: the r6 priority head must be embedding_lsh_recall
-    # (the one never-driver-checked row), and the whole head must be rows
-    # WITHOUT r3+ driver evidence so the 50-row budget lands on the debt.
-    # Pinned against the r1-r5 artifacts only (the evidence the rotation
-    # was derived FROM), so later driver rounds cannot invalidate it.
+    # VERDICT r6 item 1: the r7 priority head must be graph_pagerank (its
+    # regime-selection code changed in r6 — changed rows re-verify first),
+    # then the 31 rows whose newest driver evidence is round 2, so the
+    # ~50-row budget retires the whole remaining debt.  Pinned against the
+    # r1-r6 artifacts only (the evidence the rotation was derived FROM),
+    # so later driver rounds cannot invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
-    assert _PRIORITY[0] == "embedding_lsh_recall"
-    for rnd in range(1, 6):
+    assert _PRIORITY[0] == "graph_pagerank"
+    for rnd in range(1, 7):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    head = _PRIORITY[:50]
-    assert all(ev.get(name, 0) <= 2 for name in head), [
-        (n, ev.get(n)) for n in head if ev.get(n, 0) > 2
+    # positions 2-32: every remaining r2-stale row, nothing fresher
+    debt = _PRIORITY[1:32]
+    assert all(ev.get(name, 0) <= 2 for name in debt), [
+        (n, ev.get(n)) for n in debt if ev.get(n, 0) > 2
     ]
+    # and no r2-stale row may be parked BELOW the head where the budget
+    # cutoff could drop it (new never-checked names are allowed there)
+    stragglers = [
+        n for n in _PRIORITY[32:] if n in ev and ev[n] <= 2
+    ]
+    assert not stragglers, stragglers

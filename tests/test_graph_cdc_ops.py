@@ -899,3 +899,84 @@ def test_hll_and_kmv_estimates_survive_empty_input(spark, sf_dir, tmp_path):
     assert krow["est_distinct"] == 0
     assert krow["exact_distinct"] == 0
     assert krow["abs_err_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# unbounded connected components (round-7)
+# ---------------------------------------------------------------------------
+
+
+def _brute_components(und_edges):
+    """Driver-side union-find model."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_beats_bounded_propagation(spark):
+    """A 13-node path has diameter 12 — more than the fixed 5 rounds of
+    datapipe.dedup.neardup_components can traverse without shortcutting.
+    The unbounded variant must still converge to one component."""
+    from kafka_error_handling_spark.plans.graph import connected_components
+
+    path = [(i, i + 1) for i in range(100, 112)]
+    extra = [(1, 2), (2, 3), (1, 3), (50, 60)]  # triangle + pair
+    edges = spark.createDataFrame(path + extra, "src long, dst long")
+    got = {
+        r["node"]: r["comp_id"] for r in connected_components(edges).collect()
+    }
+    want = _brute_components(path + extra)
+    assert got == want
+    assert {got[n] for n in range(100, 113)} == {100}
+    assert got[60] == 50 and got[3] == 1
+
+
+def test_connected_components_regimes_are_value_identical(spark):
+    """Broadcast-labels vs key-shuffle regimes are plan variants of one
+    fixpoint — identical components, same invariant as the PageRank
+    regime pin."""
+    from kafka_error_handling_spark.plans.graph import connected_components
+
+    und = [(i, i + 1) for i in range(1, 9)] + [(20, 21), (21, 23), (20, 23)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    a = sorted(map(tuple, connected_components(edges, broadcast_labels=True).collect()))
+    b = sorted(map(tuple, connected_components(edges, broadcast_labels=False).collect()))
+    assert a == b
+
+
+def test_connected_components_raises_on_round_budget(spark):
+    """max_rounds raises loudly instead of silently truncating: one round
+    cannot even confirm convergence (the sum check needs two)."""
+    import pytest as _pytest
+
+    from kafka_error_handling_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_rounds=1).collect()
+
+
+def test_broadcast_max_nodes_parses_size_strings(spark):
+    from kafka_error_handling_spark.plans.graph import (
+        PR_BROADCAST_BYTES_PER_NODE,
+        PR_BROADCAST_MAX_NODES,
+        _broadcast_max_nodes,
+    )
+
+    # session default is 1g unless configured: 1 GiB / 512 B = 2M nodes —
+    # exactly the last-known-green static cap the byte budget replaces
+    assert _broadcast_max_nodes(spark) in (
+        (1 << 30) // PR_BROADCAST_BYTES_PER_NODE,
+        PR_BROADCAST_MAX_NODES,
+    )

@@ -11,9 +11,17 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 from plan_lint import lint_plan, plan_string  # noqa: E402
+
+# registry-wide totals from the committed runs/plan_lint.json artifact
+# (sf0.001, dual-sweep lint).  33 Arrow-Python operators = the capture
+# family + the two BLAS paths, exactly; 420 shuffle exchanges across 228
+# plans.  See test_registry_wide_lint_totals_are_pinned.
+TOTAL_ARROW_PYTHON_PIN = 33
+TOTAL_SHUFFLES_PIN = 420
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest
@@ -81,4 +89,43 @@ def test_registry_plan_is_clean(spark, sf_dir, name):
     assert res["arrow_python"] <= max_arrow, (
         f"{name}: plan grew a Python operator"
         f" ({res['arrow_python']} > {max_arrow})"
+    )
+
+
+def test_registry_wide_lint_totals_are_pinned():
+    """VERDICT r6 item 5: the registry-WIDE lint totals, not just the
+    12-query subset, gate CI.  Reads the committed ``runs/plan_lint.json``
+    artifact; a new query that silently adds a CartesianProduct or a
+    row-at-a-time Python eval changes these totals and fails here before
+    the next manual sweep.  The artifact must match the CURRENT registry
+    size — adding a query without re-running ``tools/plan_lint.py``
+    fails loudly instead of pinning stale totals."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    path = os.path.join(_REPO, "runs", "plan_lint.json")
+    assert os.path.exists(path), "run tools/plan_lint.py to regenerate the artifact"
+    data = json.load(open(path))
+    s = data["summary"]
+    assert s["queries"] == len(entrymod.queries()), (
+        "plan_lint.json is stale: re-run tools/plan_lint.py "
+        f"({s['queries']} linted vs {len(entrymod.queries())} registered)"
+    )
+    assert s["red_flagged"] == 0
+    assert s["errors"] == 0
+    assert s.get("red_nobcast_flagged", 0) == 0
+    # Arrow-batched Python operators: EXACT pin — Python belongs only in
+    # the capture family + the dense-math paths; a new one is a design
+    # decision, not drift.  Move the pin consciously when that happens.
+    assert s["total_arrow_python"] == TOTAL_ARROW_PYTHON_PIN, (
+        f"arrow_python total moved: {s['total_arrow_python']} != "
+        f"{TOTAL_ARROW_PYTHON_PIN} — a Python operator entered/left a plan"
+    )
+    # shuffle total: ±10% band — individual plans legitimately drift a
+    # shuffle as stats change; a broad regression (or a registry-wide
+    # improvement worth re-pinning) leaves the band.
+    lo, hi = int(TOTAL_SHUFFLES_PIN * 0.9), int(TOTAL_SHUFFLES_PIN * 1.1)
+    assert lo <= s["total_shuffles"] <= hi, (
+        f"shuffle total {s['total_shuffles']} outside [{lo}, {hi}]"
     )

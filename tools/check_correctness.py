@@ -257,8 +257,19 @@ def main():
     lint_only = "--lint" in sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
+    # a mistyped path must not silently fall back to the default dir and
+    # then "pass" zero queries (ADVICE r6): anything path-shaped that is
+    # not a directory is an error, as is an unknown query name (validated
+    # below once the registry is imported)
+    pathlike = [a for a in only if os.sep in a or a.startswith(".")]
+    if pathlike:
+        raise SystemExit(f"not a directory: {pathlike}")
 
     import __spark_entry__ as entrymod
+
+    unknown = sorted(only - set(entrymod.queries()))
+    if unknown and not lint_only:
+        raise SystemExit(f"unknown query names: {unknown}")
 
     if lint_only:
         con = duckdb.connect()
@@ -290,8 +301,12 @@ def main():
     )
     for kv in os.environ.get("KEH_CHECK_CONF", "").split(";"):
         if kv.strip():
-            k, _, v = kv.partition("=")
-            assert _, f"KEH_CHECK_CONF entry without '=': {kv!r}"
+            k, sep, v = kv.partition("=")
+            # explicit raise, not assert: under `python -O` an assert is
+            # stripped and a malformed entry would silently become
+            # .config(key, "") — corrupting the perturbation run (ADVICE r6)
+            if not sep:
+                raise SystemExit(f"KEH_CHECK_CONF entry without '=': {kv!r}")
             builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,8 +1,8 @@
 """Registry-wide physical-plan lint: the automated half of the plan audit.
 
-Builds every ``__spark_entry__.queries()`` DataFrame (no collect — the
-plan is linted, not executed) and scans the formatted physical plan for
-the two scale red flags this repo promises are absent:
+Builds every ``__spark_entry__.queries()`` DataFrame and scans the
+formatted physical plan for the two scale red flags this repo promises
+are absent:
 
   * ``CartesianProduct`` — an unbounded all-pairs blowup.  The accepted
     bounded form is ``BroadcastNestedLoopJoin`` over a broadcast-wrapped
@@ -11,6 +11,23 @@ the two scale red flags this repo promises are absent:
     Python execution here must ride Arrow batches (``ArrowEvalPython``,
     ``MapInPandas``, ``FlatMapGroupsInPandas*``) or stay JVM-side.
 
+Each query is planned TWICE (ADVICE r6 medium): once under the default
+``autoBroadcastJoinThreshold`` — the stats/drift sweep, comparable with
+prior rounds — and once with implicit broadcast DISABLED (threshold -1).
+The second sweep is the real cartesian detector: an unhinted crossJoin
+between two frames that happen to be small at lint scale plans as
+BroadcastNestedLoopJoin and lints clean under the default, but degrades
+to CartesianProduct the moment neither side fits the threshold at real
+scale.  Explicit ``F.broadcast`` hints are still honored at -1, so the
+accepted broadcast-scalar pattern stays BNLJ while any size-dependent
+cartesian surfaces at every test scale.  ``red_nobcast`` records it.
+
+No result is collected, but plan CONSTRUCTION may execute bounded scalar
+jobs: checkpointed derived artifacts (co-purchase edges, verified pair
+streams) materialize on first build, and auto-regime probes (PageRank's
+``deg.count()``) run one count over a one-row-per-node frame.  Nothing
+row-count-shaped is collected.
+
 Everything else is recorded as per-plan statistics so plan drift is
 visible round-over-round: shuffle-exchange count, broadcast-exchange
 count, parquet scans split by pushed-filter presence, whole-stage-codegen
@@ -18,8 +35,9 @@ span count, and Arrow-batched Python operator count.
 
 Usage:  python tools/plan_lint.py [sf_dir] [query ...]
 Writes ``runs/plan_lint.json`` (one entry per query) and exits nonzero if
-any red flag is found.  Mirrors the driver-checker session shape
-(``tools/check_correctness.py``) so linted plans match gated plans.
+any red flag is found in either sweep.  Mirrors the driver-checker
+session shape (``tools/check_correctness.py``) so linted plans match
+gated plans.
 """
 
 from __future__ import annotations
@@ -84,9 +102,19 @@ def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
     only = {a for a in args if not os.path.isdir(a)}
+    # a mistyped path must not silently fall back to the default dir, and
+    # a mistyped query name must not produce a queries:0 "clean" summary
+    # (ADVICE r6): both are hard errors before Spark starts
+    pathlike = [a for a in only if os.sep in a or a.startswith(".")]
+    if pathlike:
+        raise SystemExit(f"not a directory: {pathlike}")
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
+
+    unknown = sorted(only - set(entrymod.queries()))
+    if unknown:
+        raise SystemExit(f"unknown query names: {unknown}")
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -102,6 +130,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the default threshold of THIS session — restored between queries so
+    # the stats sweep stays comparable with prior rounds' drift records
+    default_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+
     results: dict[str, dict] = {}
     n_red = n_err = 0
     t_start = time.time()
@@ -109,17 +141,25 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            df = fn(spark, sf_dir)
-            res = lint_plan(plan_string(df))
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default_bcast)
+            res = lint_plan(plan_string(fn(spark, sf_dir)))
+            # second planning pass with implicit broadcast off: the frame
+            # must be REBUILT (queryExecution is cached per DataFrame) so
+            # the size-independent cartesian check sees a fresh plan
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            res["red_nobcast"] = lint_plan(plan_string(fn(spark, sf_dir)))["red"]
         except Exception as e:  # a plan that cannot even build is a finding
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
             results[name] = {"err": f"{type(e).__name__}: {str(e)[:200]}"}
             n_err += 1
             continue
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default_bcast)
         results[name] = res
-        if res["red"]:
+        if res["red"] or res["red_nobcast"]:
             n_red += 1
-            print(f"RED  {name}: {', '.join(res['red'])}")
+            flags = ", ".join(res["red"]) or "-"
+            print(f"RED  {name}: {flags}; nobcast: {', '.join(res['red_nobcast']) or '-'}")
         else:
             print(
                 f"ok   {name}: shuffles={res['shuffles']} bcast={res['broadcasts']}"
@@ -133,6 +173,9 @@ def main() -> None:
         "errors": n_err,
         "total_shuffles": sum(r.get("shuffles", 0) for r in results.values()),
         "total_arrow_python": sum(r.get("arrow_python", 0) for r in results.values()),
+        "red_nobcast_flagged": sum(
+            1 for r in results.values() if r.get("red_nobcast")
+        ),
         "sf_dir": sf_dir,
         "wall_s": round(time.time() - t_start, 1),
     }
