@@ -30,7 +30,7 @@ it is never negative.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -355,3 +355,138 @@ LIMIT 20
 
 
 QUERIES["text_boolean_search"] = (q_boolean_search, _sql_boolean_search())
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical (BM25) and
+# dense (embedding-cosine) rankings — the standard two-tower + keyword
+# fusion a retrieval-augmented pipeline runs over a curated corpus.
+#
+# Scale shape: each ranker independently reduces the corpus to a BOUNDED
+# candidate pool (TakeOrderedAndProject for BM25, broadcast-query knn for
+# the dense side), so the fusion join touches <= 2*pool rows no matter the
+# corpus size — the heavy work stays in the two corpus scans, which are
+# each the already-audited scale plans (`bm25_topk`, `knn_bruteforce`).
+# RRF itself (Cormack/Clarke/Buettcher 2009: score = sum 1/(k0 + rank))
+# is rank-only, so the fused score is an exact arithmetic function of two
+# integer ranks — bit-identical across engines, no float-accumulation
+# order to pin.
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60      # the standard fusion constant from the RRF paper
+RRF_POOL = 50    # per-ranker candidate pool fed into the fusion
+RRF_FINAL = 20   # fused top-k returned
+RRF_QUERY_VEC = 0  # gate query: the embedding of vec 0 as the dense query
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = RRF_QUERY_VEC,
+    pool: int = RRF_POOL,
+    k: int = RRF_FINAL,
+    k0: int = RRF_K0,
+) -> DataFrame:
+    """Fused top-k over a lexical BM25 ranking and a dense cosine ranking.
+
+    Documents appearing in only one pool score with the other term
+    absent (standard RRF semantics — a full outer join over the two
+    rank lists, coalescing the missing reciprocal to 0).  Ties on the
+    fused score (possible when two docs hold the same rank in opposite
+    single lists) break on doc id, so the LIMIT boundary is
+    deterministic on both engines.
+    """
+    from .similarity import knn_bruteforce
+
+    lex_pool = bm25_topk(docs, query_terms, k=pool).select("doc_id", "bm25")
+    # the pool is <= `pool` rows post-TakeOrdered, so the unpartitioned
+    # rank window moves a bounded frame to one task — not corpus-shaped
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_pool.withColumn("lex_rank", F.row_number().over(wl)).select(
+        "doc_id", "lex_rank"
+    )
+    dense = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == query_vec_id), k=pool
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    fused = lex.join(dense, "doc_id", "full_outer")
+    rrf_raw = F.coalesce(
+        F.lit(1.0) / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.withColumn("rrf_raw", rrf_raw)
+        .orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (F.floor(F.col("rrf_raw") * 1000000) / 1000000.0).alias("rrf"),
+        )
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(d, e, _QUERY_TERMS)
+
+
+def _sql_hybrid_rrf() -> str:
+    from .similarity import _DUCK_COS
+
+    terms = _QUERY_TERMS
+    tf = {
+        i: f"len(list_filter(string_split(text, ' '), t -> t = '{term}'))"
+        for i, term in enumerate(terms)
+    }
+    score_terms = " + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (tf_{i} * ({_K1} + 1.0))"
+        f" / (tf_{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    tf_select = ", ".join(f"{e} AS tf_{i}" for i, e in tf.items())
+    df_select = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl, {tf_select}
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_select} FROM base
+), lexpool AS (
+  SELECT doc_id, floor((0.0 + {score_terms}) * 10000) / 10000.0 AS bm25
+  FROM base CROSS JOIN stats
+  WHERE floor((0.0 + {score_terms}) * 10000) / 10000.0 > 0.0
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT {RRF_POOL}
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lexpool
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), dense AS (
+  SELECT neighbor_id AS doc_id, rank AS vec_rank FROM (
+    SELECT a.vec_id AS neighbor_id,
+           row_number() OVER (ORDER BY {_DUCK_COS} DESC, a.vec_id ASC) AS rank
+    FROM e a JOIN e b ON b.vec_id = {RRF_QUERY_VEC} AND a.vec_id <> b.vec_id
+  ) WHERE rank <= {RRF_POOL}
+), fused AS (
+  SELECT doc_id, lex_rank, vec_rank,
+         coalesce(1.0::DOUBLE / ({RRF_K0} + lex_rank), 0.0)
+         + coalesce(1.0::DOUBLE / ({RRF_K0} + vec_rank), 0.0) AS rrf_raw
+  FROM lex FULL OUTER JOIN dense USING (doc_id)
+)
+SELECT doc_id, lex_rank, vec_rank,
+       floor(rrf_raw * 1000000) / 1000000.0 AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, doc_id ASC
+LIMIT {RRF_FINAL}
+"""
+
+
+QUERIES["search_hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())

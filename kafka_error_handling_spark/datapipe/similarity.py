@@ -1726,3 +1726,114 @@ FROM cells
 """
 
 QUERIES["embedding_index_balance"] = (q_index_balance, _SQL_INDEX_BALANCE)
+
+
+# ---------------------------------------------------------------------------
+# kNN label-agreement audit: dataset/label-quality evaluation over the
+# embedding space — for each audited vector, the fraction of its k nearest
+# neighbors sharing its label.  Low purity = candidate labeling error or a
+# class-boundary region; the per-label report is the standard first look a
+# training-data pipeline takes at a labeled corpus before training.
+#
+# Scale shape: the audit runs over a FIXED sample of query vectors (the
+# same broadcast-queries x corpus plan as `knn_bruteforce` — corpus-side
+# partition-parallel, nothing corpus-shaped shuffles), and the label joins
+# broadcast the bounded (sample x k)-row neighbor frame against the corpus
+# label scan.  Purity means are exact-integer ratios (one division per
+# label), so there is no float-accumulation order to pin across engines.
+# ---------------------------------------------------------------------------
+
+PURITY_SAMPLE = 100  # audited query vectors: vec_id < PURITY_SAMPLE
+PURITY_K = 5
+
+
+def label_knn_purity(
+    emb: DataFrame,
+    k: int = PURITY_K,
+    sample: int = PURITY_SAMPLE,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label kNN purity report: (label, n_queries, mean_purity,
+    n_low_purity) where mean_purity = matching-neighbor share across the
+    label's audited queries and n_low_purity counts queries with <= k/2
+    matching neighbors (majority-vote disagreement — the mislabel
+    candidates)."""
+    nn = knn_bruteforce(
+        emb, emb.filter(F.col(id_col) < sample), k=k, id_col=id_col
+    )
+    qlab = emb.filter(F.col(id_col) < sample).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    nlab = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    # nn and qlab are bounded (sample*k / sample rows); the corpus-sized
+    # side is nlab's label scan, which streams against the broadcast
+    joined = (
+        nlab.join(F.broadcast(nn), "neighbor_id")
+        .join(F.broadcast(qlab), "query_id")
+    )
+    per_query = joined.groupBy("query_id", "q_label").agg(
+        F.sum((F.col("n_label") == F.col("q_label")).cast("long")).alias(
+            "matches"
+        )
+    )
+    return (
+        per_query.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("matches").alias("m"),
+            F.sum((F.col("matches") * 2 <= F.lit(k)).cast("long")).alias(
+                "n_low_purity"
+            ),
+        )
+        .select(
+            "label",
+            "n_queries",
+            (
+                F.floor(
+                    (F.lit(1.0) * F.col("m"))
+                    / (F.lit(k) * F.col("n_queries"))
+                    * 1000000
+                )
+                / 1000000.0
+            ).alias("mean_purity"),
+            "n_low_purity",
+        )
+    )
+
+
+def q_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return label_knn_purity(e)
+
+
+_SQL_LABEL_PURITY = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings
+), nn AS (
+  SELECT query_id, q_label, neighbor_id FROM (
+    SELECT b.vec_id AS query_id, b.label AS q_label,
+           a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_DUCK_COS} DESC, a.vec_id ASC) AS rank
+    FROM e a JOIN e b ON b.vec_id < {PURITY_SAMPLE} AND a.vec_id <> b.vec_id
+  ) WHERE rank <= {PURITY_K}
+), per AS (
+  SELECT query_id, q_label,
+         CAST(sum(CASE WHEN nl.label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches
+  FROM nn JOIN e nl ON nl.vec_id = nn.neighbor_id
+  GROUP BY query_id, q_label
+)
+SELECT q_label AS label,
+       count(*) AS n_queries,
+       floor((1.0::DOUBLE * sum(matches))
+             / ({PURITY_K} * count(*)) * 1000000) / 1000000.0 AS mean_purity,
+       CAST(sum(CASE WHEN matches * 2 <= {PURITY_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_purity
+FROM per GROUP BY q_label
+"""
+
+QUERIES["embedding_label_purity"] = (q_label_purity, _SQL_LABEL_PURITY)

@@ -116,6 +116,8 @@ _PRIORITY = [
     # growth resumes behind driver evidence once the debt block above is
     # inside the budget)
     "graph_connected_components",
+    "search_hybrid_rrf",
+    "embedding_label_purity",
     # r3-green rows, prior order (next-oldest evidence)
     "embedding_semdedup",
     "embedding_kmeans",

@@ -85,11 +85,26 @@ def _families(spark):
     )
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
 
+    # Single-box escape hatch for extreme-N probes: the replicated edge
+    # artifact at N=300 (~360M rows deserialized) no longer fits the
+    # one JVM's storage memory alongside 32 active tasks — the N=300
+    # heap OOM was MemoryStore re-unrolling exactly this checkpoint.
+    # DISK_ONLY trades re-read cost for unbounded artifact size; on a
+    # real cluster storage memory scales with executor count and the
+    # default level is correct.
+    art_level = None
+    if os.environ.get("KEH_STRESS_ARTIFACT_DISK"):
+        from pyspark import StorageLevel
+
+        art_level = StorageLevel.DISK_ONLY
+
     def graph(n):
         df = _replicate(
             li, n, {"l_orderkey": ORDER_SHIFT, "l_partkey": PART_SHIFT}
         )
-        w = G.weighted_copurchase_edges(df).localCheckpoint(eager=True)
+        w = G.weighted_copurchase_edges(df).localCheckpoint(
+            eager=True, storageLevel=art_level
+        )
         sig = w.filter(F.col("n_orders") >= 2).select("src", "dst")
         G.triangle_counts(sig).count()
         und = w.select("src", "dst")
