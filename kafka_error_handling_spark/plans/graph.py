@@ -837,10 +837,15 @@ def connected_components(
     nb = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # initial label = min(v, min neighbor(v)): the identity init's first
+    # edge hop fused into the node-list aggregation itself — same single
+    # shuffle as the identity+distinct init, one fewer loop round (each
+    # round is join+agg+checkpoint+one collect, the fixed cost that
+    # dominates small graphs; on big graphs it drops one |E| pass).
     lab = (
-        nb.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        nb.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("label"))
         .localCheckpoint(eager=True)
     )
     if broadcast_labels is None:
