@@ -1,0 +1,101 @@
+"""Contract tests for the round-7 retrieval/quality gates on tiny
+hand-built frames: hybrid RRF fusion (one-pool documents coalesce the
+missing reciprocal to 0, ties break on doc id) and kNN label purity
+(majority-vote disagreement counting).  The three-SF oracle gates prove
+engine parity; these pin the SEMANTICS a reader should be able to trust
+without running DuckDB."""
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _emb(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    return df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_rrf_fuses_both_pools_and_coalesces_single_pool(spark):
+    from kafka_error_handling_spark.datapipe.ranking import hybrid_rrf_topk
+
+    # lexical signal: "apple" appears only in docs 1 and 2 (doc 1 twice
+    # in fewer words -> higher bm25); dense signal: query vec 0 is
+    # closest to vecs 2 then 3 (vec 1 orthogonal).
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple pie"),
+            (2, "apple and a very long tail of words diluting frequency"),
+            (3, "no fruit here at all"),
+            (4, "entirely unrelated text"),
+        ],
+    )
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0], "q"),
+            (1, [0.0, 1.0, 0.0], "a"),
+            (2, [0.9, 0.1, 0.0], "a"),
+            (3, [0.6, 0.4, 0.0], "a"),
+        ],
+    )
+    # pool=2 so the dense pool is exactly {vec 2, vec 3} — the orthogonal
+    # vec 1 stays OUT of the pool and doc 1 is genuinely lexical-only
+    out = hybrid_rrf_topk(docs, emb, ["apple"], query_vec_id=0, pool=2, k=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    # doc 2 is in BOTH pools: lex_rank 2, vec_rank 1
+    assert rows[2]["lex_rank"] == 2 and rows[2]["vec_rank"] == 1
+    # doc 1 is lexical-only: vec side coalesced (NULL rank)
+    assert rows[1]["lex_rank"] == 1 and rows[1]["vec_rank"] is None
+    # doc 3 is dense-only (rank 2 behind doc 2)
+    assert rows[3]["lex_rank"] is None and rows[3]["vec_rank"] == 2
+    # fused scores: two reciprocals beat any single one at these ranks
+    def rrf(*ranks):
+        return sum(1.0 / (60 + r) for r in ranks)
+
+    assert abs(rows[2]["rrf"] - int(rrf(2, 1) * 1e6) / 1e6) < 1e-9
+    assert abs(rows[1]["rrf"] - int(rrf(1) * 1e6) / 1e6) < 1e-9
+    # ordering: doc2 (both pools) first, then the single-pool docs by
+    # their reciprocal; doc4 appears in neither pool and is absent
+    order = [r["doc_id"] for r in out.orderBy(F.desc("rrf"), F.asc("doc_id")).collect()]
+    assert order[0] == 2 and 4 not in rows
+
+
+def test_label_purity_clean_clusters_and_one_flip(spark):
+    from kafka_error_handling_spark.datapipe.similarity import label_knn_purity
+
+    # two well-separated clusters of 4; k=3 keeps each query's neighbor
+    # set inside its own cluster.  All 8 vectors are audited (ids < 100).
+    a = [(i, [1.0 + 0.01 * i, 0.0, 0.0], "A") for i in range(4)]
+    b = [(10 + i, [0.0, 1.0 + 0.01 * i, 0.0], "B") for i in range(4)]
+    clean = _emb(spark, a + b)
+    out = {
+        r["label"]: r
+        for r in label_knn_purity(clean, k=3, sample=100).collect()
+    }
+    assert out["A"]["n_queries"] == 4 and out["B"]["n_queries"] == 4
+    assert out["A"]["mean_purity"] == 1.0 and out["B"]["mean_purity"] == 1.0
+    assert out["A"]["n_low_purity"] == 0 and out["B"]["n_low_purity"] == 0
+
+    # flip one A-cluster vector's label to B: that query sees 3/3
+    # A-labeled neighbors (0 matches -> low purity under its OWN label B),
+    # and each true-A query now has a B neighbor in range
+    flipped = a[:3] + [(3, a[3][1], "B")] + b
+    out = {
+        r["label"]: r
+        for r in label_knn_purity(_emb(spark, flipped), k=3, sample=100).collect()
+    }
+    # the mislabeled point is its label-group's disagreement candidate
+    assert out["B"]["n_low_purity"] >= 1
+    # true-B cluster is untouched (its 4 queries still match k=3 inside
+    # the B cluster? no — the flipped point is FAR from B's cluster, so
+    # B's geometric neighbors stay B): mean purity over B's 5 queries =
+    # (4 * 3 matches + 0 matches) / (5 * 3)
+    assert abs(out["B"]["mean_purity"] - int(12 / 15 * 1e6) / 1e6) < 1e-9
+    # A's remaining 3 queries each have neighbors {other 2 A, flipped-B}
+    # -> 2/3 matches, still majority (not low purity)
+    assert out["A"]["n_queries"] == 3
+    assert out["A"]["n_low_purity"] == 0
