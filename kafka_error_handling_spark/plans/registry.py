@@ -118,6 +118,7 @@ _PRIORITY = [
     "graph_connected_components",
     "search_hybrid_rrf",
     "embedding_label_purity",
+    "sketch_cms_topk",
     # r3-green rows, prior order (next-oldest evidence)
     "embedding_semdedup",
     "embedding_kmeans",

@@ -287,6 +287,101 @@ QUERIES["sketch_countmin_estimate"] = (
 )
 
 
+CMS_TOPK = 20
+
+
+def q_sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report — the CM sketch's actual production use: the
+    top-k keys by SKETCH estimate, each verified against its exact count
+    and flagged if it also belongs to the exact top-k (the
+    precision-of-the-sketch-ranking audit run before trusting the sketch
+    alone on the full stream).
+
+    Scale shape: the sketch is ≤ d·w = 256 cells (broadcast); candidate
+    enumeration is one distinct over the key column (bounded by key
+    cardinality, never by event count — map-side combine collapses
+    events per partition first); the exact top-k membership flag joins
+    the k-row TakeOrdered frame back broadcast.  Nothing event-shaped
+    shuffles twice, nothing key-shaped hits the driver.  Determinism:
+    fixed md5 hash rows make every estimate engine-exact, and both
+    orderings tie-break on the key, so the two LIMIT boundaries are
+    stable (SURVEY.md §8 discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    sketch = sketch_countmin(ev, F.col("user_id"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    arms = [
+        exact.select(
+            "user_id",
+            "exact",
+            F.lit(j).alias("depth"),
+            _cm_hash(F.col("user_id"), j).alias("col"),
+        )
+        for j in range(CM_DEPTH)
+    ]
+    cells = arms[0]
+    for a in arms[1:]:
+        cells = cells.unionAll(a)
+    est = (
+        cells.join(F.broadcast(sketch), ["depth", "col"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact_topk = (
+        exact.orderBy(F.desc("exact"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+        .select(F.col("user_id").alias("_xk"))
+    )
+    return (
+        est.orderBy(F.desc("est"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+        .join(F.broadcast(exact_topk), est.user_id == F.col("_xk"), "left")
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+            F.col("_xk").isNotNull().alias("in_exact_topk"),
+        )
+    )
+
+
+def _sql_sketch_cms_topk() -> str:
+    probe_arms = " UNION ALL ".join(
+        f"SELECT user_id, exact, {j} AS depth, {_sql_cm_hash(j, 'user_id')} AS col "
+        f"FROM exact"
+        for j in range(CM_DEPTH)
+    )
+    return f"""
+WITH sketch AS (
+  SELECT depth, col, count(*) AS cnt FROM ({" UNION ALL ".join(
+      f"SELECT {j} AS depth, {_sql_cm_hash(j, 'user_id')} AS col FROM events"
+      for j in range(CM_DEPTH)
+  )}) GROUP BY depth, col
+),
+exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id),
+cells AS ({probe_arms}),
+est AS (
+  SELECT user_id, exact, min(cnt) AS est
+  FROM cells JOIN sketch USING (depth, col)
+  GROUP BY user_id, exact
+),
+exact_topk AS (
+  SELECT user_id FROM exact
+  ORDER BY exact DESC, user_id ASC LIMIT {CMS_TOPK}
+),
+top AS (
+  SELECT user_id, est, exact FROM est
+  ORDER BY est DESC, user_id ASC LIMIT {CMS_TOPK}
+)
+SELECT t.user_id, t.est, t.exact, t.est - t.exact AS overcount,
+       (x.user_id IS NOT NULL) AS in_exact_topk
+FROM top t LEFT JOIN exact_topk x ON t.user_id = x.user_id
+"""
+
+
+QUERIES["sketch_cms_topk"] = (q_sketch_cms_topk, _sql_sketch_cms_topk())
+
+
 # ---------------------------------------------------------------------------
 # KMV (k-minimum-values) distinct sketch with an exact error report
 # ---------------------------------------------------------------------------
