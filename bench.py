@@ -226,6 +226,9 @@ EXTENDED = [
     "graph_kcore",
     # round-7 additions
     "graph_connected_components",
+    "search_hybrid_rrf",
+    "embedding_label_purity",
+    "sketch_cms_topk",
 ]
 
 
