@@ -828,7 +828,9 @@ def connected_components(
       per round, so convergence is O(log diameter) — the pointer-
       jumping idea behind Shiloach-Vishkin / the MapReduce large-star
       algorithm.  Measured on the sf0.01 gate graph (one 1860-node
-      component): 20 rounds / 19.4s plain, 6 rounds / ~8s shortcut.
+      component): 20 rounds / 19.4s plain, 6 rounds / ~8s shortcut
+      (unchanged with the fused min-neighbor init — the deep component
+      bounds the count; the shallow sf0.1 graph drops 7 -> 6).
 
     ``max_rounds`` raises rather than silently truncating, so a graph
     that somehow exceeds the budget (2^64 diameter would be required)
