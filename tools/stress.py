@@ -14,7 +14,7 @@ unified-edge-artifact check) so the evidence is reproducible.
 
 Usage:  python tools/stress.py [N] [family ...]
         N defaults to 10; families default to all.
-Families: graph, basket, dedup, text, embed
+Families: graph, basket, cc, dedup, text, embed
 """
 
 from __future__ import annotations
@@ -124,6 +124,22 @@ def _families(spark):
             .count()
         )
 
+    def cc(n):
+        # converged connected components (r7): disjoint replication keeps
+        # per-component diameter constant, so the fixpoint ROUND COUNT
+        # must not grow with N — wall should scale only with the per-round
+        # edge volume.  The auto-regime probe sees N*|V_1x| nodes and
+        # switches to the co-partitioned shuffle regime on its own once
+        # past the maxResultSize-derived ceiling.
+        df = _replicate(
+            li, n, {"l_orderkey": ORDER_SHIFT, "l_partkey": PART_SHIFT}
+        )
+        w = G.weighted_copurchase_edges(df).localCheckpoint(
+            eager=True, storageLevel=art_level
+        )
+        sig = w.filter(F.col("n_orders") >= 2).select("src", "dst")
+        G.connected_components(sig).groupBy("comp_id").count().count()
+
     def dedup(n):
         df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
         D.exact_dedup(df).count()
@@ -144,13 +160,14 @@ def _families(spark):
     return {
         "graph": graph,
         "basket": basket,
+        "cc": cc,
         "dedup": dedup,
         "text": text,
         "embed": embed,
     }
 
 
-FAMILY_NAMES = ("graph", "basket", "dedup", "text", "embed")
+FAMILY_NAMES = ("graph", "basket", "cc", "dedup", "text", "embed")
 
 
 def _git_sha() -> str:
