@@ -316,6 +316,96 @@ def _overhead_pair(spark, timings):
     )
 
 
+def _calibration() -> dict | None:
+    """Cross-commit host-drift calibration (VERDICT r7 #6), automatic.
+
+    Re-times the frozen 3-query micro-basket (tools/calib_basket.py)
+    twice in fresh subprocess JVMs: once from the PREVIOUS round's commit
+    (git worktree, detached) and once from the current tree.  Emits:
+
+    - ``code_ratio`` = current / prev-commit, same host same hour — the
+      pure code-speed movement this round (r7's was computed by hand to
+      show the flat driver headline hid a 0.77× code speedup);
+    - ``host_drift`` = prev-commit re-timed today / the total that
+      commit's own round RECORDED (read from the newest BENCH_r*.json
+      carrying a calibration block) — >1 means the host got slower.
+
+    Never fails the bench: any error is embedded as ``error`` and the
+    summary still prints.  Disable with SPARK_GRAFT_CALIBRATE=0.
+    """
+    if os.environ.get("SPARK_GRAFT_CALIBRATE", "1").lower() in ("0", "false"):
+        return None
+    import glob
+    import re
+    import subprocess
+    import tempfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    script = os.path.join(root, "tools", "calib_basket.py")
+    from tools.calib_basket import CALIB_BASKET
+
+    calib: dict = {"micro_basket": CALIB_BASKET}
+
+    def _run_basket(repo: str) -> dict:
+        p = subprocess.run(
+            [sys.executable, script, repo, SF_DIR, CPUS],
+            capture_output=True, text=True, timeout=900, cwd=repo,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(f"calib subprocess rc={p.returncode}: {p.stderr[-200:]}")
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    try:
+        # newest driver round-stamp commit = the previous round's code
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s", "-300"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout
+        m = re.search(r"^([0-9a-f]{40}) (round \d+:.*)$", log, re.M)
+        if not m:
+            calib["error"] = "no prior round-stamp commit found"
+            return calib
+        sha = m.group(1)
+        calib["prev_commit"] = sha[:12]
+        calib["prev_commit_subject"] = m.group(2)[:60]
+
+        wt = tempfile.mkdtemp(prefix="keh_calib_wt_")
+        os.rmdir(wt)  # git worktree add wants to create it
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, sha],
+            cwd=root, check=True, capture_output=True, timeout=120,
+        )
+        try:
+            prev = _run_basket(wt)
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=root, capture_output=True, timeout=60,
+            )
+        cur = _run_basket(root)
+        calib["prev_total_s"] = prev["total_s"]
+        calib["current_total_s"] = cur["total_s"]
+        if prev["total_s"] > 0:
+            calib["code_ratio"] = round(cur["total_s"] / prev["total_s"], 3)
+        # host drift: what did the previous round's bench RECORD for this
+        # same basket?  (Bootstraps from the first round that carries a
+        # calibration block; absent before that.)
+        for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), reverse=True):
+            try:
+                parsed = json.load(open(path)).get("parsed") or {}
+                rec = (parsed.get("calibration") or {}).get("current_total_s")
+            except Exception:
+                continue
+            if rec:
+                calib["prev_recorded_total_s"] = rec
+                calib["prev_recorded_in"] = os.path.basename(path)
+                calib["host_drift"] = round(prev["total_s"] / rec, 3)
+                break
+    except Exception as e:  # calibration must never sink the bench line
+        calib["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+    return calib
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -465,14 +555,20 @@ def main() -> None:
     # centroid memo was reused or silently rebuilt inside a timed query
     from kafka_error_handling_spark import memo as _memo
 
+    memo_stats = dict(_memo.STATS)
+    spark.stop()
+    # cross-commit calibration LAST, after the bench JVM is gone (its two
+    # subprocess sessions should not compete with the main one for memory)
+    calib = _calibration()
+    if calib is not None:
+        summary["calibration"] = calib
     try:
         os.makedirs(os.path.dirname(detail_path) or ".", exist_ok=True)
         with open(detail_path, "w") as f:
-            json.dump(dict(summary, queries=timings, memo=_memo.STATS), f)
+            json.dump(dict(summary, queries=timings, memo=memo_stats), f)
     except OSError:
         pass
     print(json.dumps(summary))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["SCALE_CONFS", "configure_for_scale"]
+__all__ = ["SCALE_CONFS", "configure_for_scale", "driver_max_result_bytes"]
 
 SCALE_CONFS: dict[str, str] = {
     # AQE: runtime re-planning — coalesces small shuffle partitions, splits
@@ -43,3 +43,28 @@ def configure_for_scale(spark: SparkSession, shuffle_partitions: int | None = No
         shuffle_partitions = spark.sparkContext.defaultParallelism * 2
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return spark
+
+
+def driver_max_result_bytes(spark: SparkSession, default: int = 1 << 30) -> int:
+    """``spark.driver.maxResultSize`` in bytes, or ``default`` when unset /
+    unparseable / unlimited (0).
+
+    This conf is the one hard budget Spark itself enforces on anything
+    collected to (and re-broadcast through) the driver, which makes it the
+    natural source for broadcast-vs-shuffle regime crossovers
+    (``plans/graph.py`` pagerank/CC label frames, ``datapipe/dedup.py``
+    minhash signature prefilter).  NB: it is a bytesConf whose plain-number
+    unit is MiB — "1024" means 1 GiB, not 1024 bytes (ADVICE r7).
+    """
+    try:
+        raw = spark.conf.get("spark.driver.maxResultSize", "1g")
+    except Exception:
+        return default
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = str(raw).strip().lower().removesuffix("b")
+    mult = units.get(s[-1:], None)
+    try:
+        nbytes = int(float(s[:-1]) * mult) if mult else int(s) * (1 << 20)
+    except ValueError:
+        return default
+    return nbytes if nbytes > 0 else default

@@ -175,6 +175,30 @@ def banded_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 MAX_LSH_BUCKET = 1000  # stop-bucket cap; see lsh_candidate_pairs
 
+# Signature-frame broadcast regime (VERDICT r7 #3).  The est≥32/64
+# signature-agreement prefilter joins the slim (doc_id, mh[64]) frame to
+# BOTH sides of the candidate-pair stream; an explicit BROADCAST hint is
+# honored regardless of size, so at 1e8 docs the 64-long signature frame
+# (~51 GB) would OOM every executor.  Crossover derived from the same
+# budget as plans/graph.py: broadcast only while
+#   docs × 64 longs × 8 B × SLACK  ≤  spark.driver.maxResultSize,
+# else the prefilter joins shuffle on doc_id (SHUFFLE_HASH: the pair
+# stream is the big side, the signature frame the bounded build side,
+# no sort needed).  Override via conf for forced-regime sweeps/tests.
+SIG_BROADCAST_CONF = "spark.keh.minhash.broadcastSignatures"  # auto|true|false
+_SIG_BROADCAST_SLACK = 2  # row/struct overhead headroom over raw 64×8 B
+
+
+def _broadcast_signatures(spark: SparkSession, n_docs: int) -> bool:
+    """True → the prefilter may broadcast the signature frame."""
+    mode = str(spark.conf.get(SIG_BROADCAST_CONF, "auto")).strip().lower()
+    if mode in ("true", "false"):
+        return mode == "true"
+    from ..conf import driver_max_result_bytes
+
+    budget = driver_max_result_bytes(spark)
+    return n_docs * NUM_PERM * 8 * _SIG_BROADCAST_SLACK <= budget
+
 
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_bucket: int = MAX_LSH_BUCKET
@@ -390,7 +414,9 @@ def _shingle_sql(source: str) -> str:
         )"""
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs verified with exact shingle-set Jaccard ≥ 0.7 —
     the full near-dup pipeline, value-checked end-to-end.
 
@@ -403,9 +429,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        pressure: 12.7 s vs 2.5 s steady-state);
     2. band the signature → bucket self-join on (band, key) — the shuffle
        carries (band, bkey, id) only — then the est ≥ 32/64 signature-
-       agreement prefilter via BROADCAST joins of the slim signature
-       frame: the ~100× dup-cluster candidate blowup dies with no shuffle
-       of the pair stream;
+       agreement prefilter joins the slim signature frame to both pair
+       sides.  REGIME-GUARDED (VERDICT r7 #3): while docs × 64 longs fits
+       the ``spark.driver.maxResultSize``-derived byte budget
+       (:func:`_broadcast_signatures`) the joins are BROADCAST — the
+       ~100× dup-cluster candidate blowup dies with no shuffle of the
+       pair stream; above it they are SHUFFLE_HASH on doc_id (the hinted
+       signature side is the bounded build side, no sort), so the plan
+       survives 1e8+ docs where an unconditional broadcast hint (~51 GB
+       per executor) is a guaranteed OOM;
     3. exact shingle sets are computed ONLY for docs that survive the
        prefilter.  Below ``MAX_STRONG_PAIRS`` the surviving pairs are
        collected and verification runs over an IN-pruned scan (predicate
@@ -417,7 +449,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions cost ~2.5 s/call to assemble Column-by-Column over py4j,
     vs milliseconds to parse JVM-side.  The plans are identical.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # ``docs`` override: the stress harness feeds a disjoint-replicated
+    # frame through the EXACT gate pipeline (incl. the prefilter regime
+    # selection) instead of a parallel reimplementation
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     # per-call unique view names: session-global createOrReplaceTempView
     # would collide across concurrent/nested callers in one SparkSession
     seq = next(_MH_CALL_SEQ)
@@ -434,6 +469,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )"""
     ).persist()
     sig.createOrReplaceTempView(sig_v)
+    # regime guard (VERDICT r7 #3): the count also materializes the cache
+    # every downstream pass reuses, so it costs one pass we'd pay anyway
+    n_docs = sig.count()
+    if _broadcast_signatures(spark, n_docs):
+        prefilter_hint = "/*+ BROADCAST(sa), BROADCAST(sb) */"
+    else:
+        prefilter_hint = "/*+ SHUFFLE_HASH(sa), SHUFFLE_HASH(sb) */"
     strong_df = spark.sql(
         f"""
         WITH banded AS (
@@ -454,7 +496,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM capped a JOIN capped b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
-        SELECT /*+ BROADCAST(sa), BROADCAST(sb) */ id_a, id_b
+        SELECT {prefilter_hint} id_a, id_b
         FROM pairs JOIN {sig_v} sa ON sa.doc_id = id_a
                    JOIN {sig_v} sb ON sb.doc_id = id_b
         WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
@@ -489,8 +531,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(strong_df.select(F.col("id_b").alias("doc_id")))
             .distinct()
         )
+        # participant-id prune: ids ≤ 2·n_strong longs, so the same byte
+        # budget decides — broadcast the semi-join side while it fits,
+        # else leave the join strategy to Catalyst/AQE (no hint)
+        from ..conf import driver_max_result_bytes
+
+        if 2 * n_strong * 8 * _SIG_BROADCAST_SLACK <= driver_max_result_bytes(spark):
+            ids = broadcast(ids)
         sets = (
-            _shingle_df(d.join(broadcast(ids), "doc_id", "left_semi"), "doc_id", "text")
+            _shingle_df(d.join(ids, "doc_id", "left_semi"), "doc_id", "text")
             .groupBy("doc_id")
             .agg(F.collect_set("h").alias("hs"))
         )
@@ -868,6 +917,10 @@ QUERIES = {
 # near-dup keep/drop: connected components over verified pairs
 # ---------------------------------------------------------------------------
 
+# Round count for the DUCKDB ORACLES' bounded label-propagation SQL only:
+# diameter ≤ 5 holds for every dense near-dup cluster at the gate scales
+# (and the oracle would be restating a driver loop otherwise).  The Spark
+# side no longer uses it — neardup_components wraps the converged fixpoint.
 CC_ROUNDS = 5
 
 
@@ -875,37 +928,47 @@ def neardup_components(
     pairs: DataFrame,
     docs: DataFrame,
     id_col: str = "doc_id",
-    rounds: int = CC_ROUNDS,
+    rounds: int | None = None,
 ) -> DataFrame:
-    """Cluster verified near-dup pairs into components by ``rounds`` of
-    min-label propagation; returns (id, keep_id) with keep_id = the
-    component's minimum doc id.
+    """Cluster verified near-dup pairs into components; returns
+    (id, keep_id) with keep_id = the component's minimum doc id (docs in
+    no pair keep themselves).
 
-    This is the scale-correct CONSUMER of the pair stream: pair output
-    grows quadratically in cluster size, but the keep/drop decision is
-    linear — one label per doc.  Bounded label propagation (each round =
-    one join + one min-aggregate on (edge, label)) converges for any
-    component whose diameter ≤ ``rounds``; near-dup clusters are dense
-    (diameter ~1-2 in practice), so 5 rounds has huge slack while keeping
-    the plan static — no driver-side convergence loop, deterministic cost
-    at 100 TB.  (An exact unbounded variant would wrap this in an
-    iterate-until-fixpoint driver loop; same per-round plan.)
+    Thin wrapper over the CONVERGED pointer-jumping fixpoint
+    (``plans.graph.connected_components``) — VERDICT r7 #4 retired the
+    bounded 5-round label propagation that used to live here, so one
+    shared implementation owns convergence detection, per-round lineage
+    cuts, and the ``maxResultSize``-derived broadcast-vs-shuffle regime
+    guard.  The loop runs ONLY over pair participants (pair output is
+    quadratic in cluster size; participants are linear, and at 100 TB
+    with ~1% near-dup rate that is 100× fewer rows per round than the
+    old all-docs label frame); singleton docs never enter the loop —
+    they pick up keep_id = their own id in one left join.
+
+    ``rounds`` is accepted for backward compatibility and IGNORED: the
+    fixpoint is converged, so any bound ≥ the true diameter returns
+    identical labels (the hypothesis union-find property test pins the
+    converged semantics directly).
     """
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    self_loop = docs.select(
-        F.col(id_col).alias("src"), F.col(id_col).alias("dst")
-    )
-    edges = fwd.unionByName(rev).unionByName(self_loop)
-    lab = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(rounds):
-        lab = (
-            edges.join(lab, edges.dst == lab.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("label"))
-            .select(F.col("src").alias("id"), "label")
+    from ..plans.graph import connected_components
+
+    edges = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("src"),
+            F.greatest("id_a", "id_b").alias("dst"),
         )
-    return lab.select(F.col("id").alias(id_col), F.col("label").alias("keep_id"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, F.col(id_col) == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp_id", F.col(id_col)).alias("keep_id"),
+        )
+    )
 
 
 # Verified near-dup pairs memoized per (session, sf_dir, file stamp) — the

@@ -396,14 +396,15 @@ QUERIES["embedding_threshold_sweep"] = (
 
 def q_embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup keep/drop decision: cosine-verified pairs →
-    bounded-label-propagation connected components → one keep_id per
-    vector — the same linear consumer of a quadratic pair stream as the
-    lexical `dedup_neardup_keep` (see docs/SCALE.md)."""
-    from .dedup import CC_ROUNDS, neardup_components  # shared CC consumer
+    converged connected components (the shared pointer-jumping fixpoint,
+    via neardup_components) → one keep_id per vector — the same linear
+    consumer of a quadratic pair stream as the lexical
+    `dedup_neardup_keep` (see docs/SCALE.md)."""
+    from .dedup import neardup_components  # shared CC consumer
 
     e = load_table(spark, sf_dir, "embeddings")
     pairs = q_embedding_neardup(spark, sf_dir).select("id_a", "id_b").persist()
-    comp = neardup_components(pairs, e, id_col="vec_id", rounds=CC_ROUNDS)
+    comp = neardup_components(pairs, e, id_col="vec_id")
     return comp.filter(F.col("keep_id") != F.col("vec_id")).select(
         "vec_id", "keep_id"
     )

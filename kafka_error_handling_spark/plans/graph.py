@@ -53,21 +53,16 @@ PR_BROADCAST_BYTES_PER_NODE = 512
 
 
 def _broadcast_max_nodes(spark: SparkSession) -> int:
-    """Broadcast-regime node ceiling from ``spark.driver.maxResultSize``."""
-    try:
-        raw = spark.conf.get("spark.driver.maxResultSize", "1g")
-    except Exception:
-        return PR_BROADCAST_MAX_NODES
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    s = str(raw).strip().lower().removesuffix("b")
-    mult = units.get(s[-1:], None)
-    try:
-        nbytes = int(float(s[:-1]) * mult) if mult else int(s)
-    except ValueError:
-        return PR_BROADCAST_MAX_NODES
-    if nbytes <= 0:  # 0 = unlimited: keep the last-known-green static cap
-        return PR_BROADCAST_MAX_NODES
-    return nbytes // PR_BROADCAST_BYTES_PER_NODE
+    """Broadcast-regime node ceiling from ``spark.driver.maxResultSize``.
+
+    Uses the shared bytesConf parser (``conf.driver_max_result_bytes``,
+    MiB default unit per ADVICE r7); when the conf is unset/unlimited the
+    parser's 1 GiB default reproduces the last-known-green static cap
+    (``PR_BROADCAST_MAX_NODES`` = 1 GiB / 512 B-per-node).
+    """
+    from ..conf import driver_max_result_bytes
+
+    return driver_max_result_bytes(spark) // PR_BROADCAST_BYTES_PER_NODE
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -882,7 +877,10 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
         lab = lab_next
-        if prev_sum is not None and cur_sum == prev_sum:
+        # cur_sum is NULL only when the label frame is empty (no edges):
+        # already converged — without this the `prev_sum is not None`
+        # guard would spin all max_rounds and raise (ADVICE r7).
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
         prev_sum = cur_sum
     else:

@@ -72,71 +72,25 @@ def _modules():
 
 
 _PRIORITY = [
-    # r7 driver-budget ordering (VERDICT r6 item 1): graph_pagerank FIRST
-    # — its regime-selection code changed in r6 (plans/graph.py:95-116)
-    # and the changed-rows-first invariant must hold — then the final 31
-    # r2-stale rows (the whole remaining evidence debt: the TPC-H
-    # remainder, the knn-LSH family, the multimodal trio, the samplers).
-    # 32 rows; the ~50-row budget then re-freshens the oldest r3-green
-    # rows.  Tail: r4/r5/r6-green in recency order (freshest last).
-    "graph_pagerank",
-    # r2-stale: newest green driver row is round 2 — the last debt
-    "embedding_knn_lsh",
-    "embedding_knn_lsh_multiprobe",
-    "embedding_neardup",
-    "embedding_neardup_keep",
-    "embedding_knn_ivf",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_features",
-    "asof_join_last_purchase",
-    "asof_join_tolerance",
-    "sample_hash_10pct",
-    "sample_mix_sources",
-    "sample_take_per_group",
-    "sample_stratified_exact",
-    "collection_functions",
-    "approx_distinct",
-    "approx_quantiles",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q19_or_predicates",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
-    "q22_no_order_customers",
-    # new in r7 (never driver-checked — VERDICT r6 item 4: operator
-    # growth resumes behind driver evidence once the debt block above is
-    # inside the budget)
-    "graph_connected_components",
-    "search_hybrid_rrf",
-    "embedding_label_purity",
-    "sketch_cms_topk",
-    # r3-green rows, prior order (next-oldest evidence)
-    "embedding_semdedup",
-    "embedding_kmeans",
+    # r8 driver-budget ordering (VERDICT r7 items 1/3/4/5): changed rows
+    # FIRST — the minhash prefilter regime guard, the converged-CC
+    # promotion consumers, the maxResultSize MiB-parse fix regimes, and
+    # the streaming-replay-parity dlq_replay — then the judge-named
+    # DLQ/serde semantic cores, then the rest of the 32-row r3-stale
+    # block (the whole remaining evidence debt).  Tail: r4/r5/r6/r7-green
+    # in evidence-age order (freshest last).
     "dedup_minhash_lsh",
-    "dedup_exact_substring",
-    "dedup_incremental",
-    "capture_map_values_success",
-    "capture_map_values_dlq",
-    "log_errors_drop",
-    "capture_flat_map_tokens",
-    "capture_flat_map_errors",
-    "capture_map_rekey",
-    "capture_process_fanout",
-    "capture_process_values",
-    "describe_passthrough",
-    "describe_struct_result",
-    "serde_json_captured",
+    "dedup_neardup_keep",
+    "dedup_cluster_stats",
+    "embedding_neardup_keep",
+    "graph_connected_components",
+    "graph_pagerank",
+    "dlq_replay",
     "error_headers",
+    "serde_json_captured",
+    "describe_struct_result",
+    "quality_validate_dlq",
+    # r3-green remainder of the stale block, prior order
     "sliding_windows",
     "exact_percentiles",
     "event_funnel",
@@ -153,7 +107,6 @@ _PRIORITY = [
     "text_lm_score",
     "quality_gopher_report",
     "corpus_pipeline_priority",
-    "dedup_neardup_keep",
     "dedup_fuzzy_names",
     "dedup_priority_source",
     "sample_pack_sequences",
@@ -164,7 +117,6 @@ _PRIORITY = [
     "scd2_intervals",
     "quality_profile_columns",
     "quality_fk_orphans",
-    "quality_validate_dlq",
     "quality_key_skew",
     # r4-green rows, prior order
     "sample_split_assignment",
@@ -210,7 +162,6 @@ _PRIORITY = [
     "dedup_chunks",
     "dedup_chunks_apply",
     "dedup_cdc_chunks",
-    "dlq_replay",
     "events_anomaly_mad",
     "quality_winsorize",
     "events_rate_limit",
@@ -260,15 +211,13 @@ _PRIORITY = [
     "events_time_to_convert",
     "basket_pair_counts",
     "events_markov_transitions",
-    "dedup_cluster_stats",
     "embedding_norm_stats",
     "quality_reconcile_orders",
     "sample_upsample",
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
-    # r6-green rows (the round-6 driver budget, 50/50 green — the
-    # freshest evidence in the ledger, so lowest re-check priority)
+    # r6-green rows, prior order
     "embedding_lsh_recall",
     "text_quality",
     "text_lang_id",
@@ -319,6 +268,54 @@ _PRIORITY = [
     "embedding_knn",
     "embedding_knn_arrow",
     "embedding_lsh_buckets",
+    # r7-green rows (the round-7 driver budget, 50/50 green — the
+    # freshest evidence in the ledger, so lowest re-check priority)
+    "embedding_knn_lsh",
+    "embedding_knn_lsh_multiprobe",
+    "embedding_neardup",
+    "embedding_knn_ivf",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_features",
+    "asof_join_last_purchase",
+    "asof_join_tolerance",
+    "sample_hash_10pct",
+    "sample_mix_sources",
+    "sample_take_per_group",
+    "sample_stratified_exact",
+    "collection_functions",
+    "approx_distinct",
+    "approx_quantiles",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q19_or_predicates",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_no_order_customers",
+    "search_hybrid_rrf",
+    "embedding_label_purity",
+    "sketch_cms_topk",
+    "embedding_semdedup",
+    "embedding_kmeans",
+    "dedup_exact_substring",
+    "dedup_incremental",
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "capture_flat_map_errors",
+    "capture_map_rekey",
+    "capture_process_fanout",
+    "capture_process_values",
+    "describe_passthrough",
 ]
 
 def _merged() -> dict:

@@ -111,11 +111,11 @@ def test_log_drop_equals_success_subset(spark, rows):
 )
 @_SETTINGS
 def test_neardup_components_match_union_find(spark, edges):
-    """Label propagation agrees with exact union-find for any pair set
-    over 25 docs, given rounds ≥ graph diameter (25 here covers every
-    possible 25-node graph; the production default of 5 assumes the dense
-    clusters near-dup pairs actually form — a chain needs one round per
-    hop, which is exactly why the round count is a parameter)."""
+    """neardup_components agrees with exact union-find for any pair set
+    over 25 docs.  Since r8 it wraps the CONVERGED pointer-jumping
+    fixpoint (plans.graph.connected_components) — `rounds` is accepted
+    for compatibility and ignored, so this pins converged semantics on
+    arbitrary graphs (chains included), not diameter-bounded ones."""
     from kafka_error_handling_spark.datapipe.dedup import neardup_components
 
     docs = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")

@@ -97,30 +97,46 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r6 item 1: the r7 priority head must be graph_pagerank (its
-    # regime-selection code changed in r6 — changed rows re-verify first),
-    # then the 31 rows whose newest driver evidence is round 2, so the
-    # ~50-row budget retires the whole remaining debt.  Pinned against the
-    # r1-r6 artifacts only (the evidence the rotation was derived FROM),
-    # so later driver rounds cannot invalidate it.
+    # VERDICT r7 item 1: the r8 priority head is (a) the rows whose CODE
+    # changed this round — the minhash regime guard, the converged-CC
+    # promotion consumers, the maxResultSize-parse-fix graph gates, the
+    # replay-parity dlq_replay — then (b) the four judge-named DLQ/serde
+    # semantic cores, then (c) the rest of the 32-row r3-stale block, so
+    # the ~50-row budget retires the whole remaining evidence debt.
+    # Pinned against the r1-r7 artifacts only (the evidence the rotation
+    # was derived FROM), so later driver rounds cannot invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
-    assert _PRIORITY[0] == "graph_pagerank"
-    for rnd in range(1, 7):
+    changed = [
+        "dedup_minhash_lsh",
+        "dedup_neardup_keep",
+        "dedup_cluster_stats",
+        "embedding_neardup_keep",
+        "graph_connected_components",
+        "graph_pagerank",
+        "dlq_replay",
+    ]
+    cores = [
+        "error_headers",
+        "serde_json_captured",
+        "describe_struct_result",
+        "quality_validate_dlq",
+    ]
+    assert _PRIORITY[:7] == changed
+    assert _PRIORITY[7:11] == cores
+    for rnd in range(1, 8):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # positions 2-32: every remaining r2-stale row, nothing fresher
-    debt = _PRIORITY[1:32]
-    assert all(ev.get(name, 0) <= 2 for name in debt), [
-        (n, ev.get(n)) for n in debt if ev.get(n, 0) > 2
+    # positions 11-37: the remaining r3-stale rows, nothing fresher
+    debt = _PRIORITY[11:38]
+    assert all(ev.get(name, 0) <= 3 for name in debt), [
+        (n, ev.get(n)) for n in debt if ev.get(n, 0) > 3
     ]
-    # and no r2-stale row may be parked BELOW the head where the budget
+    # and no r3-stale row may be parked BELOW the head where the budget
     # cutoff could drop it (new never-checked names are allowed there)
-    stragglers = [
-        n for n in _PRIORITY[32:] if n in ev and ev[n] <= 2
-    ]
+    stragglers = [n for n in _PRIORITY[38:] if n in ev and ev[n] <= 3]
     assert not stragglers, stragglers

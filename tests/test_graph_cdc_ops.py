@@ -980,3 +980,39 @@ def test_broadcast_max_nodes_parses_size_strings(spark):
         (1 << 30) // PR_BROADCAST_BYTES_PER_NODE,
         PR_BROADCAST_MAX_NODES,
     )
+
+
+def test_driver_max_result_bytes_unit_parsing():
+    """The bytesConf plain-number unit is MiB (ADVICE r7): '1024' is 1 GiB,
+    not 1024 bytes — the bytes misread gave a 2-node ceiling that silently
+    disabled the broadcast regime."""
+    from kafka_error_handling_spark.conf import driver_max_result_bytes
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key, default=None):
+            return self._v if self._v is not None else default
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert driver_max_result_bytes(_Spark("1g")) == 1 << 30
+    assert driver_max_result_bytes(_Spark("512m")) == 512 << 20
+    assert driver_max_result_bytes(_Spark("2gb")) == 2 << 30
+    assert driver_max_result_bytes(_Spark("1024")) == 1 << 30  # MiB default unit
+    assert driver_max_result_bytes(_Spark("0")) == 1 << 30  # unlimited -> default
+    assert driver_max_result_bytes(_Spark("nonsense")) == 1 << 30
+    assert driver_max_result_bytes(_Spark(None)) == 1 << 30
+
+
+def test_connected_components_empty_edges_converges(spark):
+    """No edges -> empty labels -> the convergence sum is NULL every round;
+    that must read as 'already converged', not spin max_rounds and raise
+    (ADVICE r7)."""
+    from kafka_error_handling_spark.plans.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges, max_rounds=3).count() == 0

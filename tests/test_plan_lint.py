@@ -18,11 +18,13 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 
 # registry-wide totals from the committed runs/plan_lint.json artifact
 # (sf0.001, dual-sweep lint).  33 Arrow-Python operators = the capture
-# family + the two BLAS paths, exactly; 433 shuffle exchanges across 231
-# plans (r7: +7 for the hybrid-RRF and label-purity gates, +6 for the
-# CMS top-k audit).  See test_registry_wide_lint_totals_are_pinned.
+# family + the two BLAS paths, exactly; 420 shuffle exchanges across 231
+# plans (r8: −13 from promoting neardup_components to the shared
+# converged-CC fixpoint, which runs CC over pair participants only and
+# dropped the per-round all-docs label joins from three consumers' plans).
+# See test_registry_wide_lint_totals_are_pinned.
 TOTAL_ARROW_PYTHON_PIN = 33
-TOTAL_SHUFFLES_PIN = 433
+TOTAL_SHUFFLES_PIN = 420
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest

@@ -194,10 +194,12 @@ def test_capture_overhead_budget(spark, sf_dir):
     r1 ~1.0x drifted to 1.73x in the r2 driver bench; the hot loop is now
     specialized — dtype-dispatched normalizers, no per-row tuple packing).
 
-    Bound is 1.4x (min-of-3; tightened from 1.6x per VERDICT r5 item 4 —
-    the driver-measured ratio is 1.25x with both legs >2s) so the test
-    catches a regression without flaking on machine noise; the precise
-    number is reported by bench.py (target <=1.3x)."""
+    Bound is 1.4x (min-of-3) with the events input replicated 10x so both
+    legs run >2s — VERDICT r7 #1: the previous sub-second legs (0.33s /
+    0.24s) were scheduler-noise-dominated and flaked at 1.41x under a
+    loaded host; >2s legs are the same regime the driver pair (1.35x) and
+    bench policy measure in.  The precise number is reported by bench.py
+    (target <=1.3x)."""
     import json as _json
     import time as _time
 
@@ -210,7 +212,17 @@ def test_capture_overhead_budget(spark, sf_dir):
     def rate(v):
         return 100.0 / _json.loads(v)["k"]
 
-    events = load_table(spark, sf_dir, "events")
+    # replicate 1500x (1.5M rows at sf0.001) so each timed leg exceeds ~2s —
+    # sub-second legs are scheduler-noise-dominated (VERDICT r7 #1); cache
+    # + materialize once so both legs read identical in-memory input
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("props")
+        .crossJoin(spark.range(1500).select(F.col("id").alias("_r")))
+        .drop("_r")
+        .persist()
+    )
+    events.count()
 
     def _plain(s: pd.Series) -> pd.Series:
         out = []
@@ -242,8 +254,12 @@ def test_capture_overhead_budget(spark, sf_dir):
             capture_map_values(events, rate, DoubleType(), value_col="props")
         ).count()
     )
-    # pin tightened 1.6 -> 1.4 (VERDICT r5 item 4): driver-measured ratio
-    # is 1.25x with both legs >2s — keep the tripwire near reality
+    events.unpersist()
+    # pin 1.4 (VERDICT r5 item 4, legs lengthened >2s per r7 item 2):
+    # driver-measured ratio is 1.25-1.35x in this regime
+    assert (
+        unwrapped > 2.0 and wrapped > 2.0
+    ), f"legs too short for a stable ratio: {unwrapped:.2f}s / {wrapped:.2f}s"
     assert wrapped / unwrapped < 1.4, f"capture overhead {wrapped/unwrapped:.2f}x"
 
 
@@ -561,3 +577,32 @@ def test_ivfpq_no_cartesian_and_single_window_double_charge(spark, sf_dir):
     p2 = _plan(q_double_charge(spark, sf_dir))
     assert p2.count("Exchange hashpartitioning") == 1
     assert "o_comment" not in p2
+
+
+def test_minhash_prefilter_regime_guard(spark, sf_dir):
+    """The est>=32/64 signature-agreement prefilter must broadcast the
+    signature frame ONLY while docs x 64 longs fits the maxResultSize
+    byte budget (VERDICT r7 #3 — an unconditional BROADCAST hint is a
+    guaranteed executor OOM at 1e8 docs).  Forced-shuffle regime must be
+    value-identical and must NOT broadcast the signature joins."""
+    from kafka_error_handling_spark.datapipe.dedup import (
+        SIG_BROADCAST_CONF,
+        _broadcast_signatures,
+        q_dedup_minhash_lsh,
+    )
+
+    # crossover math: 1 GiB budget / (64 perms * 8 B * 2 slack) = 1M docs
+    assert _broadcast_signatures(spark, 1_000_000)
+    assert not _broadcast_signatures(spark, 3_000_000)
+
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+    base = rows(q_dedup_minhash_lsh(spark, sf_dir))
+    spark.conf.set(SIG_BROADCAST_CONF, "false")
+    try:
+        shuffled_df = q_dedup_minhash_lsh(spark, sf_dir)
+        assert rows(shuffled_df) == base
+    finally:
+        spark.conf.unset(SIG_BROADCAST_CONF)
+    assert base  # non-vacuous: sf0.001 has verified near-dup pairs

@@ -872,3 +872,63 @@ def test_streaming_asof_enrichment_parity(spark, tmp_path):
     assert want[(3, "2024-01-01 12:00:00")] is None
     assert want[(9, "2024-01-01 04:00:00")] is None
     assert want[(1, "2024-01-01 07:00:00")] == 11.0
+
+
+def test_streaming_dlq_replay_parity_with_batch_gate(spark, sf_dir, tmp_path):
+    """VERDICT r7 #5: the reference consumes its DLQ from a topic, so the
+    replay must be micro-batch-invariant — replaying the gate's v1 DLQ as
+    a file stream (one parquet file per trigger) and unioning the
+    per-batch recovered/still-dead splits must equal the one-shot batch
+    gate `dlq_replay` exactly, for an arbitrary batch-boundary placement.
+    Same parity pattern as the sketch/as-of foreachBatch tests."""
+    from pyspark.sql.types import DoubleType
+
+    from kafka_error_handling_spark.functions.dead_letter import (
+        dead_letters,
+        replay_dead_letters,
+    )
+    from kafka_error_handling_spark.plans.error_queries import (
+        _events,
+        _parse_rate_v1,
+        _parse_rate_v2,
+        q_dlq_replay,
+    )
+
+    ev = _events(spark, sf_dir)
+    p1 = keh.capture_map_values(ev, _parse_rate_v1, DoubleType(), value_col="props")
+    dlq = dead_letters(
+        keh.errors(p1), "rate pipeline v1", key_cols=["event_id"], timestamp_col="ts"
+    )
+    dlq_dir = str(tmp_path / "dlq")
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1: boundaries
+    # cut the DLQ at arbitrary (hash-partitioned) places
+    dlq.repartition(4).write.parquet(dlq_dir)
+
+    schema = spark.read.parquet(dlq_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dlq_dir)
+    )
+    acc = []
+
+    def absorb(batch_df, _bid):
+        r = F.col("r")
+        out = replay_dead_letters(batch_df, _parse_rate_v2, DoubleType()).select(
+            "event_id",
+            F.when(r["error"].isNull(), F.lit("recovered"))
+            .otherwise(F.lit("dead"))
+            .alias("replay_status"),
+            F.round(r["result"], 4).alias("rate"),
+        )
+        acc.extend((x.event_id, x.replay_status, x.rate) for x in out.collect())
+
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    want = sorted(
+        (x.event_id, x.replay_status, x.rate)
+        for x in q_dlq_replay(spark, sf_dir).collect()
+    )
+    assert sorted(acc) == want
+    assert len(acc) > 0 and {s for _, s, _ in acc} == {"recovered", "dead"}

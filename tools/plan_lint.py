@@ -130,6 +130,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # forced-regime sweeps (VERDICT r7 #3 done-criteria): KEH_EXTRA_CONFS
+    # is a comma-separated k=v list applied to the lint session, e.g.
+    #   KEH_EXTRA_CONFS=spark.keh.minhash.broadcastSignatures=false
+    # so auto-regime operators can be linted in their non-default regime
+    # without a code change.
+    for kv in filter(None, os.environ.get("KEH_EXTRA_CONFS", "").split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
+
     # the default threshold of THIS session — restored between queries so
     # the stats sweep stays comparable with prior rounds' drift records
     default_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -149,6 +149,21 @@ def _families(spark):
         df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
         T.lm_score(df).count()
 
+    def minhash(n):
+        # the FULL LSH gate pipeline (signature -> banding -> prefilter ->
+        # verify) over replicated docs, FORCED into the shuffle regime
+        # (VERDICT r7 #3 done-criteria: one N>=100 ladder line executed
+        # with the signature-frame broadcast disabled).  At N>=100 the
+        # auto crossover picks shuffle anyway (N x docs x 64 longs far
+        # exceeds the 1 GiB maxResultSize budget); forcing it makes the
+        # regime explicit in the record regardless of N.
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        spark.conf.set(D.SIG_BROADCAST_CONF, "false")
+        try:
+            D.q_dedup_minhash_lsh(spark, SF_DIR, docs=df).count()
+        finally:
+            spark.conf.unset(D.SIG_BROADCAST_CONF)
+
     def embed(n):
         df = _replicate(emb, n, {"vec_id": VEC_SHIFT})
         # brute-force knn of a FIXED query set against the replicated
@@ -164,10 +179,11 @@ def _families(spark):
         "dedup": dedup,
         "text": text,
         "embed": embed,
+        "minhash": minhash,
     }
 
 
-FAMILY_NAMES = ("graph", "basket", "cc", "dedup", "text", "embed")
+FAMILY_NAMES = ("graph", "basket", "cc", "dedup", "text", "embed", "minhash")
 
 
 def _git_sha() -> str:
