@@ -35,7 +35,7 @@ DOC_SHIFT = 1_000_000_000
 VEC_SHIFT = 1_000_000_000
 
 
-def _replicate(df, n, shifts):
+def _replicate(df, n, shifts, salt_text=None):
     """n disjoint copies; ``shifts`` maps column -> per-replica stride.
 
     The narrow 1x input is repartitioned BEFORE the xN explode: the gate
@@ -67,6 +67,27 @@ def _replicate(df, n, shifts):
     for c, stride in shifts.items():
         out = out.withColumn(
             c, F.col(c) + F.col("_rep").cast("long") * F.lit(stride)
+        )
+    if salt_text is not None:
+        # CONTENT disjointness, not just key disjointness: id-shifted
+        # replicas still share their text byte-for-byte, so any
+        # content-pairwise family (minhash) sees every LSH bucket grow
+        # N× and the candidate stream grow N² — a property of the
+        # replication trick, not the plan (measured: the first N=100
+        # minhash probe filled the disk with ~80 GB of shuffle spill
+        # from replica-cross pairs).  Inserting a 2-char replica code
+        # every 3 chars makes EVERY 5-gram shingle carry the code
+        # (max run of un-salted chars = 3 < 5), so replicas occupy
+        # disjoint shingle spaces while within-replica duplicates are
+        # preserved exactly — N independent copies of the 1× workload,
+        # which is what the ladder is supposed to measure.
+        out = out.withColumn(
+            salt_text,
+            F.expr(
+                f"regexp_replace({salt_text}, '(.{{3}})', "
+                "concat('$1', char(97 + _rep % 26), "
+                "char(97 + CAST(_rep / 26 AS INT) % 26)))"
+            ),
         )
     return out.drop("_rep")
 
@@ -157,7 +178,7 @@ def _families(spark):
         # auto crossover picks shuffle anyway (N x docs x 64 longs far
         # exceeds the 1 GiB maxResultSize budget); forcing it makes the
         # regime explicit in the record regardless of N.
-        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT}, salt_text="text")
         spark.conf.set(D.SIG_BROADCAST_CONF, "false")
         try:
             D.q_dedup_minhash_lsh(spark, SF_DIR, docs=df).count()
