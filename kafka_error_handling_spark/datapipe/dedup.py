@@ -917,13 +917,6 @@ QUERIES = {
 # near-dup keep/drop: connected components over verified pairs
 # ---------------------------------------------------------------------------
 
-# Round count for the DUCKDB ORACLES' bounded label-propagation SQL only:
-# diameter ≤ 5 holds for every dense near-dup cluster at the gate scales
-# (and the oracle would be restating a driver loop otherwise).  The Spark
-# side no longer uses it — neardup_components wraps the converged fixpoint.
-CC_ROUNDS = 5
-
-
 def neardup_components(
     pairs: DataFrame,
     docs: DataFrame,
@@ -1021,22 +1014,26 @@ def q_dedup_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_neardup_keep() -> str:
+    # CONVERGED oracle (r8): same recursive-CTE min-reachability closure
+    # as graph_connected_components, matching the pointer-jumping
+    # fixpoint the Spark side now wraps — no round constant to keep in
+    # sync (the bounded-5 variant diverged on the sf0.1 embedding graph;
+    # the lexical graph gets the same treatment on principle).
     lsh = _sql_minhash_lsh()
-    prop = "SELECT doc_id AS id, doc_id AS label FROM documents"
-    for i in range(CC_ROUNDS):
-        prop = (
-            f"SELECT src AS id, min(label) AS label FROM edges "
-            f"JOIN ({prop}) l ON edges.dst = l.id GROUP BY src"
-        )
     return f"""
-WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({lsh})),
-edges AS MATERIALIZED (
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({lsh})),
+nb AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-  UNION ALL SELECT doc_id, doc_id FROM documents
-)
-SELECT id AS doc_id, label AS keep_id FROM ({prop})
-WHERE label <> id
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM nb
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN nb e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+comp AS (SELECT node AS doc_id, min(label) AS keep_id FROM reach GROUP BY node)
+SELECT doc_id, keep_id FROM comp WHERE keep_id <> doc_id
 """
 
 
@@ -1066,21 +1063,24 @@ def q_neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_neardup_cluster_stats() -> str:
+    # CONVERGED oracle (r8) — see _sql_neardup_keep.  comp enumerates
+    # pair PARTICIPANTS only; docs in no pair are singleton clusters and
+    # can never pass the size > 1 filter, so the histogram is identical
+    # to the all-docs variant.
     lsh = _sql_minhash_lsh()
-    prop = "SELECT doc_id AS id, doc_id AS label FROM documents"
-    for _ in range(CC_ROUNDS):
-        prop = (
-            f"SELECT src AS id, min(label) AS label FROM edges "
-            f"JOIN ({prop}) l ON edges.dst = l.id GROUP BY src"
-        )
     return f"""
-WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({lsh})),
-edges AS MATERIALIZED (
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({lsh})),
+nb AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-  UNION ALL SELECT doc_id, doc_id FROM documents
+  UNION SELECT id_b, id_a FROM pairs
 ),
-comp AS (SELECT id AS doc_id, label AS keep_id FROM ({prop})),
+reach(node, label) AS (
+  SELECT src, src FROM nb
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN nb e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+comp AS (SELECT node AS doc_id, min(label) AS keep_id FROM reach GROUP BY node),
 clusters AS (
   SELECT keep_id, count(*) AS size FROM comp GROUP BY keep_id
   HAVING count(*) > 1

@@ -411,24 +411,28 @@ def q_embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_embedding_neardup_keep() -> str:
-    from .dedup import CC_ROUNDS
-
+    # CONVERGED oracle (r8): the Spark side now wraps the pointer-jumping
+    # connected-components fixpoint, and the sf0.1 cosine near-dup graph
+    # really does have components deeper than the old 5-round bound
+    # (measured: vec 1473 reaches component minimum 112 converged vs 592
+    # under bounded-5) — so the oracle is the same recursive-CTE
+    # min-reachability closure as graph_connected_components, no round
+    # constant to keep in sync.
     neardup = _sql_embedding_neardup()
-    prop = "SELECT vec_id AS id, vec_id AS label FROM embeddings"
-    for _ in range(CC_ROUNDS):
-        prop = (
-            f"SELECT src AS id, min(label) AS label FROM edges "
-            f"JOIN ({prop}) l ON edges.dst = l.id GROUP BY src"
-        )
     return f"""
-WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({neardup})),
-edges AS MATERIALIZED (
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({neardup})),
+nb AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-  UNION ALL SELECT vec_id, vec_id FROM embeddings
-)
-SELECT id AS vec_id, label AS keep_id FROM ({prop})
-WHERE label <> id
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM nb
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN nb e ON e.src = r.node
+  WHERE r.label < e.dst
+),
+comp AS (SELECT node AS vec_id, min(label) AS keep_id FROM reach GROUP BY node)
+SELECT vec_id, keep_id FROM comp WHERE keep_id <> vec_id
 """
 
 
