@@ -469,10 +469,16 @@ def q_dedup_minhash_lsh(
         )"""
     ).persist()
     sig.createOrReplaceTempView(sig_v)
-    # regime guard (VERDICT r7 #3): the count also materializes the cache
-    # every downstream pass reuses, so it costs one pass we'd pay anyway
-    n_docs = sig.count()
-    if _broadcast_signatures(spark, n_docs):
+    # regime guard (VERDICT r7 #3).  In auto mode the doc-count probe
+    # also materializes the cache every downstream pass reuses, so it
+    # costs one job dispatch, not an extra signature computation; a
+    # forced regime (conf true/false) skips the probe entirely.
+    mode = str(spark.conf.get(SIG_BROADCAST_CONF, "auto")).strip().lower()
+    if mode in ("true", "false"):
+        bcast_sig = mode == "true"
+    else:
+        bcast_sig = _broadcast_signatures(spark, sig.count())
+    if bcast_sig:
         prefilter_hint = "/*+ BROADCAST(sa), BROADCAST(sb) */"
     else:
         prefilter_hint = "/*+ SHUFFLE_HASH(sa), SHUFFLE_HASH(sb) */"
