@@ -403,7 +403,14 @@ def q_embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import neardup_components  # shared CC consumer
 
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = q_embedding_neardup(spark, sf_dir).select("id_a", "id_b").persist()
+    # eager localCheckpoint, not a bare persist: the CC loop references
+    # the pair stream every round and the returned DataFrame keeps the
+    # lineage — a persist() here has no caller-side handle to unpersist
+    # and pins the cache entry for the rest of the session (the same
+    # leak q_dedup_minhash_lsh's fallback branch fixes)
+    cached = q_embedding_neardup(spark, sf_dir).select("id_a", "id_b").persist()
+    pairs = cached.localCheckpoint(eager=True)
+    cached.unpersist()
     comp = neardup_components(pairs, e, id_col="vec_id")
     return comp.filter(F.col("keep_id") != F.col("vec_id")).select(
         "vec_id", "keep_id"
