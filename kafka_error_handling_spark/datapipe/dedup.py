@@ -951,6 +951,9 @@ def neardup_components(
     """
     from ..plans.graph import connected_components
 
+    # eager localCheckpoint: the fixpoint references the edge frame every
+    # round, and the canonicalization's distinct is a shuffle — without
+    # the cut it (plus the whole pair lineage) would re-execute per round
     edges = (
         pairs.select(
             F.least("id_a", "id_b").alias("src"),
@@ -958,6 +961,7 @@ def neardup_components(
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(edges)
     return (
