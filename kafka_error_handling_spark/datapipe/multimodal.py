@@ -3,11 +3,14 @@ columns with typed metadata structs.
 
 The Spark-side machinery — schemas, partition-parallel ``mapInPandas``
 decode, Arrow batch shapes, capture-by-default error routing — is real and
-tested; the actual codec step is STUBBED (this container has no
-image/audio libraries): ``decode_stub`` computes deterministic fake
-"decoded" features (byte length, digest, fake dimensions) so the plumbing
-is value-checkable, and ``decode_image`` raises ``NotImplementedError``
-at the exact seam where Pillow/ffmpeg would plug in.
+tested.  The codec step is REAL for uncompressed rasters even without
+Pillow: ``decode_image``'s default path chains Pillow (when importable) →
+:func:`decode_raw_image` (pure-Python P6 PPM / 24-bit BMP) → a
+``NotImplementedError`` at the exact seam where a compressed-format
+library (Pillow/ffmpeg) would plug in.  ``decode_stub`` computes
+deterministic fake "decoded" features (byte length, digest, fake
+dimensions) for schema-only pipelines over the synthetic testdata, whose
+payloads are not images at all.
 
 At 100 TB: binary payloads stay in their partitions end-to-end (no
 shuffle), decode runs once per row inside Arrow batches, and metadata-only
@@ -37,6 +40,7 @@ from ..sources.files import load_table
 __all__ = [
     "MEDIA_SCHEMA",
     "with_payload",
+    "decode_raw_image",
     "decode_stub",
     "decode_image",
     "frame_sample_stub",
@@ -126,6 +130,71 @@ IMAGE_SCHEMA = StructType(
 )
 
 
+def decode_raw_image(b: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python decoder for the two standard UNCOMPRESSED raster
+    formats — binary PPM (P6) and 24-bit uncompressed BMP — so the
+    default decode path is REAL for real image bytes even without
+    Pillow.  Compressed formats (JPEG/PNG/...) still require a codec
+    library; this covers the interchange formats whose spec is a header
+    plus raw RGB rows (format references: the netpbm P6 layout —
+    magic, whitespace-separated width/height/maxval, raw triplets —
+    and the BITMAPFILEHEADER/BITMAPINFOHEADER layout with 4-byte-padded
+    bottom-up rows).  Returns (width, height, rgb_bytes) with rows
+    top-down, 3 bytes per pixel — the same contract as the Pillow
+    branch's ``im.tobytes()`` for RGB images.
+    """
+    if b[:2] == b"P6":
+        # header = magic + 3 ASCII ints, '#' comments allowed between
+        # tokens, single whitespace byte after maxval, then raw triplets
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                pos = b.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(b[start:pos]))
+        pos += 1  # the single whitespace byte terminating the header
+        w, h, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported by the raw decoder")
+        px = b[pos : pos + w * h * 3]
+        if len(px) != w * h * 3:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, bytes(px)
+    if b[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        _hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+        _planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        flipped = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+        # BMP stores BGR bottom-up with padded rows; emit top-down RGB to
+        # match the Pillow contract
+        out = bytearray(w * h * 3)
+        for r in range(h):
+            src = h - 1 - r if flipped else r
+            row = b[data_off + src * stride : data_off + src * stride + w * 3]
+            if len(row) != w * 3:
+                raise ValueError("truncated BMP pixel data")
+            for x in range(w):
+                out[(r * w + x) * 3 + 0] = row[x * 3 + 2]
+                out[(r * w + x) * 3 + 1] = row[x * 3 + 1]
+                out[(r * w + x) * 3 + 2] = row[x * 3 + 0]
+        return w, h, bytes(out)
+    raise ValueError(f"not a P6 PPM or BMP payload (magic {b[:2]!r})")
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -137,10 +206,12 @@ def decode_image(
     ``codec`` is ``bytes -> (width, height, pixel_bytes)`` — injectable so
     the full mapInPandas plumbing (schema, batching, partition locality)
     is testable with a pure-python codec even in this container.  With
-    ``codec=None`` the Pillow decoder is used when importable; otherwise
-    this raises ``NotImplementedError`` at the exact seam where the codec
-    library would plug in (kept honest: no silent fake decode on the
-    default path).
+    ``codec=None`` the decode path is Pillow when importable, else the
+    built-in raw-format decoder (:func:`decode_raw_image`, real decode
+    for P6 PPM / uncompressed 24-bit BMP payloads); compressed payloads
+    without Pillow raise ``NotImplementedError`` at the exact seam where
+    the codec library would plug in (kept honest: no silent fake decode
+    on the default path).
     """
     if codec is None:
         try:
@@ -148,17 +219,22 @@ def decode_image(
 
             from PIL import Image
         except ImportError:
-            raise NotImplementedError(
-                "image decode requires Pillow (not installed in this "
-                "container) — pass codec=<bytes -> (w, h, pixels)> to run "
-                "the same plumbing with your own decoder, or use "
-                "decode_stub for schema-only tests"
-            ) from None
-
-        def codec(b: bytes):
-            im = Image.open(io.BytesIO(b))
-            im.load()
-            return im.width, im.height, im.tobytes()
+            def codec(b: bytes):
+                try:
+                    return decode_raw_image(b)
+                except ValueError as e:
+                    raise NotImplementedError(
+                        f"payload is not an uncompressed raster ({e}); "
+                        "compressed-image decode requires Pillow (not "
+                        "installed in this container) — pass codec="
+                        "<bytes -> (w, h, pixels)> to plug in your own "
+                        "decoder, or use decode_stub for schema-only tests"
+                    ) from None
+        else:
+            def codec(b: bytes):
+                im = Image.open(io.BytesIO(b))
+                im.load()
+                return im.width, im.height, im.tobytes()
 
     out_schema = StructType(
         [df.schema[id_col], StructField("image", IMAGE_SCHEMA, False)]

@@ -85,9 +85,76 @@ def test_decode_under_capture_routes_codec_failures(spark):
 
 
 def test_real_codec_seam_raises_not_implemented(spark):
+    """Without Pillow, a payload that is NOT an uncompressed raster still
+    raises at the codec seam (no silent fake decode) — since r8 the raise
+    is per-payload at execution time, because the default path first
+    tries the real pure-Python raw-raster decoder."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
     d = with_payload(_docs(spark))
-    with pytest.raises(NotImplementedError, match="decode_stub"):
-        decode_image(d)
+    with pytest.raises((PythonException, Py4JJavaError), match="decode_stub"):
+        decode_image(d).collect()
+
+
+def test_decode_image_default_path_decodes_raw_rasters(spark):
+    """The DEFAULT decode path (codec=None, no Pillow in this container)
+    really decodes P6 PPM and 24-bit BMP payloads — dimensions and the
+    pixel digest of the decoded RGB bytes come back through the full
+    mapInPandas pipeline."""
+    import hashlib
+    import struct
+
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    w, h, stride = 3, 2, 12
+    pix = b""
+    for r in reversed(range(h)):
+        row = b""
+        for x in range(w):
+            rr, gg, bb = (r * w + x) * 10, (r * w + x) * 10 + 1, (r * w + x) * 10 + 2
+            row += bytes([bb, gg, rr])
+        pix += row + b"\x00" * (stride - len(row))
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HHI", 1, 24, 0)
+        + b"\x00" * (40 - 20)
+        + pix
+    )
+    d = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r.image for r in decode_image(d).collect()}
+    assert (got[1].width, got[1].height, got[1].n_pixels) == (2, 2, 12)
+    assert got[1].pixel_digest == hashlib.md5(bytes(range(12))).hexdigest()
+    assert (got[2].width, got[2].height, got[2].n_pixels) == (3, 2, 18)
+    want_rgb = b"".join(
+        bytes([(r * w + x) * 10, (r * w + x) * 10 + 1, (r * w + x) * 10 + 2])
+        for r in range(h)
+        for x in range(w)
+    )
+    assert got[2].pixel_digest == hashlib.md5(want_rgb).hexdigest()
+
+
+def test_decode_raw_image_rejects_unsupported():
+    from kafka_error_handling_spark.datapipe.multimodal import decode_raw_image
+
+    with pytest.raises(ValueError, match="not a P6 PPM or BMP"):
+        decode_raw_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_raw_image(b"P6\n2 2\n255\n\x00\x01")
+    import struct
+
+    bmp8 = (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<Iii", 40, 2, 2)
+        + struct.pack("<HHI", 1, 8, 0)
+        + b"\x00" * (40 - 20)
+    )
+    with pytest.raises(ValueError, match="only uncompressed 24-bit"):
+        decode_raw_image(bmp8)
 
 
 def test_resize_stub_geometry(spark):
