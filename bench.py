@@ -371,6 +371,12 @@ def _calibration() -> dict | None:
 
         wt = tempfile.mkdtemp(prefix="keh_calib_wt_")
         os.rmdir(wt)  # git worktree add wants to create it
+        # a hard-killed prior run can leave a stale registration whose
+        # directory is gone; prune so add never trips over it
+        subprocess.run(
+            ["git", "worktree", "prune"],
+            cwd=root, capture_output=True, timeout=60,
+        )
         subprocess.run(
             ["git", "worktree", "add", "--detach", wt, sha],
             cwd=root, check=True, capture_output=True, timeout=120,
