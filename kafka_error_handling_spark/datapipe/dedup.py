@@ -414,6 +414,47 @@ def _shingle_sql(source: str) -> str:
         )"""
 
 
+def strong_pairs_sql(sig_view: str, broadcast_signatures: bool) -> str:
+    """SQL for the banded-LSH candidate stream + the est≥32/64
+    signature-agreement prefilter over a (doc_id, mh array) view.
+
+    Exposed so the regime pin test can plan BOTH variants directly: the
+    prefilter hint must actually switch the physical join strategy —
+    BROADCAST below the byte budget, SHUFFLE_HASH on doc_id above it
+    (a hint Spark silently ignores would leave the unconditional-
+    broadcast scale hazard in place while the value tests stay green).
+    """
+    hint = (
+        "/*+ BROADCAST(sa), BROADCAST(sb) */"
+        if broadcast_signatures
+        else "/*+ SHUFFLE_HASH(sa), SHUFFLE_HASH(sb) */"
+    )
+    return f"""
+        WITH banded AS (
+          SELECT doc_id, band, bkey FROM {sig_view}
+          LATERAL VIEW posexplode(array({_BKEYS_SQL})) t AS band, bkey
+        ),
+        capped AS (
+          -- stop-bucket cap (see lsh_candidate_pairs): an over-full band
+          -- key has no discriminative signal and a quadratic expansion
+          SELECT doc_id, band, bkey FROM (
+            SELECT doc_id, band, bkey,
+                   count(1) OVER (PARTITION BY band, bkey) AS __sz
+            FROM banded)
+          WHERE __sz <= {MAX_LSH_BUCKET}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT {hint} id_a, id_b
+        FROM pairs JOIN {sig_view} sa ON sa.doc_id = id_a
+                   JOIN {sig_view} sb ON sb.doc_id = id_b
+        WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
+              >= {NUM_PERM // 2}"""
+
+
 def q_dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
@@ -478,36 +519,7 @@ def q_dedup_minhash_lsh(
         bcast_sig = mode == "true"
     else:
         bcast_sig = _broadcast_signatures(spark, sig.count())
-    if bcast_sig:
-        prefilter_hint = "/*+ BROADCAST(sa), BROADCAST(sb) */"
-    else:
-        prefilter_hint = "/*+ SHUFFLE_HASH(sa), SHUFFLE_HASH(sb) */"
-    strong_df = spark.sql(
-        f"""
-        WITH banded AS (
-          SELECT doc_id, band, bkey FROM {sig_v}
-          LATERAL VIEW posexplode(array({_BKEYS_SQL})) t AS band, bkey
-        ),
-        capped AS (
-          -- stop-bucket cap (see lsh_candidate_pairs): an over-full band
-          -- key has no discriminative signal and a quadratic expansion
-          SELECT doc_id, band, bkey FROM (
-            SELECT doc_id, band, bkey,
-                   count(1) OVER (PARTITION BY band, bkey) AS __sz
-            FROM banded)
-          WHERE __sz <= {MAX_LSH_BUCKET}
-        ),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM capped a JOIN capped b
-            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        )
-        SELECT {prefilter_hint} id_a, id_b
-        FROM pairs JOIN {sig_v} sa ON sa.doc_id = id_a
-                   JOIN {sig_v} sb ON sb.doc_id = id_b
-        WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
-              >= {NUM_PERM // 2}"""
-    )
+    strong_df = spark.sql(strong_pairs_sql(sig_v, broadcast_signatures=bcast_sig))
     # persist + count + branch — NOT limit(CAP+1).collect(): a limit-probe
     # collect runs Spark's incremental-limit execution, re-running the
     # whole candidate pipeline over growing partition subsets (measured 2x

@@ -606,3 +606,43 @@ def test_minhash_prefilter_regime_guard(spark, sf_dir):
     finally:
         spark.conf.unset(SIG_BROADCAST_CONF)
     assert base  # non-vacuous: sf0.001 has verified near-dup pairs
+
+
+def test_minhash_prefilter_hint_switches_join_strategy(spark, sf_dir):
+    """The regime guard is only real if the hint actually changes the
+    physical plan: the broadcast variant must broadcast the signature
+    frame into both prefilter joins; the shuffle variant must plan
+    ShuffledHashJoin on doc_id with NO broadcast of the signature frame
+    (a silently-ignored hint would leave the unconditional-broadcast
+    scale hazard in place while the value tests stay green)."""
+    from kafka_error_handling_spark.datapipe.dedup import (
+        NUM_PERM,
+        minhash_signature,
+        strong_pairs_sql,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(d).select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)]).alias("mh"),
+    )
+    sig.createOrReplaceTempView("_regime_pin_sig")
+    # plan with implicit broadcasts OFF so the only BroadcastHashJoins in
+    # either plan are the HINTED ones (at lint scale the banding
+    # self-join is tiny and Catalyst would broadcast it by size — a
+    # stats-driven choice that disappears at scale and is not under test)
+    default_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bcast = _plan(spark.sql(strong_pairs_sql("_regime_pin_sig", True)))
+        shuf = _plan(spark.sql(strong_pairs_sql("_regime_pin_sig", False)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default_bcast)
+        spark.catalog.dropTempView("_regime_pin_sig")
+    # broadcast regime: both sa and sb legs ride BroadcastHashJoin
+    assert bcast.count("BroadcastHashJoin") >= 2
+    # shuffle regime: the prefilter joins are shuffled hash joins and the
+    # signature frame is never broadcast (the banding self-join inside
+    # `pairs` carries no broadcast either at any size)
+    assert shuf.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in shuf
