@@ -61,7 +61,14 @@ def driver_max_result_bytes(spark: SparkSession, default: int = 1 << 30) -> int:
     except Exception:
         return default
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    s = str(raw).strip().lower().removesuffix("b")
+    s = str(raw).strip().lower()
+    # Spark's byteStringAs: a lone trailing 'b' means BYTES ("100b" = 100
+    # bytes); strip the 'b' only when it follows a k/m/g/t unit letter
+    # ("2gb" = 2 GiB) — ADVICE r8.
+    if s.endswith("b") and s[-2:-1] in units:
+        s = s[:-1]
+    if s.endswith("b") and s[:-1].isdigit():
+        return int(s[:-1]) or default
     mult = units.get(s[-1:], None)
     try:
         nbytes = int(float(s[:-1]) * mult) if mult else int(s) * (1 << 20)

@@ -187,10 +187,12 @@ def decode_raw_image(b: bytes) -> tuple[int, int, bytes]:
             row = b[data_off + src * stride : data_off + src * stride + w * 3]
             if len(row) != w * 3:
                 raise ValueError("truncated BMP pixel data")
-            for x in range(w):
-                out[(r * w + x) * 3 + 0] = row[x * 3 + 2]
-                out[(r * w + x) * 3 + 1] = row[x * 3 + 1]
-                out[(r * w + x) * 3 + 2] = row[x * 3 + 0]
+            # BGR→RGB via strided slice assignment — per-pixel bytearray
+            # indexing inside mapInPandas is ~50× slower (ADVICE r8)
+            base, end = r * w * 3, (r + 1) * w * 3
+            out[base + 0 : end : 3] = row[2::3]
+            out[base + 1 : end : 3] = row[1::3]
+            out[base + 2 : end : 3] = row[0::3]
         return w, h, bytes(out)
     raise ValueError(f"not a P6 PPM or BMP payload (magic {b[:2]!r})")
 

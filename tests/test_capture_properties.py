@@ -15,6 +15,7 @@ each property runs ONE Spark job over a hypothesis-generated batch of rows
 coverage).
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -137,10 +138,11 @@ def test_neardup_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {i: find(i) for i in range(25)}
 
-    got = {
-        r.doc_id: r.keep_id
-        for r in neardup_components(pairs, docs, rounds=25).collect()
-    }
+    # the deprecated rounds= bound must WARN (it is ignored — the fixpoint
+    # is converged; ADVICE r8) and still return the converged labels
+    with pytest.warns(DeprecationWarning, match="rounds"):
+        clustered = neardup_components(pairs, docs, rounds=25)
+    got = {r.doc_id: r.keep_id for r in clustered.collect()}
     assert got == expect
 
 

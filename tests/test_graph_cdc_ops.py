@@ -1003,6 +1003,12 @@ def test_driver_max_result_bytes_unit_parsing():
     assert driver_max_result_bytes(_Spark("512m")) == 512 << 20
     assert driver_max_result_bytes(_Spark("2gb")) == 2 << 30
     assert driver_max_result_bytes(_Spark("1024")) == 1 << 30  # MiB default unit
+    # lone 'b' suffix is BYTES in Spark's byteStringAs (ADVICE r8) — it is
+    # not the MiB default unit and not a stripped no-op
+    assert driver_max_result_bytes(_Spark("100b")) == 100
+    assert driver_max_result_bytes(_Spark("1k")) == 1 << 10
+    assert driver_max_result_bytes(_Spark("1kb")) == 1 << 10
+    assert driver_max_result_bytes(_Spark("0b")) == 1 << 30  # unlimited -> default
     assert driver_max_result_bytes(_Spark("0")) == 1 << 30  # unlimited -> default
     assert driver_max_result_bytes(_Spark("nonsense")) == 1 << 30
     assert driver_max_result_bytes(_Spark(None)) == 1 << 30
