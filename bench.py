@@ -22,23 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "window_topk_orders",
-    "window_running_sum",
-    "event_time_windows",
-    "capture_map_values_success",
-    "capture_map_values_dlq",
-    "log_errors_drop",
-    "capture_flat_map_tokens",
-]
-
 # FROZEN 30-query basket (VERDICT r3 #9): `value`/`headline_total` is the
 # sum over exactly these, so the headline number stays comparable across
 # rounds as the full sweep keeps growing.  Do NOT edit this list — new
-# queries land in EXTENDED and count toward `full_total` only.
+# queries are timed automatically (the timed set is the whole registry,
+# VERDICT r8 #2) and count toward `full_total` only.
 HEADLINE_BASKET = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -71,165 +59,15 @@ HEADLINE_BASKET = [
     "embedding_kmeans",
     "embedding_semdedup",
 ]
-# extended set appended as the datapipe modules land
-EXTENDED = [
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "corpus_curation",
-    "text_quality",
-    "text_fingerprint",
-    "embedding_knn",
-    "embedding_knn_arrow",
-    "embedding_knn_ivf",
-    "serde_json_captured",
-    "asof_join_last_purchase",
-    "q14_promo_revenue",
-    "q4_priority_exists",
-    "q17_small_qty_revenue",
-    "q18_large_volume_orders",
-    "min_per_group_joinback",
-    "range_join_followups",
-    "session_windows",
-    "salted_join_agg",
-    "q7_volume_shipping",
-    "q13_order_distribution",
-    "corpus_pipeline",
-    # round-2 continuation entries
-    "q2_min_cost_supplier",
-    "q21_waiting_supplier",
-    "text_bm25_topk",
-    "text_vocab_df",
-    "dedup_chunks",
-    "embedding_knn_int8",
-    "sliding_windows",
-    "text_decontaminate",
-    "text_lm_score",
-    "embedding_kmeans",
-    "embedding_semdedup",
-    "event_funnel",
-    "sketch_countmin_estimate",
-    "bloom_pruned_join",
-    "merge_upsert",
-    "dedup_fuzzy_names",
-    "sample_quality_curriculum",
-    "forward_fill",
-    "quality_validate_dlq",
-    # round-3 additions
-    "dedup_cdc_chunks",
-    "dedup_priority_source",
-    "quality_gopher_report",
-    "event_sessionize",
-    "sample_weighted_quality",
-    "dedup_incremental",
-    "quality_key_skew",
-    "dedup_exact_substring",
-    "corpus_pipeline_priority",
-    # round-4 additions
-    "dlq_replay",
-    "events_anomaly_mad",
-    "quality_winsorize",
-    "events_rate_limit",
-    "chunk_sliding_window",
-    "dedup_containment",
-    "sample_temperature",
-    "text_tfidf_keywords",
-    "sample_global_shuffle",
-    "quality_psi_drift",
-    "asof_join_nearest",
-    "cdc_snapshot_diff",
-    "retention_cohorts",
-    "pareto_supplier_revenue",
-    "attribution_last_touch",
-    "corpus_pretrain_mix",
-    "dedup_minhash_est_error",
-    "embedding_threshold_sweep",
-    "events_time_to_convert",
-    "basket_pair_counts",
-    "events_markov_transitions",
-    "dedup_cluster_stats",
-    "embedding_norm_stats",
-    "quality_reconcile_orders",
-    "sample_upsample",
-    "events_interarrival_stats",
-    "text_source_kl",
-    "embedding_ivf_recall",
-    "embedding_lsh_recall",
-    # round-4 second continuation
-    "graph_pagerank",
-    "cdc_log_compaction",
-    "dlq_age_report",
-    "text_char_entropy",
-    "events_debounce",
-    "quality_error_slo",
-    "corpus_token_budget",
-    "basket_association_rules",
-    "graph_degree_stats",
-    "customer_rfm_segments",
-    "multimodal_dedup",
-    "events_decayed_engagement",
-    "sample_bootstrap_tokens",
-    "scd2_point_in_time",
-    "events_dau_wau",
-    "attribution_linear",
-    "embedding_dim_stats",
-    "text_bpe_merge_candidates",
-    "orders_ship_delay_sla",
-    "events_cohort_ltv",
-    "quality_benford_digits",
-    "text_vocab_coverage",
-    "events_concentration",
-    "corpus_media_funnel",
-    "sketch_kmv_distinct",
-    "dlq_poison_causes",
-    "quality_breach_streaks",
-    "text_lang_confusion",
-    "events_bot_regularity",
-    # round-4 third continuation
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "graph_triangles",
-    "layout_zorder_pruning",
-    "graph_clustering_coeff",
-    "graph_jaccard_neighbors",
-    "embedding_knn_pq",
-    "embedding_pq_recall",
-    "sample_kfold",
-    "quality_partition_balance",
-    "dedup_lsh_s_curve",
-    "sketch_hll_windowed",
-    "embedding_knn_ivfpq",
-    "embedding_ivfpq_recall",
-    "quality_double_charge",
-    "layout_compaction_plan",
-    "layout_encoding_advisor",
-    "quality_k_anonymity",
-    "embedding_hard_negatives",
-    "quality_split_leakage",
-    "events_ab_test",
-    "events_forecast_backtest",
-    "orders_backlog_curve",
-    "graph_bfs_depth",
-    "events_nested_activity",
-    "text_boolean_search",
-    "vendor_scorecard",
-    "events_conversion_windows",
-    "dedup_incremental_neardup",
-    "sample_weighting_ess",
-    "embedding_index_balance",
-    "events_seasonal_anomaly",
-    "multimodal_ahash",
-    "multimodal_ahash_neardup",
-    "sketch_kmv_union",
-    "corpus_release_gate",
-    "graph_kcore",
-    # round-7 additions
-    "graph_connected_components",
-    "search_hybrid_rrf",
-    "embedding_label_purity",
-    "sketch_cms_topk",
-]
+
+
+def timed_names(qs: dict) -> list[str]:
+    """Timed set = the WHOLE registry (VERDICT r8 #2): the hand-maintained
+    HEADLINE+EXTENDED lists silently stopped at 162 of 231 queries, so a
+    perf regression in the other 69 had no tripwire.  Registry order; the
+    frozen 30-query basket above stays the cross-round headline number.
+    ``tests/test_bench_contract.py`` pins timed-set == registry."""
+    return list(qs)
 
 
 def _overhead_pair(spark, timings):
@@ -316,6 +154,29 @@ def _overhead_pair(spark, timings):
     )
 
 
+# the paths whose content determines micro-basket timing — the calibration
+# fingerprint hashes exactly these (artifact-only commits like the driver's
+# round stamp leave them unchanged, so the stamp commit and the final
+# builder commit fingerprint identically)
+_CODE_PATHS = ("kafka_error_handling_spark", "tools", "bench.py")
+
+
+def _code_fingerprint(root: str, rev: str) -> str:
+    """Joined git object ids of :data:`_CODE_PATHS` at ``rev`` — equal
+    fingerprints ⇔ identical timing-relevant code, even across commits
+    that only add artifacts (BENCH/VERDICT/CORRECTNESS files)."""
+    import subprocess
+
+    ids = []
+    for p in _CODE_PATHS:
+        out = subprocess.run(
+            ["git", "rev-parse", f"{rev}:{p}"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        )
+        ids.append(out.stdout.strip()[:12] if out.returncode == 0 else "missing")
+    return "-".join(ids)
+
+
 def _calibration() -> dict | None:
     """Cross-commit host-drift calibration (VERDICT r7 #6), automatic.
 
@@ -391,21 +252,54 @@ def _calibration() -> dict | None:
         cur = _run_basket(root)
         calib["prev_total_s"] = prev["total_s"]
         calib["current_total_s"] = cur["total_s"]
+        # the code fingerprint `current_total_s` was measured at, so a
+        # FUTURE round can verify its re-timed commit is the same code
+        # before dividing (ADVICE r8: a round whose bench failed to record
+        # calibration would silently conflate code delta into host_drift)
+        calib["current_code_tree"] = _code_fingerprint(root, "HEAD")
+        if subprocess.run(
+            ["git", "status", "--porcelain", "--"] + list(_CODE_PATHS),
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout.strip():
+            calib["current_code_tree"] += "+dirty"
         if prev["total_s"] > 0:
             calib["code_ratio"] = round(cur["total_s"] / prev["total_s"], 3)
         # host drift: what did the previous round's bench RECORD for this
-        # same basket?  (Bootstraps from the first round that carries a
-        # calibration block; absent before that.)
-        for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), reverse=True):
+        # same basket?  Newest by INTEGER round number (reverse-lex breaks
+        # at r100 / unpadded legacy names — ADVICE r8), and only when the
+        # recorded code fingerprint matches the commit re-timed above —
+        # else the division would mix code movement into host_drift.
+        prev_tree = _code_fingerprint(root, sha)
+        by_round = sorted(
+            glob.glob(os.path.join(root, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+            reverse=True,
+        )
+        for path in by_round:
             try:
                 parsed = json.load(open(path)).get("parsed") or {}
-                rec = (parsed.get("calibration") or {}).get("current_total_s")
+                block = parsed.get("calibration") or {}
+                rec = block.get("current_total_s")
             except Exception:
                 continue
             if rec:
                 calib["prev_recorded_total_s"] = rec
                 calib["prev_recorded_in"] = os.path.basename(path)
-                calib["host_drift"] = round(prev["total_s"] / rec, 3)
+                rec_tree = block.get("current_code_tree")
+                if rec_tree is None:
+                    # bootstrap rounds (≤ r8) recorded no fingerprint;
+                    # accept but say so rather than silently trusting
+                    calib["host_drift"] = round(prev["total_s"] / rec, 3)
+                    calib["host_drift_match"] = "assumed-legacy-record"
+                elif rec_tree == prev_tree:
+                    calib["host_drift"] = round(prev["total_s"] / rec, 3)
+                    calib["host_drift_match"] = "code-tree-verified"
+                else:
+                    calib["host_drift_note"] = (
+                        f"unmatched round: {os.path.basename(path)} recorded "
+                        f"code_tree {rec_tree[:20]}.. but re-timed commit has "
+                        f"{prev_tree[:20]}.. — host_drift omitted"
+                    )
                 break
     except Exception as e:  # calibration must never sink the bench line
         calib["error"] = f"{type(e).__name__}: {str(e)[:160]}"
@@ -429,7 +323,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE + EXTENDED if n in qs]
+    names = timed_names(qs)
 
     # Untimed warmup at the smallest SF: pays the one-time JVM/codegen/Arrow
     # startup cost so the per-query numbers reflect steady-state throughput
