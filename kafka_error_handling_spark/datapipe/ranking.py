@@ -490,3 +490,162 @@ LIMIT {RRF_FINAL}
 
 
 QUERIES["search_hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style reranking over the hybrid-RRF pool (VERDICT r8 #5b).
+#
+# A production retrieval stack reranks the fused candidate pool with a
+# model that sees query and document JOINTLY (a cross-encoder) — expensive
+# per pair, so it only ever runs over the bounded pool the cheap rankers
+# produced.  No model runs in this engine; the scorer is a deterministic
+# stand-in with the same *interaction structure* a cross-encoder exploits
+# (and the same plan shape a model-backed Pandas-UDF scorer would have):
+#
+#   - term coverage        |{q terms present in d}| / |q|
+#   - match density        sum tf_i / dl
+#   - positional proximity 1 / (1 + min adjacent-term first-position gap)
+#     (joint query-document evidence no bag-of-words retriever sees)
+#   - exact-phrase bonus   "t0 t1" substring hit
+#   - length prior         -0.1 * ln(1 + dl)
+#   - retrieval prior      10 * rrf (the fused score carried from stage 1)
+#
+# Scale shape: the pool is RRF_FINAL rows, broadcast into ONE corpus scan
+# to fetch text (BroadcastHashJoin — the corpus side never shuffles); every
+# feature is a column expression over the joined rows, and the final sort
+# is over <= RRF_FINAL rows.  Swapping the arithmetic scorer for a real
+# model = replacing the score expression with a Pandas-UDF column over the
+# same bounded frame; nothing else in the plan changes.
+# ---------------------------------------------------------------------------
+
+CE_FINAL = 10  # reranked top-k returned
+
+
+def rerank_cross_encoder(
+    docs: DataFrame,
+    pool: DataFrame,
+    query_terms: list[str],
+    k: int = CE_FINAL,
+) -> DataFrame:
+    """Rerank a bounded candidate ``pool`` (doc_id, rrf) with the joint
+    query-document interaction score described above; returns
+    (doc_id, rrf, ce_score, ce_rank) for the top ``k``."""
+    # dense-side pool docs can carry NULL text (lexical candidates cannot);
+    # coalesce to '' so their features are deterministic zeros on both
+    # engines instead of NULL-ordering roulette at the rank boundary
+    joined = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).join(broadcast(pool.select("doc_id", "rrf")), "doc_id")
+    toks = F.split(F.col("text"), " ")
+    dl = F.size(toks)
+    def _tf(term: str):
+        # NB: the lambda must take exactly ONE parameter — F.filter treats
+        # a two-parameter callable as (element, index)
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tfs = [_tf(term) for term in query_terms]
+    poss = [F.array_position(toks, term) for term in query_terms]
+    n_terms = len(query_terms)
+    coverage = (
+        sum(F.when(tf > 0, 1).otherwise(0) for tf in tfs) / F.lit(float(n_terms))
+    )
+    density = sum(tfs, F.lit(0)) / dl
+    # min first-position gap over ADJACENT query-term pairs where both
+    # terms occur; no pair present -> proximity contributes 0
+    pair_dists = [
+        F.when((poss[i] > 0) & (poss[i + 1] > 0), F.abs(poss[i] - poss[i + 1]))
+        for i in range(n_terms - 1)
+    ]
+    min_gap = F.least(*pair_dists) if len(pair_dists) > 1 else pair_dists[0]
+    prox = F.when(min_gap.isNotNull(), F.lit(1.0) / (F.lit(1.0) + min_gap)).otherwise(
+        F.lit(0.0)
+    )
+    phrase = F.when(
+        F.locate(" ".join(query_terms[:2]), F.col("text")) > 0, F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    ce_raw = (
+        F.lit(2.0) * coverage
+        + F.lit(3.0) * density
+        + prox
+        + phrase
+        - F.lit(0.1) * F.log(F.lit(1.0) + dl)
+        + F.lit(10.0) * F.col("rrf")
+    )
+    scored = joined.withColumn("ce_raw", ce_raw)
+    wr = Window.orderBy(F.desc("ce_raw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("ce_rank", F.row_number().over(wr))
+        .filter(F.col("ce_rank") <= k)
+        .select(
+            "doc_id",
+            "rrf",
+            (F.floor(F.col("ce_raw") * 1000000) / 1000000.0).alias("ce_score"),
+            "ce_rank",
+        )
+    )
+
+
+def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    pool = hybrid_rrf_topk(d, e, _QUERY_TERMS)
+    return rerank_cross_encoder(d, pool, _QUERY_TERMS)
+
+
+def _sql_rerank_cross() -> str:
+    terms = _QUERY_TERMS
+    n = len(terms)
+    tf_exprs = [
+        f"len(list_filter(toks, t -> t = '{t}'))" for t in terms
+    ]
+    pos_exprs = [
+        f"coalesce(list_position(toks, '{t}'), 0)" for t in terms
+    ]
+    coverage = (
+        "("
+        + " + ".join(f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(n))
+        + f") / {float(n)}"
+    )
+    density = "(" + " + ".join(f"tf_{i}" for i in range(n)) + ") / CAST(dl AS DOUBLE)"
+    pair_dists = [
+        f"CASE WHEN pos_{i} > 0 AND pos_{i+1} > 0"
+        f" THEN abs(pos_{i} - pos_{i+1}) END"
+        for i in range(n - 1)
+    ]
+    min_gap = "least(" + ", ".join(pair_dists) + ")"
+    phrase = (
+        f"CASE WHEN strpos(text, '{' '.join(terms[:2])}') > 0"
+        " THEN 0.5 ELSE 0.0 END"
+    )
+    return f"""
+WITH pool AS (
+  SELECT doc_id, rrf FROM ({_sql_hybrid_rrf()})
+), feat AS (
+  SELECT d.doc_id, p.rrf, d.text,
+         len(toks) AS dl,
+         {", ".join(f"{e} AS tf_{i}" for i, e in enumerate(tf_exprs))},
+         {", ".join(f"{e} AS pos_{i}" for i, e in enumerate(pos_exprs))}
+  FROM (SELECT doc_id, coalesce(text, '') AS text,
+               string_split(coalesce(text, ''), ' ') AS toks
+        FROM documents) d
+  JOIN pool p USING (doc_id)
+), scored AS (
+  SELECT doc_id, rrf,
+         2.0 * ({coverage})
+         + 3.0 * ({density})
+         + (CASE WHEN {min_gap} IS NOT NULL
+                 THEN 1.0 / (1.0 + {min_gap}) ELSE 0.0 END)
+         + ({phrase})
+         - 0.1 * ln(1.0 + dl)
+         + 10.0 * rrf AS ce_raw
+  FROM feat
+)
+SELECT doc_id, rrf,
+       floor(ce_raw * 1000000) / 1000000.0 AS ce_score,
+       row_number() OVER (ORDER BY ce_raw DESC, doc_id ASC) AS ce_rank
+FROM scored
+QUALIFY ce_rank <= {CE_FINAL}
+"""
+
+
+QUERIES["search_rerank_cross"] = (q_rerank_cross, _sql_rerank_cross())
