@@ -932,3 +932,56 @@ def test_streaming_dlq_replay_parity_with_batch_gate(spark, sf_dir, tmp_path):
     )
     assert sorted(acc) == want
     assert len(acc) > 0 and {s for _, s, _ in acc} == {"recovered", "dead"}
+
+
+def test_streaming_lsh_candidate_parity_with_batch_pipeline(spark, sf_dir, tmp_path):
+    """VERDICT r8 #5a: the one heavy pipeline without a foreachBatch parity
+    test.  The streaming claim behind incremental near-dup dedup is that
+    the minhash signature is a PURE per-document map (stateless in the
+    stream), so a signature store appended micro-batch by micro-batch is
+    batch-boundary-invariant — LSH banding + bucket self-join over the
+    accumulated store must equal the one-shot batch candidates over the
+    union corpus, for ANY boundary placement.  Same pattern as the
+    sketch/as-of/replay parity tests.
+    """
+    from kafka_error_handling_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = str(tmp_path / "docs_stream")
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1; hash
+    # repartition cuts the corpus at arbitrary places (near-dup pairs DO
+    # straddle batch boundaries, which is the point)
+    docs.repartition(4).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "sig_store")
+
+    def absorb(batch_df, _bid):
+        # per-batch work is the stateless signature map; the ONLY state a
+        # streaming LSH deduper carries is this appended signature store
+        minhash_signature(batch_df).write.mode("append").parquet(store_dir)
+
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    store = spark.read.parquet(store_dir)
+    got = sorted(
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(store).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(minhash_signature(docs)).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # sf0.001 plants real near-dups; empty = broken test
+    # the store really accumulated across multiple micro-batches
+    assert store.count() == docs.count()
