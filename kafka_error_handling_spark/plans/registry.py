@@ -72,65 +72,22 @@ def _modules():
 
 
 _PRIORITY = [
-    # r8 driver-budget ordering (VERDICT r7 items 1/3/4/5): changed rows
-    # FIRST — the minhash prefilter regime guard, the converged-CC
-    # promotion consumers, the maxResultSize MiB-parse fix regimes, and
-    # the streaming-replay-parity dlq_replay — then the judge-named
-    # DLQ/serde semantic cores, then the rest of the 32-row r3-stale
-    # block (the whole remaining evidence debt).  Tail: r4/r5/r6/r7-green
-    # in evidence-age order (freshest last).
+    # r9 driver-budget ordering (VERDICT r8 #1): changed rows FIRST —
+    # the new cross-encoder reranker, the minhash auto-probe fix
+    # (dedup_minhash_lsh + the neardup_components consumers whose module
+    # code changed), and the two graph fixpoints that consume the fixed
+    # maxResultSize byte parser — then the WHOLE 37-row r4-stale block
+    # (ANN ivfpq/hard-negatives cores, governance gates, graph
+    # bfs/kcore), then the oldest r5 rows: 7 + 37 + 6 = the 50-row
+    # budget exactly.  Tail: r5/r6/r7/r8-green in evidence-age order
+    # (freshest last).
+    "search_rerank_cross",
     "dedup_minhash_lsh",
     "dedup_neardup_keep",
     "dedup_cluster_stats",
     "embedding_neardup_keep",
     "graph_connected_components",
     "graph_pagerank",
-    "dlq_replay",
-    "error_headers",
-    "serde_json_captured",
-    "describe_struct_result",
-    "quality_validate_dlq",
-    # r3-green remainder of the stale block, prior order
-    "sliding_windows",
-    "exact_percentiles",
-    "event_funnel",
-    "bloom_pruned_join",
-    "forward_fill",
-    "event_sessionize",
-    "sketch_countmin",
-    "sketch_countmin_estimate",
-    "q12_priority_by_returnflag",
-    "text_pii_scrub",
-    "text_bigram_counts",
-    "text_repetition",
-    "text_decontaminate",
-    "text_lm_score",
-    "quality_gopher_report",
-    "corpus_pipeline_priority",
-    "dedup_fuzzy_names",
-    "dedup_priority_source",
-    "sample_pack_sequences",
-    "sample_quality_curriculum",
-    "sample_weighted_quality",
-    "asof_join_forward",
-    "merge_upsert",
-    "scd2_intervals",
-    "quality_profile_columns",
-    "quality_fk_orphans",
-    "quality_key_skew",
-    # r4-green rows, prior order
-    "sample_split_assignment",
-    "corpus_pipeline",
-    "pipeline_chunked_corpus",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "graph_triangles",
-    "layout_zorder_pruning",
-    "graph_clustering_coeff",
-    "graph_jaccard_neighbors",
-    "embedding_knn_pq",
-    "embedding_pq_recall",
-    "sample_kfold",
     "quality_partition_balance",
     "dedup_lsh_s_curve",
     "sketch_hll_windowed",
@@ -168,7 +125,6 @@ _PRIORITY = [
     "chunk_sliding_window",
     "dedup_containment",
     "sample_temperature",
-    # r5-green rows, prior order
     "text_tfidf_keywords",
     "sample_global_shuffle",
     "quality_psi_drift",
@@ -217,7 +173,6 @@ _PRIORITY = [
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
-    # r6-green rows, prior order
     "embedding_lsh_recall",
     "text_quality",
     "text_lang_id",
@@ -268,8 +223,6 @@ _PRIORITY = [
     "embedding_knn",
     "embedding_knn_arrow",
     "embedding_lsh_buckets",
-    # r7-green rows (the round-7 driver budget, 50/50 green — the
-    # freshest evidence in the ledger, so lowest re-check priority)
     "embedding_knn_lsh",
     "embedding_knn_lsh_multiprobe",
     "embedding_neardup",
@@ -316,6 +269,50 @@ _PRIORITY = [
     "capture_process_fanout",
     "capture_process_values",
     "describe_passthrough",
+    "dlq_replay",
+    "error_headers",
+    "serde_json_captured",
+    "describe_struct_result",
+    "quality_validate_dlq",
+    "sliding_windows",
+    "exact_percentiles",
+    "event_funnel",
+    "bloom_pruned_join",
+    "forward_fill",
+    "event_sessionize",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
+    "q12_priority_by_returnflag",
+    "text_pii_scrub",
+    "text_bigram_counts",
+    "text_repetition",
+    "text_decontaminate",
+    "text_lm_score",
+    "quality_gopher_report",
+    "corpus_pipeline_priority",
+    "dedup_fuzzy_names",
+    "dedup_priority_source",
+    "sample_pack_sequences",
+    "sample_quality_curriculum",
+    "sample_weighted_quality",
+    "asof_join_forward",
+    "merge_upsert",
+    "scd2_intervals",
+    "quality_profile_columns",
+    "quality_fk_orphans",
+    "quality_key_skew",
+    "sample_split_assignment",
+    "corpus_pipeline",
+    "pipeline_chunked_corpus",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_triangles",
+    "layout_zorder_pruning",
+    "graph_clustering_coeff",
+    "graph_jaccard_neighbors",
+    "embedding_knn_pq",
+    "embedding_pq_recall",
+    "sample_kfold",
 ]
 
 def _merged() -> dict:

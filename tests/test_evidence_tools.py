@@ -97,46 +97,44 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r7 item 1: the r8 priority head is (a) the rows whose CODE
-    # changed this round — the minhash regime guard, the converged-CC
-    # promotion consumers, the maxResultSize-parse-fix graph gates, the
-    # replay-parity dlq_replay — then (b) the four judge-named DLQ/serde
-    # semantic cores, then (c) the rest of the 32-row r3-stale block, so
-    # the ~50-row budget retires the whole remaining evidence debt.
-    # Pinned against the r1-r7 artifacts only (the evidence the rotation
-    # was derived FROM), so later driver rounds cannot invalidate it.
+    # VERDICT r8 item 1: the r9 priority head is (a) the rows whose CODE
+    # changed this round — the new cross-encoder reranker, the minhash
+    # auto-probe fix and its neardup_components module-mates, the two
+    # graph fixpoints consuming the fixed maxResultSize byte parser —
+    # then (b) the WHOLE 37-row r4-stale block, then (c) the 6 oldest
+    # r5 rows: 7 + 37 + 6 = the 50-row budget exactly, retiring every
+    # r4-age row.  Pinned against the r1-r8 artifacts only (the evidence
+    # the rotation was derived FROM), so later driver rounds cannot
+    # invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
     changed = [
+        "search_rerank_cross",
         "dedup_minhash_lsh",
         "dedup_neardup_keep",
         "dedup_cluster_stats",
         "embedding_neardup_keep",
         "graph_connected_components",
         "graph_pagerank",
-        "dlq_replay",
-    ]
-    cores = [
-        "error_headers",
-        "serde_json_captured",
-        "describe_struct_result",
-        "quality_validate_dlq",
     ]
     assert _PRIORITY[:7] == changed
-    assert _PRIORITY[7:11] == cores
-    for rnd in range(1, 8):
+    for rnd in range(1, 9):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # positions 11-37: the remaining r3-stale rows, nothing fresher
-    debt = _PRIORITY[11:38]
-    assert all(ev.get(name, 0) <= 3 for name in debt), [
-        (n, ev.get(n)) for n in debt if ev.get(n, 0) > 3
+    # positions 7-44: the whole r4-stale block, nothing fresher and
+    # nothing missed
+    debt = _PRIORITY[7:44]
+    assert all(ev.get(name, 0) == 4 for name in debt), [
+        (n, ev.get(n)) for n in debt if ev.get(n, 0) != 4
     ]
-    # and no r3-stale row may be parked BELOW the head where the budget
+    # no r4-stale row may be parked BELOW the head where the budget
     # cutoff could drop it (new never-checked names are allowed there)
-    stragglers = [n for n in _PRIORITY[38:] if n in ev and ev[n] <= 3]
+    stragglers = [n for n in _PRIORITY[44:] if ev.get(n, 9) <= 4]
     assert not stragglers, stragglers
+    # the budget tail: positions 44-50 are r5 rows (the oldest remaining
+    # evidence once the r4 block retires)
+    assert all(ev.get(n) == 5 for n in _PRIORITY[44:50])
