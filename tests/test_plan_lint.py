@@ -18,13 +18,14 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 
 # registry-wide totals from the committed runs/plan_lint.json artifact
 # (sf0.001, dual-sweep lint).  33 Arrow-Python operators = the capture
-# family + the two BLAS paths, exactly; 420 shuffle exchanges across 231
-# plans (r8: −13 from promoting neardup_components to the shared
-# converged-CC fixpoint, which runs CC over pair participants only and
-# dropped the per-round all-docs label joins from three consumers' plans).
+# family + the two BLAS paths, exactly; 424 shuffle exchanges across 232
+# plans (r9: +4 from search_rerank_cross — the reranker re-derives the
+# RRF pool's two bounded rank windows + fusion join and adds its own
+# ≤20-row rank window; every added exchange moves a candidate-pool-sized
+# frame, not a corpus-sized one).
 # See test_registry_wide_lint_totals_are_pinned.
 TOTAL_ARROW_PYTHON_PIN = 33
-TOTAL_SHUFFLES_PIN = 420
+TOTAL_SHUFFLES_PIN = 424
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest
