@@ -78,10 +78,11 @@ _PRIORITY = [
     # code changed), and the two graph fixpoints that consume the fixed
     # maxResultSize byte parser — then the WHOLE 37-row r4-stale block
     # (ANN ivfpq/hard-negatives cores, governance gates, graph
-    # bfs/kcore), then the oldest r5 rows: 7 + 37 + 6 = the 50-row
+    # bfs/kcore), then the oldest r5 rows: 8 + 37 + 5 = the 50-row
     # budget exactly.  Tail: r5/r6/r7/r8-green in evidence-age order
     # (freshest last).
     "search_rerank_cross",
+    "search_mmr_diversify",
     "dedup_minhash_lsh",
     "dedup_neardup_keep",
     "dedup_cluster_stats",

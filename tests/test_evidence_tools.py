@@ -112,6 +112,7 @@ def test_priority_head_is_the_stale_rows(tmp_path):
 
     changed = [
         "search_rerank_cross",
+        "search_mmr_diversify",
         "dedup_minhash_lsh",
         "dedup_neardup_keep",
         "dedup_cluster_stats",
@@ -119,22 +120,22 @@ def test_priority_head_is_the_stale_rows(tmp_path):
         "graph_connected_components",
         "graph_pagerank",
     ]
-    assert _PRIORITY[:7] == changed
+    assert _PRIORITY[:8] == changed
     for rnd in range(1, 9):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # positions 7-44: the whole r4-stale block, nothing fresher and
+    # positions 8-45: the whole r4-stale block, nothing fresher and
     # nothing missed
-    debt = _PRIORITY[7:44]
+    debt = _PRIORITY[8:45]
     assert all(ev.get(name, 0) == 4 for name in debt), [
         (n, ev.get(n)) for n in debt if ev.get(n, 0) != 4
     ]
     # no r4-stale row may be parked BELOW the head where the budget
     # cutoff could drop it (new never-checked names are allowed there)
-    stragglers = [n for n in _PRIORITY[44:] if ev.get(n, 9) <= 4]
+    stragglers = [n for n in _PRIORITY[45:] if ev.get(n, 9) <= 4]
     assert not stragglers, stragglers
-    # the budget tail: positions 44-50 are r5 rows (the oldest remaining
+    # the budget tail: positions 45-50 are r5 rows (the oldest remaining
     # evidence once the r4 block retires)
-    assert all(ev.get(n) == 5 for n in _PRIORITY[44:50])
+    assert all(ev.get(n) == 5 for n in _PRIORITY[45:50])

@@ -99,3 +99,62 @@ def test_label_purity_clean_clusters_and_one_flip(spark):
     # -> 2/3 matches, still majority (not low purity)
     assert out["A"]["n_queries"] == 3
     assert out["A"]["n_low_purity"] == 0
+
+
+def test_mmr_greedy_matches_bruteforce_reference(spark):
+    """MMR semantics on a hand-built pool, pinned against an independent
+    pure-Python greedy: relevance is pool-min-max-normalized, similarity
+    is cosine rounded to 4, score = 0.7·rel − 0.3·max-sim-to-selected,
+    ties break on doc id, and a pool doc WITHOUT an embedding row has no
+    sim edges (max-sim coalesces to 0 — maximally diverse)."""
+    import math
+
+    from kafka_error_handling_spark.datapipe.ranking import mmr_diversify
+
+    pool = spark.createDataFrame(
+        [(1, 0.05), (2, 0.04), (3, 0.03), (4, 0.02), (5, 0.01)],
+        "doc_id long, rrf double",
+    )
+    # 1 and 2 nearly parallel (redundant); 3 orthogonal; 4 anti-aligned
+    # with 1; doc 5 has NO embedding row
+    vecs = {
+        1: [1.0, 0.0], 2: [0.999, 0.04], 3: [0.0, 1.0], 4: [-1.0, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 4)
+
+    rrf = {1: 0.05, 2: 0.04, 3: 0.03, 4: 0.02, 5: 0.01}
+    mn, mx = min(rrf.values()), max(rrf.values())
+    rel = {d: (v - mn) / (mx - mn) for d, v in rrf.items()}
+    selected, expect = [], []
+    for _ in range(4):
+        best = None
+        for d in sorted(rrf):
+            if d in selected:
+                continue
+            ms = max(
+                (cos(vecs[d], vecs[s]) for s in selected if d in vecs and s in vecs),
+                default=0.0,
+            )
+            score = 0.7 * rel[d] - 0.3 * ms
+            if best is None or score > best[1]:
+                best = (d, score)
+        selected.append(best[0])
+        expect.append((best[0], math.floor(best[1] * 1000000) / 1000000.0))
+
+    got = [
+        (r.doc_id, r.mmr_score)
+        for r in mmr_diversify(pool, emb, k=4).orderBy("mmr_rank").collect()
+    ]
+    assert got == expect
+    # semantic spot-pins: doc 1 first (top relevance); doc 2 must NOT be
+    # second despite 2nd-best relevance (0.9992 cosine redundancy with 1)
+    assert got[0][0] == 1
+    assert got[1][0] != 2

@@ -18,11 +18,13 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 
 # registry-wide totals from the committed runs/plan_lint.json artifact
 # (sf0.001, dual-sweep lint).  33 Arrow-Python operators = the capture
-# family + the two BLAS paths, exactly; 424 shuffle exchanges across 232
+# family + the two BLAS paths, exactly; 424 shuffle exchanges across 233
 # plans (r9: +4 from search_rerank_cross — the reranker re-derives the
 # RRF pool's two bounded rank windows + fusion join and adds its own
 # ≤20-row rank window; every added exchange moves a candidate-pool-sized
-# frame, not a corpus-sized one).
+# frame, not a corpus-sized one.  search_mmr_diversify adds 0: its
+# corpus-side work runs eagerly inside the greedy rounds and the
+# returned k-row frame is literal-backed).
 # See test_registry_wide_lint_totals_are_pinned.
 TOTAL_ARROW_PYTHON_PIN = 33
 TOTAL_SHUFFLES_PIN = 424
