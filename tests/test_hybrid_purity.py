@@ -158,3 +158,62 @@ def test_mmr_greedy_matches_bruteforce_reference(spark):
     # second despite 2nd-best relevance (0.9992 cosine redundancy with 1)
     assert got[0][0] == 1
     assert got[1][0] != 2
+
+
+def test_rerank_cross_feature_semantics(spark):
+    """Cross-encoder reranker semantics on a hand-built pool: coverage /
+    density / proximity / phrase-bonus behave as documented, a NULL-text
+    dense-only candidate scores with zeroed features instead of NULL
+    (which would hit engine-dependent NULL ordering at the rank
+    boundary), and ties break on doc id."""
+    import math
+
+    from kafka_error_handling_spark.datapipe.ranking import rerank_cross_encoder
+
+    docs = _docs(
+        spark,
+        [
+            # all three terms, adjacent (phrase "spark join" present)
+            (1, "spark join window now"),
+            # all three terms, far apart -> same coverage, worse proximity
+            (2, "spark a b c d e f g h join k l m n o p q r s window"),
+            # one term only, repeated -> coverage low, density high
+            (3, "spark spark spark spark"),
+            (4, None),  # dense-only candidate with NULL text
+        ],
+    )
+    pool = spark.createDataFrame(
+        [(1, 0.03), (2, 0.03), (3, 0.03), (4, 0.03)], "doc_id long, rrf double"
+    )
+    got = {
+        r.doc_id: (r.ce_score, r.ce_rank)
+        for r in rerank_cross_encoder(docs, pool, ["spark", "join", "window"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+
+    def expect(text):
+        toks = (text or "").split(" ")
+        dl = len(toks)
+        tfs = [toks.count(t) for t in ("spark", "join", "window")]
+        poss = [toks.index(t) + 1 if t in toks else 0 for t in ("spark", "join", "window")]
+        cov = sum(1 for t in tfs if t > 0) / 3.0
+        dens = sum(tfs) / dl
+        gaps = [
+            abs(poss[i] - poss[i + 1])
+            for i in range(2)
+            if poss[i] > 0 and poss[i + 1] > 0
+        ]
+        prox = 1.0 / (1.0 + min(gaps)) if gaps else 0.0
+        phrase = 0.5 if "spark join" in (text or "") else 0.0
+        raw = 2.0 * cov + 3.0 * dens + prox + phrase - 0.1 * math.log(1.0 + dl) + 10.0 * 0.03
+        return math.floor(raw * 1000000) / 1000000.0
+
+    for doc_id, text in [(1, "spark join window now"),
+                         (2, "spark a b c d e f g h join k l m n o p q r s window"),
+                         (3, "spark spark spark spark"),
+                         (4, None)]:
+        assert got[doc_id][0] == expect(text), (doc_id, got[doc_id][0], expect(text))
+    # semantic ordering: 1 (adjacent + phrase) beats 2 (scattered) beats
+    # the NULL-text candidate, which still ranks deterministically
+    assert got[1][1] < got[2][1]
+    assert got[4][1] == 4
