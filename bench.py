@@ -177,6 +177,39 @@ def _code_fingerprint(root: str, rev: str) -> str:
     return "-".join(ids)
 
 
+def _newest_matching_record(paths: list, prev_tree: str):
+    """Scan BENCH_r*.json newest-first for a calibration record whose code
+    fingerprint matches ``prev_tree``.
+
+    Returns ``(record, skipped)`` where ``record`` is
+    ``(basename, total_s, match_kind)`` or None, and ``skipped`` lists the
+    newer records passed over because their fingerprint mismatched — a
+    mismatching NEWER record is expected when an older commit is re-timed,
+    so the scan continues to older files instead of giving up on the first
+    mismatch (ADVICE r9).  A record with no fingerprint (bootstrap rounds
+    ≤ r8) is accepted as ``assumed-legacy-record``."""
+    skipped = []
+    for path in paths:
+        try:
+            parsed = json.load(open(path)).get("parsed") or {}
+            block = parsed.get("calibration") or {}
+            rec = block.get("current_total_s")
+        except Exception:
+            continue
+        if not rec:
+            continue
+        rec_tree = block.get("current_code_tree")
+        if rec_tree is not None and rec_tree != prev_tree:
+            skipped.append(f"{os.path.basename(path)}:{rec_tree[:20]}..")
+            continue
+        kind = (
+            "code-tree-verified" if rec_tree is not None
+            else "assumed-legacy-record"
+        )
+        return (os.path.basename(path), rec, kind), skipped
+    return None, skipped
+
+
 def _calibration() -> dict | None:
     """Cross-commit host-drift calibration (VERDICT r7 #6), automatic.
 
@@ -275,32 +308,19 @@ def _calibration() -> dict | None:
             key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
             reverse=True,
         )
-        for path in by_round:
-            try:
-                parsed = json.load(open(path)).get("parsed") or {}
-                block = parsed.get("calibration") or {}
-                rec = block.get("current_total_s")
-            except Exception:
-                continue
-            if rec:
-                calib["prev_recorded_total_s"] = rec
-                calib["prev_recorded_in"] = os.path.basename(path)
-                rec_tree = block.get("current_code_tree")
-                if rec_tree is None:
-                    # bootstrap rounds (≤ r8) recorded no fingerprint;
-                    # accept but say so rather than silently trusting
-                    calib["host_drift"] = round(prev["total_s"] / rec, 3)
-                    calib["host_drift_match"] = "assumed-legacy-record"
-                elif rec_tree == prev_tree:
-                    calib["host_drift"] = round(prev["total_s"] / rec, 3)
-                    calib["host_drift_match"] = "code-tree-verified"
-                else:
-                    calib["host_drift_note"] = (
-                        f"unmatched round: {os.path.basename(path)} recorded "
-                        f"code_tree {rec_tree[:20]}.. but re-timed commit has "
-                        f"{prev_tree[:20]}.. — host_drift omitted"
-                    )
-                break
+        record, skipped = _newest_matching_record(by_round, prev_tree)
+        if record is not None:
+            basename, rec, kind = record
+            calib["prev_recorded_total_s"] = rec
+            calib["prev_recorded_in"] = basename
+            calib["host_drift"] = round(prev["total_s"] / rec, 3)
+            calib["host_drift_match"] = kind
+        if skipped:
+            calib["host_drift_note"] = (
+                f"skipped {len(skipped)} record(s) whose code_tree does not "
+                f"match re-timed commit {prev_tree[:20]}..: "
+                + "; ".join(skipped[:3])
+            )
     except Exception as e:  # calibration must never sink the bench line
         calib["error"] = f"{type(e).__name__}: {str(e)[:160]}"
     return calib

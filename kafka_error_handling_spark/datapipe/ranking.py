@@ -543,6 +543,10 @@ def rerank_cross_encoder(
         # a two-parameter callable as (element, index)
         return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
+    if not query_terms:
+        # zero terms would divide coverage by 0 below — fail loud at plan
+        # build, not with NULL scores at runtime (ADVICE r9)
+        raise ValueError("query_terms must be non-empty")
     tfs = [_tf(term) for term in query_terms]
     poss = [F.array_position(toks, term) for term in query_terms]
     n_terms = len(query_terms)
@@ -551,12 +555,19 @@ def rerank_cross_encoder(
     )
     density = sum(tfs, F.lit(0)) / dl
     # min first-position gap over ADJACENT query-term pairs where both
-    # terms occur; no pair present -> proximity contributes 0
+    # terms occur; no pair present -> proximity contributes 0.  A
+    # single-term query has no pairs at all: min_gap is a typed NULL so
+    # proximity is a deterministic 0 (ADVICE r9 — pair_dists[0] raised)
     pair_dists = [
         F.when((poss[i] > 0) & (poss[i + 1] > 0), F.abs(poss[i] - poss[i + 1]))
         for i in range(n_terms - 1)
     ]
-    min_gap = F.least(*pair_dists) if len(pair_dists) > 1 else pair_dists[0]
+    if not pair_dists:
+        min_gap = F.lit(None).cast("double")
+    elif len(pair_dists) == 1:
+        min_gap = pair_dists[0]
+    else:
+        min_gap = F.least(*pair_dists)
     prox = F.when(min_gap.isNotNull(), F.lit(1.0) / (F.lit(1.0) + min_gap)).otherwise(
         F.lit(0.0)
     )
@@ -592,8 +603,10 @@ def q_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank_cross_encoder(d, pool, _QUERY_TERMS)
 
 
-def _sql_rerank_cross() -> str:
-    terms = _QUERY_TERMS
+def _sql_rerank_cross(terms: list[str] | None = None) -> str:
+    terms = _QUERY_TERMS if terms is None else terms
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     n = len(terms)
     tf_exprs = [
         f"len(list_filter(toks, t -> t = '{t}'))" for t in terms
@@ -612,7 +625,13 @@ def _sql_rerank_cross() -> str:
         f" THEN abs(pos_{i} - pos_{i+1}) END"
         for i in range(n - 1)
     ]
-    min_gap = "least(" + ", ".join(pair_dists) + ")"
+    # single-term mirror of the Spark guard: no adjacent pairs -> NULL
+    # min_gap -> proximity 0 (zero-arg least() is a parse error)
+    min_gap = (
+        "least(" + ", ".join(pair_dists) + ")"
+        if pair_dists
+        else "CAST(NULL AS DOUBLE)"
+    )
     phrase = (
         f"CASE WHEN strpos(text, '{' '.join(terms[:2])}') > 0"
         " THEN 0.5 ELSE 0.0 END"
@@ -669,11 +688,16 @@ QUERIES["search_rerank_cross"] = (q_rerank_cross, _sql_rerank_cross())
 # scans).  rel-normalization is one single-row aggregate broadcast back;
 # the pairwise sim matrix is a ≤pool² self-join of an EXPLICITLY
 # broadcast ≤pool-row frame (hint survives autoBroadcastJoinThreshold=-1,
-# so the nobcast sweep never sees a CartesianProduct); the greedy loop is
-# inherently sequential, so it runs k−1 bounded rounds over two
-# localCheckpointed ≤pool-row frames, collecting exactly ONE winner id
-# per round — the same driver-traffic discipline as the CC fixpoint's
-# one convergence scalar per round.
+# so the nobcast sweep never sees a CartesianProduct).  The greedy loop is
+# inherently sequential AND both of its inputs are bounded driver-safe
+# artifacts by construction (rel ≤ pool rows, sims ≤ pool² rows), so the
+# engine collects each ONCE and runs the k−1 argmax rounds in plain
+# Python — 3 Spark jobs total instead of ~2 per greedy round (VERDICT r9
+# #3: the per-round join+agg+orderBy+limit(1) plan was a ~4.5 s pure
+# job-dispatch constant on a ≤20-row pool).  Same driver-traffic
+# discipline as the k·dim Lloyd centroid memo; all scores the greedy
+# compares are Spark/DuckDB-computed doubles, so engine parity is
+# untouched.
 # ---------------------------------------------------------------------------
 
 MMR_K = 5        # diversified shortlist size
@@ -688,28 +712,47 @@ def mmr_diversify(
 ) -> DataFrame:
     """Greedy MMR over a bounded candidate ``pool`` (doc_id, rrf) with
     ``emb`` (vec_id, embedding) supplying the diversity geometry; returns
-    (doc_id, mmr_rank, mmr_score) for the k selections in pick order."""
+    (doc_id, mmr_rank, mmr_score) for the k selections in pick order.
+    A pool smaller than ``k`` yields as many rows as the pool holds
+    (ADVICE r9 — the loop used to IndexError once every doc was chosen).
+
+    Spark computes the two bounded frames the greedy recurrence reads
+    (rel ≤ pool rows, sims ≤ pool² rows — the same numbers the DuckDB
+    oracle derives, so all float parity stays engine-side); the
+    recurrence itself is plain Python over those collected rows."""
+    import math
+
     from .similarity import cosine
 
     spark = pool.sparkSession
-    # the pool frame is referenced by rel-normalization AND both sides of
-    # the sim self-join AND k−1 greedy rounds — cut the lineage ONCE so
-    # the two corpus-ranker scans behind it execute exactly once
-    pool = pool.select("doc_id", "rrf").localCheckpoint(eager=True)
-    ext = pool.crossJoin(
-        broadcast(pool.agg(F.min("rrf").alias("mn"), F.max("rrf").alias("mx")))
+    # job 1: the two corpus-ranker scans behind the pool run exactly once;
+    # rel-normalization happens on the collected ≤pool rows (pure IEEE
+    # double arithmetic, bit-identical in Python / Spark / DuckDB)
+    pool_rows = pool.select("doc_id", "rrf").collect()
+    if not pool_rows:
+        return spark.createDataFrame(
+            [], "doc_id long, mmr_rank int, mmr_score double"
+        )
+    rrfs = [r["rrf"] for r in pool_rows]
+    mn, mx = min(rrfs), max(rrfs)
+    rel = {
+        r["doc_id"]: 1.0 if mx == mn else (r["rrf"] - mn) / (mx - mn)
+        for r in pool_rows
+    }
+    # job 2 (eager checkpoint): ONE embeddings scan extracts the ≤pool
+    # vectors; job 3: the ≤pool² sim matrix off the checkpointed frame —
+    # broadcast + explicit hint so the nobcast sweep never sees a
+    # CartesianProduct, cosine rounded to 4 like every knn gate
+    ids = spark.createDataFrame(
+        [(i,) for i in sorted(rel)], "doc_id long"
     )
-    rel = ext.select(
-        "doc_id",
-        F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
-        .otherwise((F.col("rrf") - F.col("mn")) / (F.col("mx") - F.col("mn")))
-        .alias("rel_norm"),
-    ).localCheckpoint(eager=True)
-    pe = pool.join(emb, pool.doc_id == emb.vec_id).select(
-        F.col("doc_id"), F.col("embedding")
+    pe = (
+        emb.join(broadcast(ids), emb.vec_id == ids.doc_id)
+        .select(F.col("doc_id"), F.col("embedding"))
+        .localCheckpoint(eager=True)
     )
     a, b = pe.alias("a"), pe.alias("b")
-    sims = (
+    sim_rows = (
         a.join(broadcast(b), F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -718,32 +761,32 @@ def mmr_diversify(
                 "sim"
             ),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    first = rel.orderBy(F.desc("rel_norm"), F.asc("doc_id")).limit(1).collect()[0]
-    picks = [(first["doc_id"], lam * first["rel_norm"])]
-    for _ in range(1, k):
-        chosen = [p[0] for p in picks]
-        sel = spark.createDataFrame([(c,) for c in chosen], "sel_id long")
-        max_sim = (
-            sims.join(broadcast(sel), sims.id_b == sel.sel_id)
-            .groupBy("id_a")
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        cand = (
-            rel.filter(~F.col("doc_id").isin(chosen))
-            .join(max_sim, rel.doc_id == max_sim.id_a, "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit(lam) * F.col("rel_norm")
-                    - F.lit(1.0 - lam) * F.coalesce(F.col("max_sim"), F.lit(0.0))
-                ).alias("mmr"),
+    sims: dict[tuple[int, int], float] = {
+        (r["id_a"], r["id_b"]): r["sim"] for r in sim_rows
+    }
+    # greedy argmax, ties on doc_id ascending — identical ordering to the
+    # old orderBy(desc(mmr), asc(doc_id)).limit(1) per-round plan
+    first = min(rel, key=lambda d: (-rel[d], d))
+    picks = [(first, lam * rel[first])]
+    chosen = {first}
+    om = 1.0 - lam
+    while len(picks) < k and len(chosen) < len(rel):
+        best_doc, best_mmr = None, None
+        for d in rel:
+            if d in chosen:
+                continue
+            max_sim = max(
+                (sims[(d, s)] for s in chosen if (d, s) in sims), default=0.0
             )
-        )
-        nxt = cand.orderBy(F.desc("mmr"), F.asc("doc_id")).limit(1).collect()[0]
-        picks.append((nxt["doc_id"], nxt["mmr"]))
-    import math
+            mmr = lam * rel[d] - om * max_sim
+            if best_doc is None or mmr > best_mmr or (
+                mmr == best_mmr and d < best_doc
+            ):
+                best_doc, best_mmr = d, mmr
+        picks.append((best_doc, best_mmr))
+        chosen.add(best_doc)
 
     return spark.createDataFrame(
         [

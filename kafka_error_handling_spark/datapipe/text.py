@@ -630,6 +630,180 @@ QUERIES["text_decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
 
 
 # ---------------------------------------------------------------------------
+# Semantic decontamination — the paraphrase gap the n-gram screen misses.
+#
+# GPT-3-style n-gram decontamination (above) only catches VERBATIM
+# benchmark overlap: a paraphrased eval example shares no 5-gram with its
+# source and sails through.  The semantic screen compares embeddings
+# instead: a corpus document whose max cosine against ANY benchmark
+# embedding reaches ``tau`` is flagged (with the offending benchmark id),
+# regardless of surface form.
+#
+# Scale design (the SemDeDup-style scoping: nothing all-pairs): the
+# benchmark side is every published eval set combined — thousands to a
+# few hundred thousand vectors, bounded by MAX_QUERY_VECTORS like every
+# driver-bounded query set in similarity.py — aggregated once and
+# **broadcast**; the 100 TB corpus side is ONE scan crossed against the
+# broadcast set with the tau filter applied map-side, so only suspicious
+# (doc, bench) pairs ever reach the per-doc argmax shuffle — keyed on the
+# same doc_id every per-doc op in this module shuffles on.  Clean corpus
+# rows never leave their scan stage, mirroring the n-gram screen above.
+# ---------------------------------------------------------------------------
+
+#: flag threshold, calibrated to the synthetic testdata geometry (max
+#: cross-split cosine ≈ 0.50; real eval-contamination screens run at
+#: 0.9+ on real embedding spaces — a gate that cannot fire verifies
+#: nothing, so the knob follows the data like embedding_neardup's)
+SEMANTIC_DECONTAM_TAU = 0.35
+
+
+def decontaminate_semantic(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    tau: float = SEMANTIC_DECONTAM_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-document nearest benchmark embedding at cosine ≥ ``tau``.
+
+    Returns (doc_id, bench_id, max_cos) for contaminated documents only —
+    like :func:`decontaminate`, the action on a hit is dropping the doc,
+    so emitting the clean 100 TB majority would be all no-ops.  Argmax
+    ties break on bench_id ascending (deterministic under any partition
+    layout, the knn-gate convention)."""
+    from pyspark.sql.window import Window
+
+    from .similarity import _dvec, _norm
+
+    b = bench_emb.select(
+        F.col(id_col).alias("bench_id"), _dvec(vec_col).alias("bv")
+    ).withColumn("bn", _norm(F.col("bv")))
+    c = corpus_emb.select(
+        F.col(id_col).alias("doc_id"), _dvec(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    suspicious = (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(dot / (F.col("cn") * F.col("bn")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("cos_sim"), F.asc("bench_id")
+    )
+    return (
+        suspicious.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "bench_id", F.col("cos_sim").alias("max_cos"))
+    )
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: embeddings with vec_id % 97 == 0 act as the held-out
+    benchmark set (the same held-out ids the n-gram gate uses on the
+    documents side); the rest of the corpus is screened semantically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 97 == 0)
+    rest = e.filter(F.col("vec_id") % 97 != 0)
+    return decontaminate_semantic(rest, bench)
+
+
+_SQL_DECONTAM_COS = (
+    "round(list_dot_product(c.ev, b.ev) / (sqrt(list_dot_product(c.ev, c.ev))"
+    " * sqrt(list_dot_product(b.ev, b.ev))), 4)"
+)
+
+SQL_DECONTAMINATE_SEMANTIC = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+bench AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+corp AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+suspicious AS (
+  SELECT c.vec_id AS doc_id, b.vec_id AS bench_id,
+         {_SQL_DECONTAM_COS} AS cos_sim
+  FROM corp c JOIN bench b ON {_SQL_DECONTAM_COS} >= {SEMANTIC_DECONTAM_TAU}
+)
+SELECT doc_id, bench_id, cos_sim AS max_cos
+FROM (
+  SELECT doc_id, bench_id, cos_sim,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cos_sim DESC, bench_id ASC) AS rn
+  FROM suspicious
+) WHERE rn = 1
+"""
+
+
+QUERIES["text_decontaminate_semantic"] = (
+    q_decontaminate_semantic,
+    SQL_DECONTAMINATE_SEMANTIC,
+)
+
+
+def q_decontaminate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram screen vs semantic screen, per flagged document: the rows
+    where ``sem_hit AND NOT ngram_hit`` are exactly the paraphrase gap the
+    verbatim screen cannot see.  Population = corpus docs that have an
+    embedding row (semantic screening needs geometry); benchmark = the
+    shared %97 held-out ids on both screens."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bench_docs = d.filter(F.col("doc_id") % 97 == 0)
+    rest_docs = d.filter(F.col("doc_id") % 97 != 0)
+    ngram_hits = decontaminate(rest_docs, bench_docs, n=5).select(
+        "doc_id", F.lit(True).alias("ngram_hit")
+    )
+    sem_hits = decontaminate_semantic(
+        e.filter(F.col("vec_id") % 97 != 0),
+        e.filter(F.col("vec_id") % 97 == 0),
+    ).select("doc_id", F.lit(True).alias("sem_hit"))
+    pop = rest_docs.join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).select("doc_id")
+    return (
+        pop.join(ngram_hits, "doc_id", "left")
+        .join(sem_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ngram_hit"), F.lit(False)).alias("ngram_hit"),
+            F.coalesce(F.col("sem_hit"), F.lit(False)).alias("sem_hit"),
+        )
+        .filter(F.col("ngram_hit") | F.col("sem_hit"))
+    )
+
+
+SQL_DECONTAMINATE_COMPARE = f"""
+WITH ngram_hits AS (
+  SELECT doc_id, true AS ngram_hit FROM ({SQL_DECONTAMINATE})
+), sem_hits AS (
+  SELECT doc_id, true AS sem_hit FROM ({SQL_DECONTAMINATE_SEMANTIC})
+), pop AS (
+  SELECT d.doc_id FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.doc_id % 97 <> 0
+)
+SELECT p.doc_id,
+       coalesce(n.ngram_hit, false) AS ngram_hit,
+       coalesce(s.sem_hit, false) AS sem_hit
+FROM pop p
+LEFT JOIN ngram_hits n USING (doc_id)
+LEFT JOIN sem_hits s USING (doc_id)
+WHERE coalesce(n.ngram_hit, false) OR coalesce(s.sem_hit, false)
+"""
+
+
+QUERIES["text_decontaminate_compare"] = (
+    q_decontaminate_compare,
+    SQL_DECONTAMINATE_COMPARE,
+)
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM quality scoring — the CCNet-style "perplexity filter": score
 # each document by the average log-probability its corpus bigram LM
 # (add-one smoothed) assigns to it; low scores mark out-of-distribution /

@@ -72,65 +72,18 @@ def _modules():
 
 
 _PRIORITY = [
-    # r9 driver-budget ordering (VERDICT r8 #1): changed rows FIRST —
-    # the new cross-encoder reranker, the minhash auto-probe fix
-    # (dedup_minhash_lsh + the neardup_components consumers whose module
-    # code changed), and the two graph fixpoints that consume the fixed
-    # maxResultSize byte parser — then the WHOLE 37-row r4-stale block
-    # (ANN ivfpq/hard-negatives cores, governance gates, graph
-    # bfs/kcore), then the oldest r5 rows: 8 + 37 + 5 = the 50-row
-    # budget exactly.  Tail: r5/r6/r7/r8-green in evidence-age order
-    # (freshest last).
-    "search_rerank_cross",
+    # r10 driver-budget ordering (VERDICT r9 #1): changed rows FIRST —
+    # the two new semantic-decontamination gates, the MMR greedy-loop
+    # collect-once rewrite, and the reranker's short-query guard — then
+    # the WHOLE 43-row r5-stale block (minhash est-error, threshold
+    # sweep, pretrain mix, DLQ age/poison cores, the cohort/attribution
+    # family), then the 3 oldest r6 rows: 4 + 43 + 3 = the 50-row budget
+    # exactly, retiring every r5-age row.  Tail: r6/r7/r8/r9-green in
+    # evidence-age order (freshest last).
+    "text_decontaminate_semantic",
+    "text_decontaminate_compare",
     "search_mmr_diversify",
-    "dedup_minhash_lsh",
-    "dedup_neardup_keep",
-    "dedup_cluster_stats",
-    "embedding_neardup_keep",
-    "graph_connected_components",
-    "graph_pagerank",
-    "quality_partition_balance",
-    "dedup_lsh_s_curve",
-    "sketch_hll_windowed",
-    "embedding_knn_ivfpq",
-    "embedding_ivfpq_recall",
-    "quality_double_charge",
-    "layout_compaction_plan",
-    "layout_encoding_advisor",
-    "quality_k_anonymity",
-    "embedding_hard_negatives",
-    "quality_split_leakage",
-    "events_ab_test",
-    "events_forecast_backtest",
-    "orders_backlog_curve",
-    "graph_bfs_depth",
-    "events_nested_activity",
-    "text_boolean_search",
-    "vendor_scorecard",
-    "events_conversion_windows",
-    "dedup_incremental_neardup",
-    "sample_weighting_ess",
-    "embedding_index_balance",
-    "events_seasonal_anomaly",
-    "multimodal_ahash",
-    "multimodal_ahash_neardup",
-    "sketch_kmv_union",
-    "corpus_release_gate",
-    "graph_kcore",
-    "dedup_chunks",
-    "dedup_chunks_apply",
-    "dedup_cdc_chunks",
-    "events_anomaly_mad",
-    "quality_winsorize",
-    "events_rate_limit",
-    "chunk_sliding_window",
-    "dedup_containment",
-    "sample_temperature",
-    "text_tfidf_keywords",
-    "sample_global_shuffle",
-    "quality_psi_drift",
-    "asof_join_nearest",
-    "cdc_snapshot_diff",
+    "search_rerank_cross",
     "retention_cohorts",
     "pareto_supplier_revenue",
     "attribution_last_touch",
@@ -314,6 +267,54 @@ _PRIORITY = [
     "embedding_knn_pq",
     "embedding_pq_recall",
     "sample_kfold",
+    "dedup_minhash_lsh",
+    "dedup_neardup_keep",
+    "dedup_cluster_stats",
+    "embedding_neardup_keep",
+    "graph_connected_components",
+    "graph_pagerank",
+    "quality_partition_balance",
+    "dedup_lsh_s_curve",
+    "sketch_hll_windowed",
+    "embedding_knn_ivfpq",
+    "embedding_ivfpq_recall",
+    "quality_double_charge",
+    "layout_compaction_plan",
+    "layout_encoding_advisor",
+    "quality_k_anonymity",
+    "embedding_hard_negatives",
+    "quality_split_leakage",
+    "events_ab_test",
+    "events_forecast_backtest",
+    "orders_backlog_curve",
+    "graph_bfs_depth",
+    "events_nested_activity",
+    "text_boolean_search",
+    "vendor_scorecard",
+    "events_conversion_windows",
+    "dedup_incremental_neardup",
+    "sample_weighting_ess",
+    "embedding_index_balance",
+    "events_seasonal_anomaly",
+    "multimodal_ahash",
+    "multimodal_ahash_neardup",
+    "sketch_kmv_union",
+    "corpus_release_gate",
+    "graph_kcore",
+    "dedup_chunks",
+    "dedup_chunks_apply",
+    "dedup_cdc_chunks",
+    "events_anomaly_mad",
+    "quality_winsorize",
+    "events_rate_limit",
+    "chunk_sliding_window",
+    "dedup_containment",
+    "sample_temperature",
+    "text_tfidf_keywords",
+    "sample_global_shuffle",
+    "quality_psi_drift",
+    "asof_join_nearest",
+    "cdc_snapshot_diff",
 ]
 
 def _merged() -> dict:

@@ -66,6 +66,38 @@ def test_code_fingerprint_ignores_artifact_only_commits():
         )
 
 
+def test_calibration_scan_skips_mismatched_newer_records(tmp_path):
+    """ADVICE r9: when the newest BENCH record's fingerprint mismatches the
+    re-timed commit (an older commit being re-timed after a newer round
+    landed), the scan must continue to older records and use the first
+    fingerprint-matched one — not give up on the first mismatch."""
+    import json
+
+    def _write(rnd, tree, total):
+        p = tmp_path / f"BENCH_r{rnd:02d}.json"
+        p.write_text(json.dumps({"parsed": {"calibration": {
+            "current_total_s": total, "current_code_tree": tree}}}))
+        return str(p)
+
+    newest = _write(11, "tree-B", 10.0)
+    matched = _write(10, "tree-A", 8.0)
+    paths = [newest, matched]  # newest-first, as _calibration sorts them
+    record, skipped = bench._newest_matching_record(paths, "tree-A")
+    assert record == ("BENCH_r10.json", 8.0, "code-tree-verified")
+    assert skipped == ["BENCH_r11.json:tree-B.."]
+    # no match anywhere -> None, both skipped
+    record, skipped = bench._newest_matching_record(paths, "tree-C")
+    assert record is None and len(skipped) == 2
+    # legacy record without fingerprint is accepted, flagged as assumed
+    legacy = tmp_path / "BENCH_r09.json"
+    legacy.write_text(json.dumps({"parsed": {"calibration": {
+        "current_total_s": 7.0}}}))
+    record, skipped = bench._newest_matching_record(
+        [newest, str(legacy)], "tree-C"
+    )
+    assert record == ("BENCH_r09.json", 7.0, "assumed-legacy-record")
+
+
 def test_bench_round_files_sort_by_integer_round(tmp_path):
     """ADVICE r8: reverse-lex sort picks BENCH_r09 over BENCH_r100 — the
     newest-record scan must order by the integer round."""

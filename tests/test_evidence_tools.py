@@ -97,45 +97,43 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r8 item 1: the r9 priority head is (a) the rows whose CODE
-    # changed this round — the new cross-encoder reranker, the minhash
-    # auto-probe fix and its neardup_components module-mates, the two
-    # graph fixpoints consuming the fixed maxResultSize byte parser —
-    # then (b) the WHOLE 37-row r4-stale block, then (c) the 6 oldest
-    # r5 rows: 7 + 37 + 6 = the 50-row budget exactly, retiring every
-    # r4-age row.  Pinned against the r1-r8 artifacts only (the evidence
-    # the rotation was derived FROM), so later driver rounds cannot
-    # invalidate it.
+    # VERDICT r9 item 1: the r10 priority head is (a) the rows whose CODE
+    # is new or changed this round — the two semantic-decontamination
+    # gates, the MMR greedy-loop collect-once rewrite, the reranker's
+    # short-query guard — then (b) the WHOLE 43-row r5-stale block, then
+    # (c) the 3 oldest r6 rows: 4 + 43 + 3 = the 50-row budget exactly,
+    # retiring every r5-age row.  Pinned against the r1-r9 artifacts only
+    # (the evidence the rotation was derived FROM), so later driver
+    # rounds cannot invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
     changed = [
-        "search_rerank_cross",
+        "text_decontaminate_semantic",
+        "text_decontaminate_compare",
         "search_mmr_diversify",
-        "dedup_minhash_lsh",
-        "dedup_neardup_keep",
-        "dedup_cluster_stats",
-        "embedding_neardup_keep",
-        "graph_connected_components",
-        "graph_pagerank",
+        "search_rerank_cross",
     ]
-    assert _PRIORITY[:8] == changed
-    for rnd in range(1, 9):
+    assert _PRIORITY[:4] == changed
+    for rnd in range(1, 10):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # positions 8-45: the whole r4-stale block, nothing fresher and
+    # positions 4-47: the whole r5-stale block, nothing fresher and
     # nothing missed
-    debt = _PRIORITY[8:45]
-    assert all(ev.get(name, 0) == 4 for name in debt), [
-        (n, ev.get(n)) for n in debt if ev.get(n, 0) != 4
+    debt = _PRIORITY[4:47]
+    assert all(ev.get(name, 0) == 5 for name in debt), [
+        (n, ev.get(n)) for n in debt if ev.get(n, 0) != 5
     ]
-    # no r4-stale row may be parked BELOW the head where the budget
+    # no r5-stale row may be parked BELOW the head where the budget
     # cutoff could drop it (new never-checked names are allowed there)
-    stragglers = [n for n in _PRIORITY[45:] if ev.get(n, 9) <= 4]
+    stragglers = [n for n in _PRIORITY[47:] if ev.get(n, 9) <= 5]
     assert not stragglers, stragglers
-    # the budget tail: positions 45-50 are r5 rows (the oldest remaining
-    # evidence once the r4 block retires)
-    assert all(ev.get(n) == 5 for n in _PRIORITY[45:50])
+    # the budget tail: positions 47-50 are r6 rows (the oldest remaining
+    # evidence once the r5 block retires); the tail past the budget stays
+    # evidence-age-ordered so next round's rotation is mechanical
+    assert all(ev.get(n) == 6 for n in _PRIORITY[47:50])
+    ages = [ev[n] for n in _PRIORITY[4:] if n in ev]
+    assert ages == sorted(ages), "tail must be evidence-age-ordered"

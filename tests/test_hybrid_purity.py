@@ -217,3 +217,70 @@ def test_rerank_cross_feature_semantics(spark):
     # the NULL-text candidate, which still ranks deterministically
     assert got[1][1] < got[2][1]
     assert got[4][1] == 4
+
+
+def test_mmr_pool_smaller_than_k_returns_pool(spark):
+    """ADVICE r9: the greedy loop must stop when the pool is exhausted
+    (it used to IndexError on an empty collect) — a 2-doc pool with k=5
+    yields exactly 2 picks, and an empty pool yields an empty frame."""
+    from kafka_error_handling_spark.datapipe.ranking import mmr_diversify
+
+    pool = spark.createDataFrame(
+        [(1, 0.05), (2, 0.01)], "doc_id long, rrf double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = mmr_diversify(pool, emb, k=5).orderBy("mmr_rank").collect()
+    assert [r.doc_id for r in got] == [1, 2]
+    assert [r.mmr_rank for r in got] == [1, 2]
+
+    empty = pool.filter("doc_id < 0")
+    assert mmr_diversify(empty, emb, k=5).count() == 0
+
+
+def test_rerank_short_query_guards(spark):
+    """ADVICE r9: a single-term query has no adjacent term pairs — the
+    proximity feature must be a deterministic 0 (NULL min_gap), not an
+    IndexError; zero terms fail loud at plan build; and the SQL builder
+    mirrors both (NULL literal for n=1, ValueError for n=0)."""
+    import math
+
+    import duckdb
+    import pytest
+
+    from kafka_error_handling_spark.datapipe.ranking import (
+        _sql_rerank_cross,
+        rerank_cross_encoder,
+    )
+
+    docs = _docs(spark, [(1, "spark runs fine"), (2, "no hit here")])
+    pool = spark.createDataFrame(
+        [(1, 0.03), (2, 0.02)], "doc_id long, rrf double"
+    )
+    got = {
+        r.doc_id: r.ce_score
+        for r in rerank_cross_encoder(docs, pool, ["spark"]).collect()
+    }
+    # single term: coverage 1, density 1/3, prox 0 (no pairs), phrase hits
+    # the lone-term substring, length prior, rrf prior
+    raw = 2.0 * 1.0 + 3.0 * (1 / 3) + 0.0 + 0.5 - 0.1 * math.log(4.0) + 0.3
+    assert got[1] == math.floor(raw * 1000000) / 1000000.0
+
+    with pytest.raises(ValueError):
+        rerank_cross_encoder(docs, pool, [])
+    with pytest.raises(ValueError):
+        _sql_rerank_cross([])
+    # the n=1 SQL must at least be parseable DuckDB (zero-arg least() was
+    # a parse error before the guard)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id,"
+        " 'spark runs fine' AS text"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT 1::BIGINT AS vec_id,"
+        " [1.0, 0.0]::FLOAT[] AS embedding"
+    )
+    con.sql(_sql_rerank_cross(["spark"]))  # must prepare without error

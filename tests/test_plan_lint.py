@@ -26,8 +26,11 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 # corpus-side work runs eagerly inside the greedy rounds and the
 # returned k-row frame is literal-backed).
 # See test_registry_wide_lint_totals_are_pinned.
+# r10: 424 -> 429 — the two semantic-decontamination gates add their
+# per-doc argmax window and compare-join shuffles (5 total, all keyed on
+# doc_id); arrow-python total unchanged (both are pure column plans).
 TOTAL_ARROW_PYTHON_PIN = 33
-TOTAL_SHUFFLES_PIN = 424
+TOTAL_SHUFFLES_PIN = 429
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest

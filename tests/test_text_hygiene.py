@@ -219,3 +219,62 @@ def test_countmin_sketch_merges_by_cellwise_addition(spark):
     for r in list(h1) + list(h2):
         merged[(r.depth, r.col)] = merged.get((r.depth, r.col), 0) + r.cnt
     assert merged == whole
+
+
+def test_decontaminate_semantic_flags_and_argmax(spark):
+    """Semantic screen semantics on hand-built vectors: a corpus doc is
+    flagged iff its max benchmark cosine reaches tau, the flagged row
+    carries the ARGMAX benchmark id (ties on bench_id ascending), and
+    clean docs are absent from the output entirely."""
+    from kafka_error_handling_spark.datapipe.text import decontaminate_semantic
+
+    bench = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.0, 1.0]),
+            # duplicate of bench 10 -> cosine ties against doc 1; the
+            # smaller bench_id must win the argmax
+            (12, [2.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),    # close to bench 10 AND 12 (tied cosine)
+            (2, [-1.0, 0.0]),   # anti-aligned with everything -> clean
+            (3, [0.1, 0.9]),    # close to bench 11
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.doc_id: (r.bench_id, r.max_cos)
+        for r in decontaminate_semantic(corpus, bench, tau=0.9).collect()
+    }
+    import math
+
+    cos_1_10 = round(0.9 / math.sqrt(0.9**2 + 0.1**2), 4)
+    assert set(got) == {1, 3}
+    # doc 1 ties bench 10 vs 12 exactly -> argmax takes the smaller id
+    assert got[1] == (10, cos_1_10)
+    # doc 3's best is bench 11 by symmetry
+    assert got[3][0] == 11 and got[3][1] == cos_1_10
+    assert 2 not in got  # clean doc emits nothing
+
+    # raising tau above the best cosine empties the report
+    assert decontaminate_semantic(corpus, bench, tau=0.999).count() == 0
+
+
+def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
+    """Scale-shape pin: the benchmark side must reach the corpus scan as a
+    broadcast (one corpus pass, no shuffle before the per-doc argmax)."""
+    from kafka_error_handling_spark.datapipe.text import decontaminate_semantic
+    from kafka_error_handling_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = decontaminate_semantic(
+        e.filter(F.col("vec_id") % 97 != 0), e.filter(F.col("vec_id") % 97 == 0)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the threshold filter must sit below the window (map-side prune):
+    # no SortMergeJoin / shuffle of the full cross product
+    assert "SortMergeJoin" not in plan
