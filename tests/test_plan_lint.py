@@ -101,6 +101,32 @@ def test_registry_plan_is_clean(spark, sf_dir, name):
     )
 
 
+def test_sweeps_closing_gate_covers_whole_registry():
+    """VERDICT r9 #2: the registry-wide perturbation sweeps must run on
+    the FINAL tree — r9's strategy sweeps ran at 232 queries before the
+    last operator landed.  ``tools/run_sweeps.py`` records its counts in
+    ``runs/sweeps.json``; this pin fails when any sweep is missing, red,
+    or was run against a smaller registry than the live one (the same
+    stale-artifact forcing function as plan_lint.json)."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from run_sweeps import SWEEPS
+
+    path = os.path.join(_REPO, "runs", "sweeps.json")
+    assert os.path.exists(path), "run tools/run_sweeps.py to generate the artifact"
+    data = json.load(open(path))
+    live_n = len(entrymod.queries())
+    missing = sorted(set(SWEEPS) - set(data.get("sweeps", {})))
+    assert not missing, f"sweeps never run: {missing}"
+    for name, row in data["sweeps"].items():
+        assert row["fail"] == 0, f"sweep {name} has {row['fail']} failures"
+        assert row["ok"] == live_n, (
+            f"sweep {name} covered {row['ok']} of {live_n} registry queries "
+            "— re-run tools/run_sweeps.py on the final tree"
+        )
+
+
 def test_registry_wide_lint_totals_are_pinned():
     """VERDICT r6 item 5: the registry-WIDE lint totals, not just the
     12-query subset, gate CI.  Reads the committed ``runs/plan_lint.json``

@@ -193,6 +193,17 @@ def _families(spark):
 
         knn_bruteforce(df, emb.filter(F.col("vec_id") < 10), k=5).count()
 
+    def decontam(n):
+        # semantic decontamination: the corpus side replicates N×, the
+        # benchmark side stays FIXED (the bounded broadcast eval set) —
+        # wall must scale with the one corpus scan only, never with
+        # corpus × corpus
+        from kafka_error_handling_spark.datapipe.text import decontaminate_semantic
+
+        df = _replicate(emb, n, {"vec_id": VEC_SHIFT})
+        bench = emb.filter(F.col("vec_id") % 97 == 0)
+        decontaminate_semantic(df, bench).count()
+
     return {
         "graph": graph,
         "basket": basket,
@@ -201,10 +212,13 @@ def _families(spark):
         "text": text,
         "embed": embed,
         "minhash": minhash,
+        "decontam": decontam,
     }
 
 
-FAMILY_NAMES = ("graph", "basket", "cc", "dedup", "text", "embed", "minhash")
+FAMILY_NAMES = (
+    "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam"
+)
 
 
 def _git_sha() -> str:
