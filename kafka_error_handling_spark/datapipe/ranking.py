@@ -124,7 +124,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, _QUERY_TERMS, k=20)
 
 
-def _sql_bm25() -> str:
+def _sql_bm25(k: int = 20) -> str:
     tf = {
         i: f"len(list_filter(string_split(text, ' '), t -> t = '{term}'))"
         for i, term in enumerate(_QUERY_TERMS)
@@ -151,7 +151,7 @@ SELECT doc_id, dl, floor((0.0 + {score_terms}) * 10000) / 10000.0 AS bm25
 FROM base CROSS JOIN stats
 WHERE floor((0.0 + {score_terms}) * 10000) / 10000.0 > 0.0
 ORDER BY bm25 DESC, doc_id ASC
-LIMIT 20
+LIMIT {k}
 """
 
 
@@ -860,3 +860,188 @@ FROM ({final})
 
 
 QUERIES["search_mmr_diversify"] = (q_mmr_diversify, _sql_mmr_diversify())
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio / RM-style): take the
+# BM25 top-k_fb feedback docs, mine the m strongest co-occurring terms
+# (integer tf within the feedback set, df>=2 noise floor), and re-score
+# the corpus with original terms at weight 1.0 + expansion terms at 0.5.
+# Completes the retrieval stack: retrieve -> fuse -> rerank -> diversify
+# -> EXPAND.  Reference parity note: the reference engine has no search
+# surface; this extends the ranking family a retrieval pipeline needs.
+#
+# 100-TB shape: the feedback pool is <=k_fb rows (broadcast into ONE
+# corpus scan to mine candidates — same discipline as the reranker's
+# bounded pool, ranking.py:538); the expansion term set is <=3+m rows
+# (broadcast), so the re-scoring leg is one corpus token explode whose
+# post-join survivor stream is <= docs x |terms| rows keyed on doc_id.
+# No corpus-sized shuffle except that per-doc aggregate; nothing
+# driver-side.
+#
+# Float discipline (SURVEY.md §8): the data-driven term set makes the
+# per-doc score a SUM OVER JOINED ROWS, which would be summation-order
+# dependent as a double — so each (doc, term) BM25 contribution is
+# floor-scaled to 1e-4 units as int64 FIRST and the per-doc sum is an
+# integer sum.  Term mining uses only integer tf/df with full
+# tie-breaks.  The feedback ranking itself reuses bm25_topk's
+# fixed-order float expression (already hash-verified cross-engine).
+# ---------------------------------------------------------------------------
+
+_PRF_FB_K = 10
+_PRF_EXPAND_M = 3
+_PRF_EXPAND_W = 0.5
+_PRF_FINAL_K = 20
+
+
+def query_expansion_prf(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = _PRF_FINAL_K,
+    fb_k: int = _PRF_FB_K,
+    m: int = _PRF_EXPAND_M,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs by BM25 over ``query_terms`` + ``m`` expansion terms
+    mined from the top-``fb_k`` feedback docs (pseudo-relevance feedback).
+
+    Returns (doc_id, n_terms, exp_score) where exp_score is the weighted
+    BM25 total in 1e-4 units (int64) and n_terms the distinct matched
+    query+expansion terms."""
+    if not query_terms:
+        raise ValueError("query_expansion_prf requires at least one term")
+    spark = docs.sparkSession
+
+    fb_ids = bm25_topk(
+        docs, query_terms, k=fb_k, text_col=text_col, id_col=id_col
+    ).select(id_col)
+
+    fb_toks = (
+        docs.join(F.broadcast(fb_ids), id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(~F.col("token").isin(query_terms))
+    )
+    exp_terms = (
+        fb_toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf_fb"),
+            F.count_distinct(F.col(id_col)).alias("df_fb"),
+        )
+        .filter(F.col("df_fb") >= 2)
+        .orderBy(F.desc("tf_fb"), F.desc("df_fb"), F.asc("token"))
+        .limit(m)
+        .select("token", F.lit(_PRF_EXPAND_W).alias("w"))
+    )
+    orig_terms = spark.createDataFrame(
+        [(t, 1.0) for t in query_terms], "token string, w double"
+    )
+    terms = orig_terms.unionByName(exp_terms)
+
+    toks = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    per_dt = (
+        toks.join(F.broadcast(terms), "token")
+        .groupBy(id_col, "token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("dl").alias("dl"),
+            F.max("w").alias("w"),
+        )
+    )
+    df_t = per_dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        F.floor(
+            F.col("w") * idf * (F.col("tf") * (_K1 + 1.0)) / norm * 10000.0
+        ).cast("long")
+    )
+    return (
+        per_dt.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("c").alias("exp_score"),
+        )
+        .orderBy(F.desc("exp_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return query_expansion_prf(d, _QUERY_TERMS)
+
+
+def _sql_query_expansion() -> str:
+    fb_sql = _sql_bm25(k=_PRF_FB_K)
+    not_in = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    orig_values = ", ".join(f"('{t}', 1.0)" for t in _QUERY_TERMS)
+    return f"""
+WITH fb AS (
+  SELECT doc_id FROM ({fb_sql})
+),
+fb_tok AS (
+  SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS token
+  FROM documents d JOIN fb USING (doc_id)
+),
+exp_terms AS (
+  SELECT token, {_PRF_EXPAND_W} AS w FROM (
+    SELECT token, count(*) AS tf_fb, count(DISTINCT doc_id) AS df_fb
+    FROM fb_tok WHERE token NOT IN ({not_in})
+    GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY tf_fb DESC, df_fb DESC, token ASC
+    LIMIT {_PRF_EXPAND_M}
+  )
+),
+terms AS (
+  SELECT * FROM (VALUES {orig_values}) t(token, w)
+  UNION ALL SELECT token, w FROM exp_terms
+),
+toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+per_dt AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl, max(w) AS w
+  FROM toks JOIN terms USING (token)
+  GROUP BY doc_id, token
+),
+df_t AS (SELECT token, count(*) AS df FROM per_dt GROUP BY token),
+rstats AS (
+  SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS exp_score
+FROM (
+  SELECT p.doc_id,
+         CAST(floor(p.w * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (p.tf * ({_K1} + 1.0))
+              / (p.tf + {_K1} * (1.0 - {_B} + {_B} * p.dl / s.avgdl))
+              * 10000.0) AS BIGINT) AS c
+  FROM per_dt p JOIN df_t d USING (token) CROSS JOIN rstats s
+)
+GROUP BY doc_id
+ORDER BY exp_score DESC, doc_id ASC
+LIMIT {_PRF_FINAL_K}
+"""
+
+
+QUERIES["search_query_expansion"] = (q_query_expansion, _sql_query_expansion())

@@ -1132,3 +1132,158 @@ FROM agg
 
 
 QUERIES["sample_weighting_ess"] = (q_weighting_ess, _sql_weighting_ess())
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023): hashed
+# n-gram features, per-bucket log(p_target / p_pool) with +1 smoothing,
+# per-document importance = Σ bucket log-ratios over the doc's features.
+# Reference parity note: the reference engine has no data-selection
+# surface; this extends the sampling family the way a pretraining
+# pipeline uses it (pick pool docs that look like the target domain).
+#
+# 100-TB shape: features are hashed to a FIXED bucket space (4096), so
+# the distribution table is bounded and broadcast; the corpus is scanned
+# twice (once to build bucket counts, once to score the pool), both
+# explode→groupBy legs get map-side combine (≤ buckets×partitions rows
+# on the first, one row per pool doc on the second).  Nothing all-pairs,
+# nothing driver-side beyond the bounded bucket frame.
+#
+# Float discipline (SURVEY.md §8): the log-ratio is computed ONCE per
+# bucket from exact integer counts (identical expression shape on both
+# engines), floor-scaled to micro units (×1e6) as int64, and the
+# per-document sum is an INTEGER sum — summation order can never change
+# the result.  int64 overflow headroom: |lr_micro| < ~2e7, so a doc
+# would need ~4e11 features to overflow.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_N_SELECT = 50
+
+
+def _dsir_features(text_col: str = "text") -> Column:
+    """Unigrams + bigrams of the whitespace-tokenized text, one array."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(toks) > 1,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _dsir_bucket(feat: Column) -> Column:
+    """Salted md5 bucket in [0, _DSIR_BUCKETS) — engine-portable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir|"), feat)), 1, 15), 16, 10
+    ).cast("long")
+    return h % _DSIR_BUCKETS
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = _DSIR_TARGET_SOURCE,
+    n_select: int = _DSIR_N_SELECT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top ``n_select`` pool documents by hashed-n-gram importance weight
+    log(p_target/p_pool) — the DSIR data-selection objective with
+    deterministic top-n in place of Gumbel resampling (same estimator,
+    reproducible under any partition layout)."""
+    feats = docs.select(
+        F.col(id_col),
+        F.col("source"),
+        (F.col("source") == target_source).alias("is_tgt"),
+        F.explode(_dsir_features(text_col)).alias("feat"),
+    ).select(
+        id_col, "source", "is_tgt", _dsir_bucket(F.col("feat")).alias("bucket")
+    )
+
+    buckets = feats.groupBy("bucket").agg(
+        F.sum(F.col("is_tgt").cast("long")).alias("cnt_tgt"),
+        F.sum((~F.col("is_tgt")).cast("long")).alias("cnt_pool"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_tgt").alias("tot_tgt"), F.sum("cnt_pool").alias("tot_pool")
+    )
+    smooth = float(_DSIR_BUCKETS)
+    lr = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("cnt_tgt") + 1.0) / (F.col("tot_tgt") + smooth))
+                - F.log((F.col("cnt_pool") + 1.0) / (F.col("tot_pool") + smooth))
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+
+    pool = feats.filter(~F.col("is_tgt"))
+    scored = (
+        pool.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col, "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr_micro").alias("imp_micro"),
+        )
+    )
+    return scored.orderBy(F.desc("imp_micro"), F.asc(id_col)).limit(n_select)
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance(d)
+
+
+def _sql_dsir_importance() -> str:
+    bucket = (
+        "CAST(concat('0x', substr(md5('dsir|' || f), 1, 15)) AS BIGINT)"
+        f" % {_DSIR_BUCKETS}"
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, source, is_tgt, {bucket} AS bucket
+  FROM (
+    SELECT doc_id, source, source = '{_DSIR_TARGET_SOURCE}' AS is_tgt,
+           unnest(list_concat(t, CASE WHEN len(t) > 1
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE []::VARCHAR[] END)) AS f
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+  )
+),
+buckets AS (
+  SELECT bucket,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cnt_tgt,
+         sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cnt_pool
+  FROM feats GROUP BY bucket
+),
+totals AS (
+  SELECT sum(cnt_tgt) AS tot_tgt, sum(cnt_pool) AS tot_pool FROM buckets
+),
+lr AS (
+  SELECT bucket,
+         CAST(floor((ln((cnt_tgt + 1.0) / (tot_tgt + {_DSIR_BUCKETS}.0))
+                   - ln((cnt_pool + 1.0) / (tot_pool + {_DSIR_BUCKETS}.0)))
+                    * 1000000.0) AS BIGINT) AS lr_micro
+  FROM buckets CROSS JOIN totals
+)
+SELECT doc_id, source, count(*) AS n_feats,
+       CAST(sum(lr_micro) AS BIGINT) AS imp_micro
+FROM feats JOIN lr USING (bucket)
+WHERE NOT is_tgt
+GROUP BY doc_id, source
+ORDER BY imp_micro DESC, doc_id ASC
+LIMIT {_DSIR_N_SELECT}
+"""
+
+
+QUERIES["sample_dsir_importance"] = (q_dsir_importance, _sql_dsir_importance())

@@ -284,3 +284,44 @@ def test_rerank_short_query_guards(spark):
         " [1.0, 0.0]::FLOAT[] AS embedding"
     )
     con.sql(_sql_rerank_cross(["spark"]))  # must prepare without error
+
+
+def test_query_expansion_mines_cooccurring_terms(spark):
+    """PRF semantics on a hand-built corpus: terms co-occurring with the
+    query inside the feedback set (df_fb >= 2) pull in documents that
+    contain NO original query term; a term seen in only one feedback doc
+    is below the noise floor and must not expand."""
+    from kafka_error_handling_spark.datapipe.ranking import query_expansion_prf
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple pie cinnamon"),
+            (2, "apple pie cinnamon"),
+            (3, "apple pie quince"),
+            (4, "cinnamon pie"),        # reachable only via expansion
+            (5, "quince only here"),    # quince df_fb=1 -> never expanded
+            (6, "nothing relevant"),
+        ],
+    )
+    got = query_expansion_prf(docs, ["apple"], k=10, fb_k=10, m=2).collect()
+    ids = [r.doc_id for r in got]
+    # docs 1-3 match "apple"; doc 4 matches only the mined expansion
+    # terms (pie, cinnamon); docs 5/6 match nothing that expanded
+    assert set(ids) == {1, 2, 3, 4}
+    # identical docs 1/2 tie-break ascending; the expansion-only doc is
+    # last (its contributions all carry the 0.5 expansion weight)
+    assert ids == [1, 2, 3, 4]
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[1].n_terms == 3  # apple + pie + cinnamon
+    assert by_id[4].n_terms == 2  # pie + cinnamon only
+    assert by_id[1].exp_score > by_id[4].exp_score
+
+
+def test_query_expansion_requires_terms(spark):
+    import pytest as _pytest
+
+    from kafka_error_handling_spark.datapipe.ranking import query_expansion_prf
+
+    with _pytest.raises(ValueError):
+        query_expansion_prf(_docs(spark, [(1, "a b")]), [])

@@ -29,8 +29,14 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 # r10: 424 -> 429 — the two semantic-decontamination gates add their
 # per-doc argmax window and compare-join shuffles (5 total, all keyed on
 # doc_id); arrow-python total unchanged (both are pure column plans).
+# r10b: 429 -> 441 — search_query_expansion (8: feedback-term mining,
+# per-doc-term tf, df, final per-doc aggregate — every exchange moves a
+# bounded pool or a term-filtered stream keyed on doc_id) and
+# sample_dsir_importance (4: bucket counts with map-side combine into a
+# <=4096-row broadcast table, then the per-doc integer score aggregate);
+# arrow-python unchanged (both pure column plans).
 TOTAL_ARROW_PYTHON_PIN = 33
-TOTAL_SHUFFLES_PIN = 429
+TOTAL_SHUFFLES_PIN = 441
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest

@@ -196,3 +196,46 @@ def test_ivfpq_recall_bounded_by_ivf(spark, sf_dir):
     assert set(ivf) == set(ivfpq)
     for qid in ivf:
         assert ivfpq[qid] <= ivf[qid] + 0.21
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR semantics on a hand-built corpus: a pool doc sharing the
+    target domain's n-grams outranks one that shares none, the target
+    source itself never appears in the selection, and the importance
+    score is the integer micro-sum (reproducible under any layout)."""
+    from kafka_error_handling_spark.datapipe.sampling import dsir_importance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "tgt"),
+            (2, "alpha beta gamma", "tgt"),
+            (3, "alpha beta alpha", "web"),    # target-like
+            (4, "zeta eta theta iota", "web"),  # unlike the target
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = dsir_importance(docs, target_source="tgt", n_select=10).collect()
+    ids = [r.doc_id for r in got]
+    assert set(ids) == {3, 4}, "selection must cover exactly the pool"
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[3].imp_micro > by_id[4].imp_micro
+    # repartitioned layout cannot change an integer-sum score
+    again = {
+        r.doc_id: r.imp_micro
+        for r in dsir_importance(
+            docs.repartition(7, "source"), target_source="tgt", n_select=10
+        ).collect()
+    }
+    assert again == {r.doc_id: r.imp_micro for r in got}
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    from kafka_error_handling_spark.datapipe.sampling import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(1, "alpha", "tgt"), (2, "alpha", "web")],
+        "doc_id long, text string, source string",
+    )
+    got = dsir_importance(docs, target_source="tgt", n_select=10).collect()
+    assert [r.doc_id for r in got] == [2]
+    assert got[0].n_feats == 1  # the unigram only, no null bigram leaked
