@@ -1186,18 +1186,14 @@ def _dsir_bucket(feat: Column) -> Column:
     return h % _DSIR_BUCKETS
 
 
-def dsir_importance(
+def _dsir_feature_frame(
     docs: DataFrame,
-    target_source: str = _DSIR_TARGET_SOURCE,
-    n_select: int = _DSIR_N_SELECT,
+    target_source: str,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Top ``n_select`` pool documents by hashed-n-gram importance weight
-    log(p_target/p_pool) — the DSIR data-selection objective with
-    deterministic top-n in place of Gumbel resampling (same estimator,
-    reproducible under any partition layout)."""
-    feats = docs.select(
+    """(id, source, is_tgt, bucket) — one row per hashed feature."""
+    return docs.select(
         F.col(id_col),
         F.col("source"),
         (F.col("source") == target_source).alias("is_tgt"),
@@ -1206,10 +1202,53 @@ def dsir_importance(
         id_col, "source", "is_tgt", _dsir_bucket(F.col("feat")).alias("bucket")
     )
 
-    buckets = feats.groupBy("bucket").agg(
-        F.sum(F.col("is_tgt").cast("long")).alias("cnt_tgt"),
-        F.sum((~F.col("is_tgt")).cast("long")).alias("cnt_pool"),
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    target_source: str = _DSIR_TARGET_SOURCE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR distribution sketch: per-bucket target/pool feature
+    counts.  Plain integer sums, hence MERGEABLE — per-micro-batch
+    counts re-aggregated with ``groupBy(bucket).sum()`` equal the
+    one-shot corpus counts for any batch boundaries (the same
+    accumulate-then-merge contract as the CMS/HLL/KMV sketches)."""
+    return (
+        _dsir_feature_frame(docs, target_source, text_col, id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_tgt").cast("long")).alias("cnt_tgt"),
+            F.sum((~F.col("is_tgt")).cast("long")).alias("cnt_pool"),
+        )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = _DSIR_TARGET_SOURCE,
+    n_select: int = _DSIR_N_SELECT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Top ``n_select`` pool documents by hashed-n-gram importance weight
+    log(p_target/p_pool) — the DSIR data-selection objective with
+    deterministic top-n in place of Gumbel resampling (same estimator,
+    reproducible under any partition layout).
+
+    Pass ``bucket_counts`` (a frame shaped like
+    :func:`dsir_bucket_counts`) to score against a pre-accumulated
+    distribution — the incremental/streaming regime: bucket counts are
+    plain integer sums, so per-micro-batch counts appended to a store
+    and re-summed equal the one-shot distribution for any batch
+    boundaries (pinned by the foreachBatch parity test)."""
+    feats = _dsir_feature_frame(docs, target_source, text_col, id_col)
+    buckets = bucket_counts
+    if buckets is None:
+        buckets = dsir_bucket_counts(
+            docs, target_source, text_col=text_col, id_col=id_col
+        )
     totals = buckets.agg(
         F.sum("cnt_tgt").alias("tot_tgt"), F.sum("cnt_pool").alias("tot_pool")
     )

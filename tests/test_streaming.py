@@ -985,3 +985,58 @@ def test_streaming_lsh_candidate_parity_with_batch_pipeline(spark, sf_dir, tmp_p
     assert len(got) > 0  # sf0.001 plants real near-dups; empty = broken test
     # the store really accumulated across multiple micro-batches
     assert store.count() == docs.count()
+
+
+def test_streaming_dsir_distribution_parity_with_batch(spark, sf_dir, tmp_path):
+    """The streaming claim behind incremental DSIR data selection: the
+    bucket distribution sketch is a plain integer-sum aggregate, so
+    per-micro-batch counts appended to a store and re-summed equal the
+    one-shot corpus distribution for ANY batch-boundary placement — and
+    the selection scored against the merged sketch is identical to the
+    batch selection.  Same accumulate-then-merge pattern as the
+    sketch/LSH-candidate parity tests."""
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe.sampling import (
+        dsir_bucket_counts,
+        dsir_importance,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "dsir_store")
+
+    def absorb(batch_df, _bid):
+        dsir_bucket_counts(batch_df).write.mode("append").parquet(store_dir)
+
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt_tgt").alias("cnt_tgt"),
+            F.sum("cnt_pool").alias("cnt_pool"),
+        )
+    )
+    got = [
+        (r.doc_id, r.imp_micro)
+        for r in dsir_importance(docs, bucket_counts=merged).collect()
+    ]
+    want = [
+        (r.doc_id, r.imp_micro) for r in dsir_importance(docs).collect()
+    ]
+    assert got == want
+    assert len(got) > 0

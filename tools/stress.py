@@ -204,6 +204,28 @@ def _families(spark):
         bench = emb.filter(F.col("vec_id") % 97 == 0)
         decontaminate_semantic(df, bench).count()
 
+    def prf(n):
+        # PRF query expansion: the feedback pool (<=10 rows) and term set
+        # (<=6 rows) are bounded regardless of corpus size — wall must
+        # scale with the corpus scans (feedback ranking + re-scoring),
+        # never with pool x corpus
+        from kafka_error_handling_spark.datapipe.ranking import (
+            _QUERY_TERMS,
+            query_expansion_prf,
+        )
+
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        query_expansion_prf(df, _QUERY_TERMS).count()
+
+    def dsir(n):
+        # DSIR importance selection: the bucket distribution table is
+        # FIXED at 4096 rows however large the corpus — wall must scale
+        # with the two feature scans only
+        from kafka_error_handling_spark.datapipe.sampling import dsir_importance
+
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        dsir_importance(df).count()
+
     return {
         "graph": graph,
         "basket": basket,
@@ -213,11 +235,14 @@ def _families(spark):
         "embed": embed,
         "minhash": minhash,
         "decontam": decontam,
+        "prf": prf,
+        "dsir": dsir,
     }
 
 
 FAMILY_NAMES = (
-    "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam"
+    "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam",
+    "prf", "dsir",
 )
 
 
