@@ -1192,14 +1192,25 @@ def _dsir_feature_frame(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, source, is_tgt, bucket) — one row per hashed feature."""
-    return docs.select(
-        F.col(id_col),
-        F.col("source"),
-        (F.col("source") == target_source).alias("is_tgt"),
-        F.explode(_dsir_features(text_col)).alias("feat"),
-    ).select(
-        id_col, "source", "is_tgt", _dsir_bucket(F.col("feat")).alias("bucket")
+    """(id, source, is_tgt, bucket) — one row per hashed feature.
+
+    Hash-repartition the NARROW doc rows on ``id_col`` before the
+    explode (the minhash shingle-stage pattern, ``dedup.py:82``): the
+    shuffle moves one row per doc, the tokenize+md5 fan-out spreads
+    over whatever width AQE picks for the exchange even off a single
+    parquet file, and the pool-scoring ``groupBy(id_col)`` downstream
+    aggregates without a second corpus-sized shuffle."""
+    return (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.col("source"),
+            (F.col("source") == target_source).alias("is_tgt"),
+            F.explode(_dsir_features(text_col)).alias("feat"),
+        )
+        .select(
+            id_col, "source", "is_tgt", _dsir_bucket(F.col("feat")).alias("bucket")
+        )
     )
 
 
@@ -1246,8 +1257,23 @@ def dsir_importance(
     feats = _dsir_feature_frame(docs, target_source, text_col, id_col)
     buckets = bucket_counts
     if buckets is None:
-        buckets = dsir_bucket_counts(
-            docs, target_source, text_col=text_col, id_col=id_col
+        # One-shot convenience mode: the distribution AND the pool score
+        # both read the hashed-feature fan-out, and the plan references
+        # the distribution subtree twice more (totals + lr), so without a
+        # materialization barrier Catalyst recomputes the tokenize+md5
+        # explode three times (measured 7.8 s at sf0.1; 1.4 s with the
+        # persist).  The cached frame is 4 narrow columns per feature —
+        # at corpus scale prefer the two-stage path: accumulate
+        # :func:`dsir_bucket_counts` once (a ≤4096-row mergeable sketch,
+        # no cache) and pass it as ``bucket_counts``; then this function
+        # is a single corpus pass and never persists.
+        feats = feats.persist()
+        buckets = (
+            feats.groupBy("bucket")
+            .agg(
+                F.sum(F.col("is_tgt").cast("long")).alias("cnt_tgt"),
+                F.sum((~F.col("is_tgt")).cast("long")).alias("cnt_pool"),
+            )
         )
     totals = buckets.agg(
         F.sum("cnt_tgt").alias("tot_tgt"), F.sum("cnt_pool").alias("tot_pool")
