@@ -30,7 +30,7 @@ it is never negative.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -1045,3 +1045,192 @@ LIMIT {_PRF_FINAL_K}
 
 
 QUERIES["search_query_expansion"] = (q_query_expansion, _sql_query_expansion())
+
+
+# ---------------------------------------------------------------------------
+# Offline retrieval evaluation — nDCG@k / MRR / P@k for the ranker stack.
+#
+# The search family covers retrieve (bm25/boolean) → fuse (RRF) → rerank
+# (cross-encoder features) → diversify (MMR) → expand (PRF); what a real
+# pipeline runs NEXT is offline evaluation of those rankers against a
+# relevance set.  This operator computes the three standard graded/binary
+# metrics (Järvelin & Kekäläinen 2002 nDCG; TREC MRR / precision@k) for
+# the lexical and hybrid rankers against deterministic pseudo-qrels:
+# grade(doc) = number of DISTINCT query terms the document contains
+# (0..|q|) — derivable by both engines from the corpus itself, so the
+# gate needs no side files.
+#
+# Scale shape: each ranked list is already a bounded top-k frame (the
+# audited bm25 / hybrid plans); the two lists union to ≤2k rows and
+# BROADCAST into ONE pass over the corpus-side grade scan (the rerank
+# pattern — at 100 TB the join is map-side, no corpus shuffle).  The
+# ideal ranking for IDCG is a TakeOrdered top-k by (grade desc, id asc),
+# also one scan.  Metric totals: 2 corpus scans + bm25's stats scan +
+# the dense ranker's one scan — all linear, nothing pairwise.
+#
+# Float discipline (SURVEY.md §8): each rank's DCG contribution
+# (2^grade − 1)/log2(rank + 1) is floor-scaled to micro units as int64
+# BEFORE summation — integer sums are order-free, so partial-aggregation
+# order can never flip the hash; nDCG/MRR/precision are integer ppm.
+# ---------------------------------------------------------------------------
+
+EVAL_K = 10  # evaluation cutoff (nDCG@10 / P@10, the TREC default)
+
+
+def _dcg_contrib_micro(grade: Column, rank: Column) -> Column:
+    """floor(1e6 × (2^grade − 1)/log2(rank+1)) as int64 — the per-rank
+    DCG term in micro units (grade 0 contributes exactly 0)."""
+    gain = F.pow(F.lit(2.0), grade.cast("double")) - F.lit(1.0)
+    return F.floor(gain / F.log2(rank.cast("double") + F.lit(1.0)) * 1000000.0).cast(
+        "long"
+    )
+
+
+def search_eval_ndcg(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    k: int = EVAL_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-ranker (bm25, hybrid_rrf) offline metrics at cutoff ``k``:
+    (ranker, dcg_micro, ndcg_ppm, mrr_ppm, prec_ppm).
+
+    MRR is 1e6/rank of the first relevant hit (0 when the top-k holds
+    none); precision is relevant-in-top-k over k.  Rankers re-rank their
+    own bounded output by their published tie-broken order, so the rank
+    column is deterministic under any partition layout."""
+    toks = F.split(F.col(text_col), " ")
+    grade = None
+    for term in query_terms:
+        g = F.array_contains(toks, term).cast("int")
+        grade = g if grade is None else grade + g
+    grades = docs.select(F.col(id_col), grade.alias("grade"))
+
+    # both ranked lists are ≤k rows post-TakeOrdered, so the unpartitioned
+    # rank windows move bounded frames to one task — not corpus-shaped
+    wl = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    lex = (
+        bm25_topk(docs, query_terms, k=k, text_col=text_col, id_col=id_col)
+        .withColumn("rank", F.row_number().over(wl))
+        .select(F.lit("bm25").alias("ranker"), F.col(id_col), "rank")
+    )
+    wh = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    hyb = (
+        hybrid_rrf_topk(docs, emb, query_terms)
+        .withColumn("rank", F.row_number().over(wh))
+        .filter(F.col("rank") <= k)
+        .select(F.lit("hybrid_rrf").alias("ranker"), F.col(id_col), "rank")
+    )
+    runs = lex.unionByName(hyb)
+
+    scored = grades.join(broadcast(runs), id_col)
+    per = scored.groupBy("ranker").agg(
+        F.sum(_dcg_contrib_micro(F.col("grade"), F.col("rank"))).alias(
+            "dcg_micro"
+        ),
+        F.max(
+            F.when(
+                F.col("grade") > 0,
+                F.floor(F.lit(1000000.0) / F.col("rank")).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("mrr_ppm"),
+        (F.sum((F.col("grade") > 0).cast("long")) * F.lit(1000000 // k)).alias(
+            "prec_ppm"
+        ),
+    )
+
+    wi = Window.orderBy(F.desc("grade"), F.asc(id_col))
+    ideal = (
+        grades.filter(F.col("grade") > 0)
+        .orderBy(F.desc("grade"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(wi))
+        .agg(
+            F.sum(_dcg_contrib_micro(F.col("grade"), F.col("rank"))).alias(
+                "idcg_micro"
+            )
+        )
+    )
+    return (
+        per.crossJoin(broadcast(ideal))
+        .select(
+            "ranker",
+            "dcg_micro",
+            # dcg_micro ≤ ~5e7, ×1e6 stays far under 2^53: the double
+            # division is exact-input on both engines before the floor
+            F.floor(
+                F.col("dcg_micro") * F.lit(1000000.0) / F.col("idcg_micro")
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
+            "mrr_ppm",
+            "prec_ppm",
+        )
+        .orderBy("ranker")
+    )
+
+
+def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return search_eval_ndcg(d, e, _QUERY_TERMS)
+
+
+def _sql_search_eval_ndcg(k: int = EVAL_K) -> str:
+    grade = " + ".join(
+        f"CASE WHEN list_contains(string_split(text, ' '), '{t}')"
+        " THEN 1 ELSE 0 END"
+        for t in _QUERY_TERMS
+    )
+    contrib = (
+        "CAST(floor((pow(2.0, grade) - 1.0)"
+        " / log2(rank + 1.0) * 1000000.0) AS BIGINT)"
+    )
+    return f"""
+WITH grades AS (
+  SELECT doc_id, ({grade}) AS grade FROM documents
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM ({_sql_bm25(k)})
+), hyb AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+    FROM ({_sql_hybrid_rrf()})
+  ) WHERE rank <= {k}
+), runs AS (
+  SELECT 'bm25' AS ranker, doc_id, rank FROM lex
+  UNION ALL
+  SELECT 'hybrid_rrf' AS ranker, doc_id, rank FROM hyb
+), scored AS (
+  SELECT r.ranker, r.rank, g.grade, {contrib} AS contrib
+  FROM runs r JOIN grades g USING (doc_id)
+), per AS (
+  SELECT ranker,
+         CAST(sum(contrib) AS BIGINT) AS dcg_micro,
+         max(CASE WHEN grade > 0
+                  THEN CAST(floor(1000000.0 / rank) AS BIGINT)
+                  ELSE 0 END) AS mrr_ppm,
+         CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+              * {1000000 // k} AS BIGINT) AS prec_ppm
+  FROM scored GROUP BY ranker
+), ideal AS (
+  SELECT CAST(sum({contrib}) AS BIGINT) AS idcg_micro FROM (
+    SELECT grade,
+           row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
+    FROM grades WHERE grade > 0
+    ORDER BY grade DESC, doc_id ASC
+    LIMIT {k}
+  )
+)
+SELECT ranker, dcg_micro,
+       CAST(floor(dcg_micro * 1000000.0 / idcg_micro) AS BIGINT) AS ndcg_ppm,
+       mrr_ppm, prec_ppm
+FROM per CROSS JOIN ideal
+ORDER BY ranker
+"""
+
+
+QUERIES["search_eval_ndcg"] = (q_search_eval_ndcg, _sql_search_eval_ndcg())

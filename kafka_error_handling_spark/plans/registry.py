@@ -73,14 +73,16 @@ def _modules():
 
 _PRIORITY = [
     # r10 driver-budget ordering (VERDICT r9 #1): changed rows FIRST —
-    # the two brand-new operators (PRF query expansion, DSIR importance
-    # selection), the two new semantic-decontamination gates, the MMR
-    # greedy-loop collect-once rewrite, and the reranker's short-query
-    # guard — then the WHOLE 43-row r5-stale block (minhash est-error,
-    # threshold sweep, pretrain mix, DLQ age/poison cores, the
-    # cohort/attribution family), then the single oldest r6 row:
-    # 6 + 43 + 1 = the 50-row budget exactly, retiring every r5-age row.
+    # the three brand-new operators (retrieval evaluation, PRF query
+    # expansion, DSIR importance selection), the two new
+    # semantic-decontamination gates, the MMR greedy-loop collect-once
+    # rewrite, and the reranker's short-query guard — then the WHOLE
+    # 43-row r5-stale block (minhash est-error, threshold sweep,
+    # pretrain mix, DLQ age/poison cores, the cohort/attribution
+    # family): 7 + 43 = the 50-row budget exactly, retiring every
+    # r5-age row (VERDICT r9: "43 + changed leaves ≤7 slots").
     # Tail: r6/r7/r8/r9-green in evidence-age order (freshest last).
+    "search_eval_ndcg",
     "search_query_expansion",
     "sample_dsir_importance",
     "text_decontaminate_semantic",

@@ -325,3 +325,60 @@ def test_query_expansion_requires_terms(spark):
 
     with _pytest.raises(ValueError):
         query_expansion_prf(_docs(spark, [(1, "a b")]), [])
+
+
+def test_search_eval_ndcg_hand_computed(spark):
+    """Pin the metric arithmetic end-to-end on a corpus where both
+    rankers' orders are hand-derivable.
+
+    Corpus: d1 holds all 3 query terms, d2 two, d3 one, d4 none; all
+    docs are 3 tokens so bm25's length norm cancels and the lexical
+    order is d1>d2>d3 (each extra term adds a positive idf) — exactly
+    the ideal (grade-desc) order, so bm25's nDCG must be 1.  Embeddings
+    put the DENSE order at d3>d2>d1 (cosine 1 / .7071 / 0 to query vec
+    0), and the RRF arithmetic makes d1 and d3 TIE on the fused score
+    (1/61+1/63 vs 1/63+1/61), so the hybrid eval order is d1,d3,d2
+    (tie → doc id) — a hand-computable nDCG below 1:
+
+      contrib(g,r) = floor(1e6·(2^g−1)/log2(r+1))
+      bm25  : 7000000 + 1892789 + 500000 = 9392789 = IDCG → ndcg 1e6
+      hybrid: 7000000 +  630929 + 1500000 = 9130929
+              ndcg = floor(9130929e6/9392789) = 972121
+    Both rankers' first hit is relevant (MRR 1e6) and all 3 of k=3 are
+    relevant (P@3 = 3·floor(1e6/3) = 999999).
+    """
+    from kafka_error_handling_spark.datapipe.ranking import search_eval_ndcg
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark join window"),
+            (2, "spark join x"),
+            (3, "spark y z"),
+            (4, "x y z"),
+        ],
+    )
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], "q"),
+            (1, [0.0, 1.0], "a"),
+            (2, [1.0, 1.0], "a"),
+            (3, [1.0, 0.0], "a"),
+        ],
+    )
+    out = search_eval_ndcg(docs, emb, ["spark", "join", "window"], k=3)
+    rows = {r["ranker"]: r for r in out.collect()}
+    assert set(rows) == {"bm25", "hybrid_rrf"}
+
+    lex = rows["bm25"]
+    assert lex["dcg_micro"] == 9392789
+    assert lex["ndcg_ppm"] == 1000000
+    assert lex["mrr_ppm"] == 1000000
+    assert lex["prec_ppm"] == 999999
+
+    hyb = rows["hybrid_rrf"]
+    assert hyb["dcg_micro"] == 9130929
+    assert hyb["ndcg_ppm"] == 972121
+    assert hyb["mrr_ppm"] == 1000000
+    assert hyb["prec_ppm"] == 999999

@@ -35,8 +35,13 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 # sample_dsir_importance (4: bucket counts with map-side combine into a
 # <=4096-row broadcast table, then the per-doc integer score aggregate);
 # arrow-python unchanged (both pure column plans).
+# r10c: 441 -> 447 — search_eval_ndcg (6: re-derives the bm25 stats
+# aggregate + the hybrid ranker's bounded rank windows, then adds its
+# own two ≤2k-row metric aggregates and the single-row IDCG exchange —
+# every added exchange moves a bounded pool or a scalar, never the
+# corpus); arrow-python unchanged (pure column plan).
 TOTAL_ARROW_PYTHON_PIN = 33
-TOTAL_SHUFFLES_PIN = 441
+TOTAL_SHUFFLES_PIN = 447
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest
