@@ -1100,12 +1100,16 @@ def search_eval_ndcg(
     MRR is 1e6/rank of the first relevant hit (0 when the top-k holds
     none); precision is relevant-in-top-k over k.  Rankers re-rank their
     own bounded output by their published tie-broken order, so the rank
-    column is deterministic under any partition layout."""
+    column is deterministic under any partition layout.
+
+    The grade fold is seeded with a literal 0 (the rerank short-query
+    lesson, ADVICE r9): an empty ``query_terms`` degrades to grade 0
+    everywhere — the dense-only ranking evaluates to zero metrics with a
+    NULL nDCG (no relevant docs exist) instead of crashing."""
     toks = F.split(F.col(text_col), " ")
-    grade = None
+    grade = F.lit(0).cast("int")
     for term in query_terms:
-        g = F.array_contains(toks, term).cast("int")
-        grade = g if grade is None else grade + g
+        grade = grade + F.array_contains(toks, term).cast("int")
     grades = docs.select(F.col(id_col), grade.alias("grade"))
 
     # both ranked lists are ≤k rows post-TakeOrdered, so the unpartitioned

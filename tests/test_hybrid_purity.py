@@ -382,3 +382,32 @@ def test_search_eval_ndcg_hand_computed(spark):
     assert hyb["ndcg_ppm"] == 972121
     assert hyb["mrr_ppm"] == 1000000
     assert hyb["prec_ppm"] == 999999
+
+
+def test_search_eval_ndcg_empty_and_single_term_queries(spark):
+    """The rerank short-query lesson (ADVICE r9) applied to the eval op:
+    an empty query must degrade, not crash — the grade fold is seeded
+    with a literal 0, so the dense-only ranking evaluates to zero
+    metrics with a NULL nDCG (no relevant doc exists anywhere).  A
+    single-term query exercises the fold's 1-iteration path."""
+    from kafka_error_handling_spark.datapipe.ranking import search_eval_ndcg
+
+    docs = _docs(spark, [(1, "a b"), (2, "c d")])
+    emb = _emb(
+        spark,
+        [(0, [1.0, 0.0], "q"), (1, [0.0, 1.0], "a"), (2, [1.0, 1.0], "a")],
+    )
+    rows = {r["ranker"]: r for r in search_eval_ndcg(docs, emb, [], k=2).collect()}
+    # lexical list is empty (bm25 > 0 never holds); the dense-only
+    # hybrid list survives with all-zero metrics and NULL nDCG
+    assert set(rows) == {"hybrid_rrf"}
+    z = rows["hybrid_rrf"]
+    assert (z["dcg_micro"], z["ndcg_ppm"], z["mrr_ppm"], z["prec_ppm"]) == (
+        0, None, 0, 0,
+    )
+
+    one = {r["ranker"]: r for r in search_eval_ndcg(docs, emb, ["a"], k=2).collect()}
+    # doc 1 is the only relevant doc and both rankers surface it first
+    assert one["bm25"]["ndcg_ppm"] == 1000000
+    assert one["hybrid_rrf"]["mrr_ppm"] == 1000000
+    assert one["bm25"]["prec_ppm"] == 500000  # 1 of k=2 relevant
