@@ -411,3 +411,109 @@ def test_search_eval_ndcg_empty_and_single_term_queries(spark):
     assert one["bm25"]["ndcg_ppm"] == 1000000
     assert one["hybrid_rrf"]["mrr_ppm"] == 1000000
     assert one["bm25"]["prec_ppm"] == 500000  # 1 of k=2 relevant
+
+
+def test_eval_ndcg_hand_computed_matrix(spark):
+    """VERDICT r10 #2: the offline-eval metric arithmetic pinned on a
+    hand-worked query×doc matrix — independent of the three-SF oracle.
+
+    Query ["apple", "banana"], k=3.  Grades (distinct terms contained):
+    d2=2, d3=1, d1=1, d4=0.  BM25 ranks d2 (both terms), d3 (one term,
+    dl=1), d1 (one term, dl=3 — diluted): all relevant, perfectly
+    grade-ordered -> nDCG=1.  The dense side has NO vector for d1 and its
+    query vector hugs d4, so hybrid-RRF serves d2, d3, then the
+    IRRELEVANT d4 (dense-only 1/61 beats lex-rank-3-only 1/63):
+
+      hybrid DCG  = floor(1e6·3/log2(2)) + floor(1e6·1/log2(3)) + 0
+                  = 3_000_000 + 630_929
+      ideal IDCG  = 3_000_000 + 630_929 + floor(1e6·1/log2(4))
+                  = 4_130_929
+    """
+    from kafka_error_handling_spark.datapipe.ranking import search_eval_ndcg
+
+    docs = _docs(
+        spark,
+        [
+            (1, "banana kiwi kiwi"),
+            (2, "apple banana"),
+            (3, "apple"),
+            (4, "kiwi"),
+        ],
+    )
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], "q"),
+            (2, [0.9, 0.1], "x"),
+            (3, [0.8, 0.2], "x"),
+            (4, [0.99, 0.01], "x"),
+        ],
+    )
+    out = {
+        r["ranker"]: r
+        for r in search_eval_ndcg(docs, emb, ["apple", "banana"], k=3).collect()
+    }
+    dcg_r1_g2 = 3_000_000          # floor(1e6·(2²−1)/log2(1+1))
+    dcg_r2_g1 = 630_929            # floor(1e6·1/log2(3))
+    dcg_r3_g1 = 500_000            # floor(1e6·1/log2(4))
+    idcg = dcg_r1_g2 + dcg_r2_g1 + dcg_r3_g1
+
+    bm25 = out["bm25"]
+    assert bm25["dcg_micro"] == idcg
+    assert bm25["ndcg_ppm"] == 1_000_000
+    assert bm25["mrr_ppm"] == 1_000_000
+    assert bm25["prec_ppm"] == 3 * (1_000_000 // 3)  # 3/3 relevant
+
+    hyb = out["hybrid_rrf"]
+    assert hyb["dcg_micro"] == dcg_r1_g2 + dcg_r2_g1  # d4 contributes 0
+    assert hyb["ndcg_ppm"] == (dcg_r1_g2 + dcg_r2_g1) * 1_000_000 // idcg
+    assert hyb["mrr_ppm"] == 1_000_000                # d2 at rank 1
+    assert hyb["prec_ppm"] == 2 * (1_000_000 // 3)    # d4 irrelevant
+
+
+def test_eval_macro_fold_is_floor_mean_of_per_query_rows(spark):
+    """The macro rows (qid = -1) must equal floor(sum/|Q|) of the
+    per-query rows in the SAME frame, and qid 0's per-query row must
+    equal the single-query eval on the same topic — the fold adds no
+    arithmetic of its own."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        search_eval_macro,
+        search_eval_ndcg,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "banana kiwi kiwi"),
+            (2, "apple banana"),
+            (3, "apple"),
+            (4, "kiwi"),
+        ],
+    )
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], "q"),
+            (2, [0.9, 0.1], "x"),
+            (3, [0.8, 0.2], "x"),
+            (4, [0.99, 0.01], "x"),
+        ],
+    )
+    topics = [(["apple", "banana"], 0), (["kiwi"], 0)]
+    rows = search_eval_macro(docs, emb, queries=topics, k=3).collect()
+    per = [r for r in rows if r["qid"] >= 0]
+    macro = {r["ranker"]: r for r in rows if r["qid"] == -1}
+    assert len(per) == 4 and len(macro) == 2  # 2 rankers × 2 topics
+    for ranker in ("bm25", "hybrid_rrf"):
+        mine = [r for r in per if r["ranker"] == ranker]
+        for col in ("ndcg_ppm", "mrr_ppm", "prec_ppm"):
+            want = sum(r[col] for r in mine) // len(topics)
+            assert macro[ranker][col] == want, (ranker, col)
+    single = {
+        r["ranker"]: r
+        for r in search_eval_ndcg(docs, emb, ["apple", "banana"], k=3).collect()
+    }
+    q0 = {r["ranker"]: r for r in per if r["qid"] == 0}
+    for ranker in ("bm25", "hybrid_rrf"):
+        for col in ("ndcg_ppm", "mrr_ppm", "prec_ppm"):
+            assert q0[ranker][col] == single[ranker][col], (ranker, col)
