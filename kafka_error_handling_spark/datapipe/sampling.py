@@ -1394,36 +1394,49 @@ _QNB_N_SELECT = 50
 
 
 def _weak_pass(text_col: str = "text") -> Column:
-    """Gopher-audit weak label: True = document violates NO rule."""
-    from .text import gopher_rules
+    """Gopher-audit weak label: True = document violates NO rule —
+    the O(n log n) ``gopher_pass`` form (pinned equal to the
+    ``gopher_rules`` audit), since this label runs once per corpus
+    document on every training/scoring scan."""
+    from .text import gopher_pass
 
-    rules = gopher_rules(F.col(text_col))
-    ok = None
-    for flag in rules.values():
-        ok = ~flag if ok is None else ok & ~flag
-    return ok
+    return gopher_pass(F.col(text_col))
 
 
 def _qnb_feature_frame(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, source, weak_pass, bucket) — one row per hashed feature, the
-    DSIR fan-out shape with the weak label in place of is_tgt."""
+    """(id, source, bucket) — one row per hashed feature, the DSIR
+    fan-out shape.  Deliberately LABEL-FREE: an expression projected
+    alongside an ``explode`` can be collapsed ABOVE the Generate by the
+    optimizer, re-evaluating it once per feature row instead of once per
+    document — for the Gopher weak label (an O(tokens × distinct) HOF)
+    that measured 95 s vs 1.1 s at sf0.1.  Labels ride in via
+    :func:`_qnb_labels` and a per-doc join instead."""
     return (
         docs.repartition(F.col(id_col))
         .select(
             F.col(id_col),
             F.col("source"),
-            _weak_pass(text_col).alias("weak_pass"),
             F.explode(_dsir_features(text_col)).alias("feat"),
         )
-        .select(
-            id_col,
-            "source",
-            "weak_pass",
-            _dsir_bucket(F.col("feat")).alias("bucket"),
-        )
+        .select(id_col, "source", _dsir_bucket(F.col("feat")).alias("bucket"))
     )
+
+
+def _qnb_labels(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitioned: bool = True,
+) -> DataFrame:
+    """(id, weak_pass) — the weak label evaluated exactly once per
+    document.  ``partitioned=True`` repartitions the narrow frame like
+    the feature fan-out so the sketch join is co-partitioned; the
+    scoring path's broadcast-topk join passes False (no exchange needed
+    on the probe side of a BHJ)."""
+    out = docs.repartition(F.col(id_col)) if partitioned else docs
+    return out.select(F.col(id_col), _weak_pass(text_col).alias("weak_pass"))
 
 
 def quality_nb_counts(
@@ -1437,19 +1450,19 @@ def quality_nb_counts(
     per-micro-batch sketches appended to a store and re-aggregated with
     ``groupBy(bucket).sum()`` equal the one-shot corpus sketch for any
     batch boundaries — the dsir_bucket_counts contract."""
-    feats = _qnb_feature_frame(docs, text_col, id_col)
+    labels = _qnb_labels(docs, text_col, id_col)
+    # co-partitioned join (both sides repartitioned on id): the per-doc
+    # label replicates onto each feature row WITHOUT the label expression
+    # ever crossing the explode (see _qnb_feature_frame)
+    feats = _qnb_feature_frame(docs, text_col, id_col).join(labels, id_col)
     feature_counts = feats.groupBy("bucket").agg(
         F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
         F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
     )
-    doc_counts = (
-        docs.select(_weak_pass(text_col).alias("weak_pass"))
-        .agg(
-            F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
-            F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
-        )
-        .select(F.lit(-1).cast("long").alias("bucket"), "cnt_pass", "cnt_fail")
-    )
+    doc_counts = labels.agg(
+        F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
+        F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
+    ).select(F.lit(-1).cast("long").alias("bucket"), "cnt_pass", "cnt_fail")
     return feature_counts.unionByName(doc_counts)
 
 
@@ -1528,9 +1541,9 @@ def quality_nb_select(
     )
 
     feats = _qnb_feature_frame(docs, text_col, id_col)
-    scored = (
+    topk = (
         feats.join(F.broadcast(weights), "bucket")
-        .groupBy(id_col, "source", "weak_pass")
+        .groupBy(id_col, "source")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             F.sum("w_micro").alias("sum_w"),
@@ -1539,12 +1552,21 @@ def quality_nb_select(
         .select(
             id_col,
             "source",
-            "weak_pass",
             "n_feats",
             (F.col("sum_w") + F.col("prior_micro")).alias("nb_micro"),
         )
+        .orderBy(F.desc("nb_micro"), F.asc(id_col))
+        .limit(n_select)
     )
-    return scored.orderBy(F.desc("nb_micro"), F.asc(id_col)).limit(n_select)
+    # the audit label joins onto the BOUNDED top-n only: broadcast the
+    # ≤n_select winners into one per-doc label scan — the weak-label HOF
+    # runs once per corpus doc on a narrow projection, never per feature
+    labels = _qnb_labels(docs, text_col, id_col, partitioned=False)
+    return (
+        labels.join(F.broadcast(topk), id_col)
+        .select(id_col, "source", "weak_pass", "n_feats", "nb_micro")
+        .orderBy(F.desc("nb_micro"), F.asc(id_col))
+    )
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -957,6 +957,56 @@ def gopher_rules(text: Column) -> dict:
     }
 
 
+def gopher_pass(text: Column) -> Column:
+    """True = the document violates NO gopher rule — semantically the
+    conjunction of ``~gopher_rules(text)`` flags, re-expressed for hot
+    paths that evaluate the label once per corpus document (the NB
+    quality classifier's weak label).
+
+    The only non-trivial rewrite is the repetition rule: the audit's
+    distinct×scan mode-token count is O(tokens × distinct) per document
+    (fine for one report scan, ~220 µs/doc measured at sf0.1 — ruinous
+    when a pipeline evaluates it among other per-doc work); here the
+    mode count is the longest equal-run of the SORTED token array — an
+    O(n log n) sort plus one O(n) fold, ~7× fewer lambda evaluations at
+    the corpus' ~100-token documents.  Max multiplicity == max sorted
+    run length, so the flags are exactly equal; pinned against
+    ``gopher_rules`` row-by-row on the gate corpus by
+    ``test_gopher_pass_equals_rule_audit``."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    mean_len = (F.length(text) - n + 1) / n
+    sw = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / n
+    # longest run in the sorted array: fold state (prev, run, best); the
+    # "" init is safe — a leading "" token folds to run=0+1=1 like any
+    # first element
+    run_state = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_frac = run_state["best"] / n
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (sw >= GOPHER_MIN_STOPWORD_RATIO)
+        & (top_frac <= GOPHER_MAX_TOP_TOKEN_FRACTION)
+    )
+
+
 def gopher_report(
     docs: DataFrame, text_col: str = "text", group_col: str = "source"
 ) -> DataFrame:

@@ -72,72 +72,43 @@ def _modules():
 
 
 _PRIORITY = [
-    # r10 driver-budget ordering (VERDICT r9 #1): changed rows FIRST —
-    # the three brand-new operators (retrieval evaluation, PRF query
-    # expansion, DSIR importance selection), the two new
-    # semantic-decontamination gates, the MMR greedy-loop collect-once
-    # rewrite, and the reranker's short-query guard — then the WHOLE
-    # 43-row r5-stale block (minhash est-error, threshold sweep,
-    # pretrain mix, DLQ age/poison cores, the cohort/attribution
-    # family): 7 + 43 = the 50-row budget exactly, retiring every
-    # r5-age row (VERDICT r9: "43 + changed leaves ≤7 slots").
-    # Tail: r6/r7/r8/r9-green in evidence-age order (freshest last).
+    # r11 driver-budget ordering (VERDICT r10 #1): changed rows FIRST —
+    # the two brand-new operators (macro-averaged retrieval eval, NB
+    # quality-classifier selection) and the three reworked search/dsir
+    # gates (hybrid rank-column contract, eval param forwarding, the
+    # dsir one-shot sketch materialization) — then 45 of the 50-row
+    # r6-stale block: 5 + 45 = the 50-row budget exactly.  The verdict's
+    # own arithmetic ("the head must stay at ~0-3 rows") could not hold
+    # with two new ops plus three ADVICE-touched gates, so the LAST five
+    # r6 rows (q18, min-per-group, range-join, session-windows, salted
+    # join — positions 51-55) roll to the r12 budget and the ledger's
+    # oldest block becomes those five r6 rows instead of zero.
+    # Tail: the rolled five, then r7/r8/r9/r10-green in evidence-age
+    # order (freshest last).
+    "search_eval_macro",
+    "sample_quality_classifier",
+    "search_hybrid_rrf",
     "search_eval_ndcg",
-    "search_query_expansion",
     "sample_dsir_importance",
-    "text_decontaminate_semantic",
-    "text_decontaminate_compare",
-    "search_mmr_diversify",
-    "search_rerank_cross",
-    "retention_cohorts",
-    "pareto_supplier_revenue",
-    "attribution_last_touch",
-    "corpus_pretrain_mix",
-    "dedup_minhash_est_error",
-    "embedding_threshold_sweep",
-    "cdc_log_compaction",
-    "dlq_age_report",
-    "text_char_entropy",
-    "events_debounce",
-    "quality_error_slo",
-    "corpus_token_budget",
-    "basket_association_rules",
-    "graph_degree_stats",
-    "customer_rfm_segments",
-    "multimodal_dedup",
-    "events_decayed_engagement",
-    "sample_bootstrap_tokens",
-    "scd2_point_in_time",
-    "events_dau_wau",
-    "attribution_linear",
-    "embedding_dim_stats",
-    "text_bpe_merge_candidates",
-    "orders_ship_delay_sla",
-    "events_cohort_ltv",
-    "quality_benford_digits",
-    "text_vocab_coverage",
-    "events_concentration",
-    "corpus_media_funnel",
-    "sketch_kmv_distinct",
-    "dlq_poison_causes",
-    "quality_breach_streaks",
-    "text_lang_confusion",
-    "events_bot_regularity",
-    "events_time_to_convert",
-    "basket_pair_counts",
-    "events_markov_transitions",
-    "embedding_norm_stats",
-    "quality_reconcile_orders",
-    "sample_upsample",
-    "events_interarrival_stats",
-    "text_source_kl",
-    "embedding_ivf_recall",
+    "text_bm25_topk",
+    "text_vocab_df",
+    "embedding_knn",
+    "embedding_knn_arrow",
+    "embedding_lsh_buckets",
     "embedding_lsh_recall",
+    "embedding_knn_int8",
+    "embedding_int8_recall",
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "text_stats",
     "corpus_curation",
     "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "dedup_ngram_jaccard",
+    "multimodal_decode",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_revenue_by_nation",
@@ -169,19 +140,6 @@ _PRIORITY = [
     "range_join_followups",
     "session_windows",
     "salted_join_agg",
-    "dedup_ngram_jaccard",
-    "embedding_knn_int8",
-    "embedding_int8_recall",
-    "multimodal_decode",
-    "text_stats",
-    "text_bm25_topk",
-    "text_vocab_df",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "embedding_knn",
-    "embedding_knn_arrow",
-    "embedding_lsh_buckets",
     "embedding_knn_lsh",
     "embedding_knn_lsh_multiprobe",
     "embedding_neardup",
@@ -212,7 +170,6 @@ _PRIORITY = [
     "q20_excess_shipments",
     "q21_waiting_supplier",
     "q22_no_order_customers",
-    "search_hybrid_rrf",
     "embedding_label_purity",
     "sketch_cms_topk",
     "embedding_semdedup",
@@ -320,6 +277,54 @@ _PRIORITY = [
     "quality_psi_drift",
     "asof_join_nearest",
     "cdc_snapshot_diff",
+    "search_query_expansion",
+    "text_decontaminate_semantic",
+    "text_decontaminate_compare",
+    "search_mmr_diversify",
+    "search_rerank_cross",
+    "retention_cohorts",
+    "pareto_supplier_revenue",
+    "attribution_last_touch",
+    "corpus_pretrain_mix",
+    "dedup_minhash_est_error",
+    "embedding_threshold_sweep",
+    "cdc_log_compaction",
+    "dlq_age_report",
+    "text_char_entropy",
+    "events_debounce",
+    "quality_error_slo",
+    "corpus_token_budget",
+    "basket_association_rules",
+    "graph_degree_stats",
+    "customer_rfm_segments",
+    "multimodal_dedup",
+    "events_decayed_engagement",
+    "sample_bootstrap_tokens",
+    "scd2_point_in_time",
+    "events_dau_wau",
+    "attribution_linear",
+    "embedding_dim_stats",
+    "text_bpe_merge_candidates",
+    "orders_ship_delay_sla",
+    "events_cohort_ltv",
+    "quality_benford_digits",
+    "text_vocab_coverage",
+    "events_concentration",
+    "corpus_media_funnel",
+    "sketch_kmv_distinct",
+    "dlq_poison_causes",
+    "quality_breach_streaks",
+    "text_lang_confusion",
+    "events_bot_regularity",
+    "events_time_to_convert",
+    "basket_pair_counts",
+    "events_markov_transitions",
+    "embedding_norm_stats",
+    "quality_reconcile_orders",
+    "sample_upsample",
+    "events_interarrival_stats",
+    "text_source_kl",
+    "embedding_ivf_recall",
 ]
 
 def _merged() -> dict:

@@ -97,49 +97,46 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r9 item 1: the r10 priority head is (a) the rows whose CODE
-    # is new or changed this round — the three brand-new operators
-    # (retrieval evaluation, PRF query expansion, DSIR importance
-    # selection), the two semantic-decontamination gates, the MMR
-    # greedy-loop collect-once rewrite, the reranker's short-query
-    # guard — then (b) the WHOLE 43-row r5-stale block:
-    # 7 + 43 = the 50-row budget exactly, retiring every r5-age row
-    # (the verdict's own headroom arithmetic: "43 + changed leaves
-    # ≤7 slots").  Pinned against the r1-r9 artifacts only (the
-    # evidence the rotation was derived FROM), so later driver rounds
-    # cannot invalidate it.
+    # VERDICT r10 item 1: the r11 priority head is (a) the rows whose
+    # CODE is new or changed this round — the two brand-new operators
+    # (macro-averaged retrieval eval, NB quality-classifier selection)
+    # and the three ADVICE-r10 reworks (hybrid rank-column contract,
+    # eval param forwarding, dsir one-shot sketch materialization) —
+    # then (b) 45 of the 50-row r6-stale block: 5 + 45 = the 50-row
+    # budget exactly.  The five displaced r6 rows sit at positions
+    # 50-54 (the first rows past the cutoff) and roll to the r12
+    # budget.  Pinned against the r1-r10 artifacts only (the evidence
+    # the rotation was derived FROM), so later driver rounds cannot
+    # invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
     changed = [
+        "search_eval_macro",
+        "sample_quality_classifier",
+        "search_hybrid_rrf",
         "search_eval_ndcg",
-        "search_query_expansion",
         "sample_dsir_importance",
-        "text_decontaminate_semantic",
-        "text_decontaminate_compare",
-        "search_mmr_diversify",
-        "search_rerank_cross",
     ]
-    assert _PRIORITY[:7] == changed
-    for rnd in range(1, 10):
+    assert _PRIORITY[:5] == changed
+    for rnd in range(1, 11):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # positions 7-49: the whole r5-stale block, nothing fresher and
-    # nothing missed — the budget boundary lands exactly on its end
-    debt = _PRIORITY[7:50]
-    assert all(ev.get(name, 0) == 5 for name in debt), [
-        (n, ev.get(n)) for n in debt if ev.get(n, 0) != 5
+    # positions 5-49: r6-stale rows only — the budget is spent entirely
+    # on the oldest evidence block
+    debt = _PRIORITY[5:50]
+    assert all(ev.get(name, 0) == 6 for name in debt), [
+        (n, ev.get(n)) for n in debt if ev.get(n, 0) != 6
     ]
-    # no r5-stale row may be parked BELOW the head where the budget
-    # cutoff could drop it (new never-checked names are allowed there)
-    stragglers = [n for n in _PRIORITY[50:] if ev.get(n, 9) <= 5]
+    # the five displaced r6 rows are parked IMMEDIATELY past the cutoff
+    # (nothing older than them anywhere below, nothing r6-stale deeper
+    # in the tail), so the r12 rotation stays mechanical
+    rolled = _PRIORITY[50:55]
+    assert all(ev.get(n) == 6 for n in rolled), rolled
+    stragglers = [n for n in _PRIORITY[55:] if ev.get(n, 99) <= 6]
     assert not stragglers, stragglers
-    # past the budget the tail starts at the oldest remaining evidence
-    # (r6) and stays evidence-age-ordered so next round's rotation is
-    # mechanical
-    assert all(ev.get(n) == 6 for n in _PRIORITY[50:51])
-    ages = [ev[n] for n in _PRIORITY[7:] if n in ev]
+    ages = [ev[n] for n in _PRIORITY[5:] if n in ev]
     assert ages == sorted(ages), "tail must be evidence-age-ordered"

@@ -1040,3 +1040,105 @@ def test_streaming_dsir_distribution_parity_with_batch(spark, sf_dir, tmp_path):
     ]
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_semantic_decontam_parity_with_batch(spark, sf_dir, tmp_path):
+    """VERDICT r10 #3: the streaming claim behind incremental semantic
+    decontamination — the benchmark embedding set is STATIC (the bounded
+    broadcast side), and a corpus document's flag depends only on its own
+    vector against that set, never on other corpus rows.  So screening
+    each micro-batch as it arrives and unioning the per-batch flag sets
+    must equal the one-shot batch screen over the union corpus, for ANY
+    batch-boundary placement — the same per-row-independence property the
+    as-of enrichment parity test pins, on the ingest path this operator
+    actually serves (screen documents AS they stream in, before they ever
+    reach the training corpus)."""
+    from kafka_error_handling_spark.datapipe.text import decontaminate_semantic
+    from kafka_error_handling_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+
+    src_dir = str(tmp_path / "emb_stream")
+    # 4 files -> 4 micro-batches under maxFilesPerTrigger=1; hash
+    # repartition cuts the corpus at arbitrary places
+    corpus.repartition(4).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    acc = []
+
+    def absorb(batch_df, _bid):
+        out = decontaminate_semantic(batch_df, bench)
+        acc.extend(
+            (r.doc_id, r.bench_id, r.max_cos) for r in out.collect()
+        )
+
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    want = sorted(
+        (r.doc_id, r.bench_id, r.max_cos)
+        for r in decontaminate_semantic(corpus, bench).collect()
+    )
+    assert sorted(acc) == want
+    assert len(acc) > 0  # tau is calibrated to the testdata; empty = broken
+
+
+def test_streaming_quality_nb_sketch_parity_with_batch(spark, sf_dir, tmp_path):
+    """The quality classifier's training sketch is plain integer sums per
+    bucket (incl. the bucket -1 prior row), so per-micro-batch sketches
+    appended to a store and re-summed equal the one-shot corpus sketch
+    for ANY batch-boundary placement — and the selection scored against
+    the merged sketch is identical to the batch selection.  The
+    dsir_bucket_counts accumulate-then-merge contract, for the trained-
+    scorer half of the data-selection pair."""
+    from kafka_error_handling_spark.datapipe.sampling import (
+        quality_nb_counts,
+        quality_nb_select,
+    )
+    from kafka_error_handling_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    src_dir = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    store_dir = str(tmp_path / "qnb_store")
+
+    def absorb(batch_df, _bid):
+        quality_nb_counts(batch_df).write.mode("append").parquet(store_dir)
+
+    q = stream.writeStream.foreachBatch(absorb).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt_pass").alias("cnt_pass"),
+            F.sum("cnt_fail").alias("cnt_fail"),
+        )
+    )
+    got = [
+        (r.doc_id, r.weak_pass, r.nb_micro)
+        for r in quality_nb_select(docs, counts=merged).collect()
+    ]
+    want = [
+        (r.doc_id, r.weak_pass, r.nb_micro)
+        for r in quality_nb_select(docs).collect()
+    ]
+    assert got == want
+    assert len(got) > 0

@@ -278,3 +278,44 @@ def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
     # the threshold filter must sit below the window (map-side prune):
     # no SortMergeJoin / shuffle of the full cross product
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_pass_equals_rule_audit(spark, sf_dir):
+    """gopher_pass (the O(n log n) weak-label form — sorted-run-length
+    mode count) must agree with the gopher_rules audit on EVERY corpus
+    document, plus the hand cases that exercise each rule boundary."""
+    from pyspark.sql import functions as F
+
+    from kafka_error_handling_spark.datapipe.text import gopher_pass, gopher_rules
+    from kafka_error_handling_spark.sources.files import load_table
+
+    def audit_ok(col):
+        rules = gopher_rules(col)
+        ok = None
+        for flag in rules.values():
+            ok = ~flag if ok is None else ok & ~flag
+        return ok
+
+    docs = load_table(spark, sf_dir, "documents")
+    disagree = docs.filter(
+        gopher_pass(F.col("text")) != audit_ok(F.col("text"))
+    ).count()
+    assert disagree == 0
+
+    hand = spark.createDataFrame(
+        [
+            # too short / too repetitive / no stopwords / passes
+            ("one two three",),
+            ("the the the the the the the the the the go go stop now here",),
+            ("alpha beta gamma delta epsilon zeta eta theta iota kappa lam",),
+            ("the quick brown fox jumps over a lazy dog and runs far away",),
+            # run-length edge: repeated token NOT adjacent in raw order
+            ("a x a y a z a w a v the on is to in for quick brown fox tail",),
+        ],
+        "text string",
+    )
+    rows = hand.select(
+        gopher_pass(F.col("text")).alias("fast"),
+        audit_ok(F.col("text")).alias("audit"),
+    ).collect()
+    assert all(r["fast"] == r["audit"] for r in rows)

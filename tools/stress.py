@@ -217,6 +217,16 @@ def _families(spark):
         df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
         query_expansion_prf(df, _QUERY_TERMS).count()
 
+    def qnb(n):
+        # NB quality-classifier selection: like dsir, the training sketch
+        # is FIXED at <=4097 rows however large the corpus — wall must
+        # scale with the two feature scans (train sketch + scoring),
+        # never with corpus x corpus
+        from kafka_error_handling_spark.datapipe.sampling import quality_nb_select
+
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        quality_nb_select(df).count()
+
     def dsir(n):
         # DSIR importance selection: the bucket distribution table is
         # FIXED at 4096 rows however large the corpus — wall must scale
@@ -237,12 +247,13 @@ def _families(spark):
         "decontam": decontam,
         "prf": prf,
         "dsir": dsir,
+        "qnb": qnb,
     }
 
 
 FAMILY_NAMES = (
     "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam",
-    "prf", "dsir",
+    "prf", "dsir", "qnb",
 )
 
 
