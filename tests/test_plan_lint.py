@@ -41,7 +41,14 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 # every added exchange moves a bounded pool or a scalar, never the
 # corpus); arrow-python unchanged (pure column plan).
 TOTAL_ARROW_PYTHON_PIN = 33
-TOTAL_SHUFFLES_PIN = 447
+# r11: 447 -> 480 — search_eval_macro (+25: five topics × the audited
+# single-query eval plan, each exchange a bounded pool / scalar, plus
+# the 12-row per-query∪macro fold) and sample_quality_classifier
+# (+8: the co-partitioned label join's two narrow id exchanges, the
+# ≤4097-row sketch agg, the per-doc score agg, and the broadcast-topk
+# label join — nothing corpus-wide beyond the per-doc groupBys);
+# arrow-python unchanged (both are pure column plans).
+TOTAL_SHUFFLES_PIN = 480
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest

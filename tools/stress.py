@@ -14,7 +14,8 @@ unified-edge-artifact check) so the evidence is reproducible.
 
 Usage:  python tools/stress.py [N] [family ...]
         N defaults to 10; families default to all.
-Families: graph, basket, cc, dedup, text, embed
+Families: see FAMILY_NAMES below (graph, basket, cc, dedup, text,
+embed, minhash, decontam, prf, dsir, qnb, searcheval).
 """
 
 from __future__ import annotations
@@ -217,6 +218,16 @@ def _families(spark):
         df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
         query_expansion_prf(df, _QUERY_TERMS).count()
 
+    def searcheval(n):
+        # macro retrieval eval: the eval set is FIXED (5 topics, bounded
+        # per-query frames) — wall must scale with |Q| corpus-linear
+        # ranker scans, never with pool x corpus or |Q| x |Q|
+        from kafka_error_handling_spark.datapipe.ranking import search_eval_macro
+
+        d = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        e = _replicate(emb, n, {"vec_id": VEC_SHIFT})
+        search_eval_macro(d, e).count()
+
     def qnb(n):
         # NB quality-classifier selection: like dsir, the training sketch
         # is FIXED at <=4097 rows however large the corpus — wall must
@@ -248,12 +259,13 @@ def _families(spark):
         "prf": prf,
         "dsir": dsir,
         "qnb": qnb,
+        "searcheval": searcheval,
     }
 
 
 FAMILY_NAMES = (
     "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam",
-    "prf", "dsir", "qnb",
+    "prf", "dsir", "qnb", "searcheval",
 )
 
 
