@@ -1265,17 +1265,23 @@ def dsir_importance(
         # barrier, but the cached feature frame was never released and no
         # handle reached the caller — long-lived sessions (the lint/gate
         # loop) accumulated cached corpus-shaped frames until LRU
-        # eviction (ADVICE r10).  Materialize the DISTRIBUTION instead:
-        # the bucket sketch is ≤_DSIR_BUCKETS rows of integer counts (the
-        # PQ-codebook precedent for a provably bounded collect), pulled
-        # eagerly and re-planted as a local relation — the corpus is
-        # scanned exactly twice (sketch + pool scoring), nothing is ever
-        # cached, and the totals/lr subtrees now fold over 4096 literal
-        # rows instead of re-running the corpus fan-out (1.5 s at sf0.1,
-        # on par with the persist, without the leak).
-        sketch = dsir_bucket_counts(docs, target_source, text_col, id_col)
-        buckets = docs.sparkSession.createDataFrame(
-            sketch.collect(), schema=sketch.schema
+        # eviction (ADVICE r10).  An eager localCheckpoint is the
+        # leak-free barrier (the MMR/graph-fixpoint precedent): the
+        # narrow frame materializes ONCE, the lineage cut stops every
+        # downstream subtree from re-running the fan-out, and the blocks
+        # are ContextCleaner-released as soon as the caller drops the
+        # returned frame — no cache-manager entry to forget.  (A first
+        # fix collected the 4096-row sketch to a local relation instead:
+        # leak-free but re-scans the corpus for pool scoring — 7.1 s at
+        # sf0.1 vs 1.6 s checkpointed.)  At corpus scale prefer the
+        # two-stage path: accumulate :func:`dsir_bucket_counts` (a
+        # ≤4096-row mergeable sketch, no materialization) and pass it as
+        # ``bucket_counts``; then this function is a single uncached
+        # corpus pass.
+        feats = feats.localCheckpoint(eager=True)
+        buckets = feats.groupBy("bucket").agg(
+            F.sum(F.col("is_tgt").cast("long")).alias("cnt_tgt"),
+            F.sum((~F.col("is_tgt")).cast("long")).alias("cnt_pool"),
         )
     totals = buckets.agg(
         F.sum("cnt_tgt").alias("tot_tgt"), F.sum("cnt_pool").alias("tot_pool")
@@ -1478,22 +1484,45 @@ def quality_nb_select(
 
     Pass ``counts`` (a frame shaped like :func:`quality_nb_counts`,
     e.g. merged from micro-batch sketches) to score against a
-    pre-accumulated training distribution — then this function is ONE
-    corpus scan.  Without it, the sketch is accumulated first (a bounded
-    ≤4097-row eager collect, the DSIR one-shot pattern — two corpus
-    scans total, nothing cached).
+    pre-accumulated training distribution — then this function scans
+    the corpus only to featurize/score (no training pass).  Without it,
+    the feature fan-out and the weak-label scan are eagerly
+    localCheckpointed once and serve sketch, scoring, and the audit
+    join together (the DSIR one-shot barrier — leak-free, released
+    with the returned frame).
 
     Emitting ``weak_pass`` alongside the score keeps the gate
     self-auditing: the reader sees directly how often the scorer's
     top-n disagrees with its own training labels (label noise the
     selection literature expects — the scorer generalizes, the rule
     audit memorizes)."""
-    if counts is None:
-        sketch = quality_nb_counts(docs, text_col, id_col)
-        counts = docs.sparkSession.createDataFrame(
-            sketch.collect(), schema=sketch.schema
-        )
     spark = docs.sparkSession
+    feats = _qnb_feature_frame(docs, text_col, id_col)
+    labels = _qnb_labels(docs, text_col, id_col, partitioned=False)
+    if counts is None:
+        # One-shot mode: train and score off the SAME materialized
+        # frames — eager localCheckpoints (the dsir_importance barrier:
+        # lineage cut, ContextCleaner-released with the returned frame)
+        # mean the feature fan-out and the weak-label scan each run
+        # exactly once for sketch + scoring + audit together.
+        feats = feats.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+        lab_part = labels.repartition(F.col(id_col))
+        feature_counts = (
+            feats.join(lab_part, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
+                F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
+            )
+        )
+        doc_counts = labels.agg(
+            F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
+            F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
+        ).select(
+            F.lit(-1).cast("long").alias("bucket"), "cnt_pass", "cnt_fail"
+        )
+        counts = feature_counts.unionByName(doc_counts)
     feature_counts = counts.filter(F.col("bucket") >= 0)
     doc_counts = counts.filter(F.col("bucket") == -1)
 
@@ -1540,7 +1569,6 @@ def quality_nb_select(
         .alias("prior_micro")
     )
 
-    feats = _qnb_feature_frame(docs, text_col, id_col)
     topk = (
         feats.join(F.broadcast(weights), "bucket")
         .groupBy(id_col, "source")
@@ -1559,9 +1587,10 @@ def quality_nb_select(
         .limit(n_select)
     )
     # the audit label joins onto the BOUNDED top-n only: broadcast the
-    # ≤n_select winners into one per-doc label scan — the weak-label HOF
-    # runs once per corpus doc on a narrow projection, never per feature
-    labels = _qnb_labels(docs, text_col, id_col, partitioned=False)
+    # ≤n_select winners into the per-doc label frame — the weak-label
+    # HOF runs once per corpus doc on a narrow projection, never per
+    # feature (and in one-shot mode not even once more: the checkpointed
+    # labels frame serves sketch, prior, and this audit join)
     return (
         labels.join(F.broadcast(topk), id_col)
         .select(id_col, "source", "weak_pass", "n_feats", "nb_micro")
