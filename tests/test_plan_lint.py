@@ -47,8 +47,11 @@ TOTAL_ARROW_PYTHON_PIN = 33
 # (+8: the co-partitioned label join's two narrow id exchanges, the
 # ≤4097-row sketch agg, the per-doc score agg, and the broadcast-topk
 # label join — nothing corpus-wide beyond the per-doc groupBys);
-# arrow-python unchanged (both are pure column plans).
-TOTAL_SHUFFLES_PIN = 480
+# arrow-python unchanged (both are pure column plans).  +5 more when
+# the one-shot barrier moved to localCheckpoint (the sketch/totals
+# aggregates over the checkpointed frame plan as real exchanges where
+# the collected-local-relation draft folded them) -> 485.
+TOTAL_SHUFFLES_PIN = 485
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest

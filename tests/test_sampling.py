@@ -239,3 +239,94 @@ def test_dsir_single_token_doc_has_no_bigrams(spark):
     got = dsir_importance(docs, target_source="tgt", n_select=10).collect()
     assert [r.doc_id for r in got] == [2]
     assert got[0].n_feats == 1  # the unigram only, no null bigram leaked
+
+
+def test_quality_nb_matches_independent_python_model(spark):
+    """The NB quality classifier pinned against a from-scratch pure-
+    Python implementation of the SAME model (md5 bucketing, Gopher weak
+    labels, +1/bucket-space Laplace smoothing, integer micro units) on a
+    hand-built corpus — an independent second implementation, not a
+    re-read of the Spark expressions.  nb_micro is allowed ±(n_feats+1)
+    micro units (each log term floors independently and libm ulps can
+    sit on a floor boundary); ordering, labels, and feature counts must
+    be exact."""
+    import hashlib
+    import math
+
+    from kafka_error_handling_spark.datapipe.sampling import quality_nb_select
+    from kafka_error_handling_spark.datapipe.text import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOP_TOKEN_FRACTION,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORD_RATIO,
+        GOPHER_MIN_WORDS,
+        _STOPWORDS,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and runs far away", "a"),
+        (2, "a stream of data flows into the lake for batch and query use", "a"),
+        (3, "short doc", "b"),  # fails word_count
+        (4, "go go go go go go go go go go go go", "b"),  # fails repetition
+        (5, "the fast brown fox sleeps under a shady tree and dreams away", "b"),
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu", "b"),
+    ]
+
+    def label(text):
+        toks = text.split(" ")
+        n = len(toks)
+        mean_len = (len(text) - n + 1) / n
+        sw = sum(t in _STOPWORDS for t in toks) / n
+        top = max(toks.count(t) for t in set(toks)) / n
+        return (
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_LEN <= mean_len <= GOPHER_MAX_MEAN_LEN
+            and sw >= GOPHER_MIN_STOPWORD_RATIO
+            and top <= GOPHER_MAX_TOP_TOKEN_FRACTION
+        )
+
+    def feats(text):
+        toks = text.split(" ")
+        grams = toks + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+        return [
+            int(hashlib.md5(f"dsir|{g}".encode()).hexdigest()[:15], 16) % 4096
+            for g in grams
+        ]
+
+    cp, cf = {}, {}
+    n_pass = n_fail = 0
+    for _id, text, _src in rows:
+        ok = label(text)
+        n_pass += ok
+        n_fail += not ok
+        for b in feats(text):
+            (cp if ok else cf)[b] = (cp if ok else cf).get(b, 0) + 1
+    tp, tf = sum(cp.values()), sum(cf.values())
+    prior = math.floor(
+        (math.log((n_pass + 1) / (n_pass + n_fail + 2))
+         - math.log((n_fail + 1) / (n_pass + n_fail + 2))) * 1e6
+    )
+
+    def w(b):
+        return math.floor(
+            (math.log((cp.get(b, 0) + 1) / (tp + 4096.0))
+             - math.log((cf.get(b, 0) + 1) / (tf + 4096.0))) * 1e6
+        )
+
+    expected = []
+    for _id, text, src in rows:
+        fb = feats(text)
+        expected.append(
+            (_id, src, label(text), len(fb), prior + sum(w(b) for b in fb))
+        )
+    expected.sort(key=lambda r: (-r[4], r[0]))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = quality_nb_select(docs, n_select=10).collect()
+    assert [r.doc_id for r in got] == [e[0] for e in expected]
+    for r, e in zip(got, expected):
+        assert (r.source, r.weak_pass, r.n_feats) == (e[1], e[2], e[3]), r
+        assert abs(r.nb_micro - e[4]) <= r.n_feats + 1, (r, e)
