@@ -1238,57 +1238,16 @@ def q_search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_search_eval_ndcg(k: int = EVAL_K) -> str:
-    grade = " + ".join(
-        f"CASE WHEN list_contains(string_split(text, ' '), '{t}')"
-        " THEN 1 ELSE 0 END"
-        for t in _QUERY_TERMS
-    )
-    contrib = (
-        "CAST(floor((pow(2.0, grade) - 1.0)"
-        " / log2(rank + 1.0) * 1000000.0) AS BIGINT)"
-    )
+    # single-source: the gate's metric body IS the parameterized
+    # per-query core the macro eval unions (defined below) — the two
+    # oracles cannot drift apart
     return f"""
-WITH grades AS (
-  SELECT doc_id, ({grade}) AS grade FROM documents
-), lex AS (
-  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
-  FROM ({_sql_bm25(k)})
-), hyb AS (
-  SELECT doc_id, rank FROM ({_sql_hybrid_rrf()}) WHERE rank <= {k}
-), runs AS (
-  SELECT 'bm25' AS ranker, doc_id, rank FROM lex
-  UNION ALL
-  SELECT 'hybrid_rrf' AS ranker, doc_id, rank FROM hyb
-), scored AS (
-  SELECT r.ranker, r.rank, g.grade, {contrib} AS contrib
-  FROM runs r JOIN grades g USING (doc_id)
-), per AS (
-  SELECT ranker,
-         CAST(sum(contrib) AS BIGINT) AS dcg_micro,
-         max(CASE WHEN grade > 0
-                  THEN CAST(floor(1000000.0 / rank) AS BIGINT)
-                  ELSE 0 END) AS mrr_ppm,
-         CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
-              * {1000000 // k} AS BIGINT) AS prec_ppm
-  FROM scored GROUP BY ranker
-), ideal AS (
-  SELECT CAST(sum({contrib}) AS BIGINT) AS idcg_micro FROM (
-    SELECT grade,
-           row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
-    FROM grades WHERE grade > 0
-    ORDER BY grade DESC, doc_id ASC
-    LIMIT {k}
-  )
-)
-SELECT ranker, dcg_micro,
-       CAST(floor(dcg_micro * 1000000.0 / idcg_micro) AS BIGINT) AS ndcg_ppm,
-       mrr_ppm, prec_ppm
-FROM per CROSS JOIN ideal
+SELECT ranker, dcg_micro, ndcg_ppm, mrr_ppm, prec_ppm
+FROM ({_sql_eval_per_query(0, _QUERY_TERMS, RRF_QUERY_VEC, k)})
 ORDER BY ranker
 """
 
 
-QUERIES["search_eval_ndcg"] = (q_search_eval_ndcg, _sql_search_eval_ndcg())
 
 
 # ---------------------------------------------------------------------------
@@ -1385,8 +1344,11 @@ def q_search_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_eval_per_query(
     qid: int, terms: list[str], vec_id: int, k: int = EVAL_K
 ) -> str:
-    """One topic's (ranker, qid, ndcg_ppm, mrr_ppm, prec_ppm) — the
-    parameterized twin of ``_sql_search_eval_ndcg``'s metric core."""
+    """One topic's (ranker, qid, dcg_micro, ndcg_ppm, mrr_ppm,
+    prec_ppm) — THE metric core: the single-query gate's oracle wraps
+    this with qid pinned to 0, the macro gate unions five of them, so
+    there is exactly one SQL body to keep in step with
+    :func:`_eval_metrics`."""
     grade = " + ".join(
         f"CASE WHEN list_contains(string_split(text, ' '), '{t}')"
         " THEN 1 ELSE 0 END"
@@ -1430,7 +1392,7 @@ WITH grades AS (
     LIMIT {k}
   )
 )
-SELECT ranker, CAST({qid} AS INTEGER) AS qid,
+SELECT ranker, CAST({qid} AS INTEGER) AS qid, dcg_micro,
        CAST(floor(dcg_micro * 1000000.0 / idcg_micro) AS BIGINT) AS ndcg_ppm,
        mrr_ppm, prec_ppm
 FROM per CROSS JOIN ideal
@@ -1440,7 +1402,8 @@ FROM per CROSS JOIN ideal
 def _sql_eval_macro(k: int = EVAL_K) -> str:
     nq = len(EVAL_MACRO_QUERIES)
     per_union = "\n  UNION ALL\n".join(
-        f"  SELECT * FROM ({_sql_eval_per_query(qid, terms, vec_id, k)})"
+        "  SELECT ranker, qid, ndcg_ppm, mrr_ppm, prec_ppm"
+        f" FROM ({_sql_eval_per_query(qid, terms, vec_id, k)})"
         for qid, (terms, vec_id) in enumerate(EVAL_MACRO_QUERIES)
     )
     return f"""
@@ -1461,3 +1424,5 @@ ORDER BY qid, ranker
 
 
 QUERIES["search_eval_macro"] = (q_search_eval_macro, _sql_eval_macro())
+# registered here: its oracle wraps _sql_eval_per_query (defined above)
+QUERIES["search_eval_ndcg"] = (q_search_eval_ndcg, _sql_search_eval_ndcg())

@@ -1431,18 +1431,13 @@ def _qnb_feature_frame(
 
 
 def _qnb_labels(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    partitioned: bool = True,
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, weak_pass) — the weak label evaluated exactly once per
-    document.  ``partitioned=True`` repartitions the narrow frame like
-    the feature fan-out so the sketch join is co-partitioned; the
-    scoring path's broadcast-topk join passes False (no exchange needed
-    on the probe side of a BHJ)."""
-    out = docs.repartition(F.col(id_col)) if partitioned else docs
-    return out.select(F.col(id_col), _weak_pass(text_col).alias("weak_pass"))
+    document, unpartitioned: the sketch join repartitions it to match
+    the feature fan-out (inside :func:`_qnb_sketch`), and the scoring
+    path's broadcast-topk probe needs no exchange at all."""
+    return docs.select(F.col(id_col), _weak_pass(text_col).alias("weak_pass"))
 
 
 def quality_nb_counts(
@@ -1457,11 +1452,24 @@ def quality_nb_counts(
     ``groupBy(bucket).sum()`` equal the one-shot corpus sketch for any
     batch boundaries — the dsir_bucket_counts contract."""
     labels = _qnb_labels(docs, text_col, id_col)
-    # co-partitioned join (both sides repartitioned on id): the per-doc
-    # label replicates onto each feature row WITHOUT the label expression
-    # ever crossing the explode (see _qnb_feature_frame)
-    feats = _qnb_feature_frame(docs, text_col, id_col).join(labels, id_col)
-    feature_counts = feats.groupBy("bucket").agg(
+    feats = _qnb_feature_frame(docs, text_col, id_col)
+    return _qnb_sketch(feats, labels, id_col)
+
+
+def _qnb_sketch(
+    feats: DataFrame, labels: DataFrame, id_col: str
+) -> DataFrame:
+    """The sketch body shared by :func:`quality_nb_counts` and the
+    one-shot path in :func:`quality_nb_select` (which feeds checkpointed
+    frames): per-doc labels join onto the feature fan-out — a
+    co-partitioned join when both sides carry the id repartition, and
+    never a label expression crossing the explode (see
+    _qnb_feature_frame) — then per-bucket class sums, plus the bucket −1
+    document-count row the prior reads."""
+    labeled = feats.join(
+        labels.repartition(F.col(id_col)), id_col
+    )
+    feature_counts = labeled.groupBy("bucket").agg(
         F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
         F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
     )
@@ -1498,7 +1506,7 @@ def quality_nb_select(
     audit memorizes)."""
     spark = docs.sparkSession
     feats = _qnb_feature_frame(docs, text_col, id_col)
-    labels = _qnb_labels(docs, text_col, id_col, partitioned=False)
+    labels = _qnb_labels(docs, text_col, id_col)
     if counts is None:
         # One-shot mode: train and score off the SAME materialized
         # frames — eager localCheckpoints (the dsir_importance barrier:
@@ -1507,22 +1515,7 @@ def quality_nb_select(
         # exactly once for sketch + scoring + audit together.
         feats = feats.localCheckpoint(eager=True)
         labels = labels.localCheckpoint(eager=True)
-        lab_part = labels.repartition(F.col(id_col))
-        feature_counts = (
-            feats.join(lab_part, id_col)
-            .groupBy("bucket")
-            .agg(
-                F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
-                F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
-            )
-        )
-        doc_counts = labels.agg(
-            F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
-            F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
-        ).select(
-            F.lit(-1).cast("long").alias("bucket"), "cnt_pass", "cnt_fail"
-        )
-        counts = feature_counts.unionByName(doc_counts)
+        counts = _qnb_sketch(feats, labels, id_col)
     feature_counts = counts.filter(F.col("bucket") >= 0)
     doc_counts = counts.filter(F.col("bucket") == -1)
 
