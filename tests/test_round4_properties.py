@@ -232,3 +232,98 @@ def test_waterfill_closed_form_matches_brute_force(spark, toks, frac_ppm):
     # sources keep everything — identical allocation overall
     assert got == want
     assert sum(got.values()) <= budget
+
+
+# ---------------------------------------------------------------------------
+# round-11 ops: gopher_pass equivalence, NB layout invariance, macro fold
+# ---------------------------------------------------------------------------
+
+# documents drawn from a vocabulary that straddles every rule boundary:
+# stopwords (ratio rule), a repeated token (mode rule), one long word
+# (mean-length rule); lengths cross the 10-word minimum
+_word = st.sampled_from(
+    ["the", "a", "of", "go", "stop", "apple", "banana", "verylongword",
+     "x", "quick", "brown"]
+)
+_gopher_doc = st.lists(_word, min_size=1, max_size=30).map(" ".join)
+
+
+@_SETTINGS
+@given(texts=st.lists(_gopher_doc, min_size=1, max_size=8))
+def test_gopher_pass_equals_audit_on_random_docs(spark, texts):
+    """gopher_pass (sorted-run-length mode count) must agree with the
+    gopher_rules audit on arbitrary token streams, not just the corpus —
+    the sorted-run rewrite is only safe if max-run == max-multiplicity
+    for EVERY input."""
+    from kafka_error_handling_spark.datapipe.text import gopher_pass, gopher_rules
+
+    def audit_ok(col):
+        ok = None
+        for flag in gopher_rules(col).values():
+            ok = ~flag if ok is None else ok & ~flag
+        return ok
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        gopher_pass(F.col("text")).alias("fast"),
+        audit_ok(F.col("text")).alias("audit"),
+    ).collect()
+    assert all(r["fast"] == r["audit"] for r in rows), texts
+
+
+@_SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(_gopher_doc, st.sampled_from(["a", "b", "c"])),
+        min_size=2,
+        max_size=8,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_quality_nb_select_is_layout_invariant(spark, docs, parts):
+    """The NB selection is integer-scored (floor-micro weights, integer
+    sums), so repartitioning the input can never change the selected
+    rows, their order, or their scores."""
+    from kafka_error_handling_spark.datapipe.sampling import quality_nb_select
+
+    rows = [(i, t, s) for i, (t, s) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    base = [
+        (r.doc_id, r.weak_pass, r.n_feats, r.nb_micro)
+        for r in quality_nb_select(df, n_select=20).collect()
+    ]
+    moved = [
+        (r.doc_id, r.weak_pass, r.n_feats, r.nb_micro)
+        for r in quality_nb_select(
+            df.repartition(parts, "source"), n_select=20
+        ).collect()
+    ]
+    assert base == moved
+    assert len(base) == len(rows)  # n_select=20 >= corpus: every doc scored
+
+
+def test_eval_macro_of_identical_topics_equals_single_query(spark):
+    """Degenerate macro set: the same topic repeated 3x must produce
+    three identical per-query rows and macro rows equal to them — the
+    fold introduces no drift (floor(3x/3) == x)."""
+    from kafka_error_handling_spark.datapipe.ranking import search_eval_macro
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple"), (3, "cherry")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    topics = [(["apple", "banana"], 0)] * 3
+    rows = search_eval_macro(docs, emb, queries=topics, k=2).collect()
+    per = [r for r in rows if r["qid"] >= 0]
+    macro = [r for r in rows if r["qid"] == -1]
+    for ranker in ("bm25", "hybrid_rrf"):
+        mine = [r for r in per if r["ranker"] == ranker]
+        assert len(mine) == 3
+        vals = {(r.ndcg_ppm, r.mrr_ppm, r.prec_ppm) for r in mine}
+        assert len(vals) == 1, "identical topics must score identically"
+        m = next(r for r in macro if r["ranker"] == ranker)
+        assert (m.ndcg_ppm, m.mrr_ppm, m.prec_ppm) == vals.pop()
