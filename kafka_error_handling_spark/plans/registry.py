@@ -51,6 +51,12 @@ def _modules():
     except ImportError:
         pass
     try:
+        from . import wire_formats
+
+        mods.append(wire_formats)
+    except ImportError:
+        pass
+    try:
         from . import cdc, quality
 
         mods += [cdc, quality]
@@ -72,74 +78,49 @@ def _modules():
 
 
 _PRIORITY = [
-    # r11 driver-budget ordering (VERDICT r10 #1): changed rows FIRST —
-    # the two brand-new operators (macro-averaged retrieval eval, NB
-    # quality-classifier selection) and the three reworked search/dsir
-    # gates (hybrid rank-column contract, eval param forwarding, the
-    # dsir one-shot sketch materialization) — then 45 of the 50-row
-    # r6-stale block: 5 + 45 = the 50-row budget exactly.  The verdict's
-    # own arithmetic ("the head must stay at ~0-3 rows") could not hold
-    # with two new ops plus three ADVICE-touched gates, so the LAST five
-    # r6 rows (q18, min-per-group, range-join, session-windows, salted
-    # join — positions 51-55) roll to the r12 budget and the ledger's
-    # oldest block becomes those five r6 rows instead of zero.
-    # Tail: the rolled five, then r7/r8/r9/r10-green in evidence-age
-    # order (freshest last).
+    # r12 driver-budget ordering (VERDICT r11 #4).  Indexing convention,
+    # stated once (ADVICE r11): ALL positions are 0-based slices of this
+    # list — the driver checks _PRIORITY[0:50].  Head = the 6 rows whose
+    # code is new or semantically changed this round: the two NEW wire
+    # gates (dlq_avro_wire / dlq_proto_wire — first-ever CORRECTNESS
+    # rows for the binary DLQ encoders) and the four reworked gates (the
+    # batched eval engine behind search_eval_macro / search_eval_ndcg,
+    # the persist-barrier one-shot modes of sample_dsir_importance /
+    # sample_quality_classifier).  Then 44 stale rows: the 5 rolled r6
+    # rows, the 14 error-handling-family gates (9 r7 capture/log/
+    # describe + 5 r8 DLQ/headers/serde — VERDICT r11 #4 pulled the
+    # flagship semantics ahead of the plain r7 block: they are the
+    # OLDEST evidence for the reference's core contract), and the first
+    # 25 of the remaining 36 r7 rows.  6 + 5 + 14 + 25 = 50 exactly;
+    # the 11 displaced r7 rows park at positions 50-60 (i.e.
+    # _PRIORITY[50:61]) and roll to the r13 budget.  Tail from position
+    # 61 on: evidence-age-ordered ascending (r8 non-error, r9, r10,
+    # r11), freshest last.
+    "dlq_avro_wire",
+    "dlq_proto_wire",
     "search_eval_macro",
-    "sample_quality_classifier",
-    "search_hybrid_rrf",
     "search_eval_ndcg",
     "sample_dsir_importance",
-    "text_bm25_topk",
-    "text_vocab_df",
-    "embedding_knn",
-    "embedding_knn_arrow",
-    "embedding_lsh_buckets",
-    "embedding_lsh_recall",
-    "embedding_knn_int8",
-    "embedding_int8_recall",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_stats",
-    "corpus_curation",
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_simhash",
-    "dedup_simhash_neardup",
-    "dedup_ngram_jaccard",
-    "multimodal_decode",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_revenue_by_nation",
-    "window_topk_orders",
-    "window_running_sum",
-    "window_lag_lead",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "distinct_aggs",
-    "set_ops",
-    "semi_anti_join",
-    "sort_limit_topk",
-    "scalar_functions",
-    "event_time_windows",
-    "unpivot_metrics",
-    "window_analytic_suite",
-    "temporal_regex_functions",
-    "window_value_frames",
-    "q14_promo_revenue",
-    "stats_aggs",
-    "outer_joins",
-    "window_range_frame",
-    "conditional_pivot",
-    "q4_priority_exists",
-    "q17_small_qty_revenue",
+    "sample_quality_classifier",
     "q18_large_volume_orders",
     "min_per_group_joinback",
     "range_join_followups",
     "session_windows",
     "salted_join_agg",
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "capture_flat_map_errors",
+    "capture_map_rekey",
+    "capture_process_fanout",
+    "capture_process_values",
+    "describe_passthrough",
+    "dlq_replay",
+    "error_headers",
+    "serde_json_captured",
+    "describe_struct_result",
+    "quality_validate_dlq",
     "embedding_knn_lsh",
     "embedding_knn_lsh_multiprobe",
     "embedding_neardup",
@@ -176,20 +157,6 @@ _PRIORITY = [
     "embedding_kmeans",
     "dedup_exact_substring",
     "dedup_incremental",
-    "capture_map_values_success",
-    "capture_map_values_dlq",
-    "log_errors_drop",
-    "capture_flat_map_tokens",
-    "capture_flat_map_errors",
-    "capture_map_rekey",
-    "capture_process_fanout",
-    "capture_process_values",
-    "describe_passthrough",
-    "dlq_replay",
-    "error_headers",
-    "serde_json_captured",
-    "describe_struct_result",
-    "quality_validate_dlq",
     "sliding_windows",
     "exact_percentiles",
     "event_funnel",
@@ -325,6 +292,52 @@ _PRIORITY = [
     "events_interarrival_stats",
     "text_source_kl",
     "embedding_ivf_recall",
+    "search_hybrid_rrf",
+    "text_bm25_topk",
+    "text_vocab_df",
+    "embedding_knn",
+    "embedding_knn_arrow",
+    "embedding_lsh_buckets",
+    "embedding_lsh_recall",
+    "embedding_knn_int8",
+    "embedding_int8_recall",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_stats",
+    "corpus_curation",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_simhash_neardup",
+    "dedup_ngram_jaccard",
+    "multimodal_decode",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "window_topk_orders",
+    "window_running_sum",
+    "window_lag_lead",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "distinct_aggs",
+    "set_ops",
+    "semi_anti_join",
+    "sort_limit_topk",
+    "scalar_functions",
+    "event_time_windows",
+    "unpivot_metrics",
+    "window_analytic_suite",
+    "temporal_regex_functions",
+    "window_value_frames",
+    "q14_promo_revenue",
+    "stats_aggs",
+    "outer_joins",
+    "window_range_frame",
+    "conditional_pivot",
+    "q4_priority_exists",
+    "q17_small_qty_revenue",
 ]
 
 def _merged() -> dict:

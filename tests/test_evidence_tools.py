@@ -97,46 +97,64 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r10 item 1: the r11 priority head is (a) the rows whose
-    # CODE is new or changed this round — the two brand-new operators
-    # (macro-averaged retrieval eval, NB quality-classifier selection)
-    # and the three ADVICE-r10 reworks (hybrid rank-column contract,
-    # eval param forwarding, dsir one-shot sketch materialization) —
-    # then (b) 45 of the 50-row r6-stale block: 5 + 45 = the 50-row
-    # budget exactly.  The five displaced r6 rows sit at positions
-    # 50-54 (the first rows past the cutoff) and roll to the r12
-    # budget.  Pinned against the r1-r10 artifacts only (the evidence
-    # the rotation was derived FROM), so later driver rounds cannot
-    # invalidate it.
+    # VERDICT r11 item 4: the r12 priority budget (0-based slices of
+    # _PRIORITY; the driver checks [0:50]) is
+    #   * [0:6]  — the rows whose CODE is new or changed this round: the
+    #     two brand-new wire-byte gates (first-ever CORRECTNESS rows for
+    #     the binary DLQ encoders) and the four reworked gates (batched
+    #     eval engine, persist-barrier one-shot selection modes);
+    #   * [6:11] — the five r6 rows rolled from the r11 budget;
+    #   * [11:25] — the 14 error-handling-family gates (9 r7
+    #     capture/log/describe + 5 r8 DLQ/headers/serde), pulled ahead
+    #     of the plain r7 block per the verdict: the flagship semantics
+    #     were the ledger's oldest evidence;
+    #   * [25:50] — the first 25 of the remaining 36 r7 rows.
+    # 6 + 5 + 14 + 25 = 50.  The 11 displaced r7 rows park at [50:61]
+    # and roll to the r13 budget; from position 61 the tail is
+    # evidence-age-ordered ascending.  Pinned against the r1-r11
+    # artifacts only (the evidence the rotation was derived FROM), so
+    # later driver rounds cannot invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
     changed = [
+        "dlq_avro_wire",
+        "dlq_proto_wire",
         "search_eval_macro",
-        "sample_quality_classifier",
-        "search_hybrid_rrf",
         "search_eval_ndcg",
         "sample_dsir_importance",
+        "sample_quality_classifier",
     ]
-    assert _PRIORITY[:5] == changed
-    for rnd in range(1, 11):
+    assert _PRIORITY[:6] == changed
+    for rnd in range(1, 12):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # positions 5-49: r6-stale rows only — the budget is spent entirely
-    # on the oldest evidence block
-    debt = _PRIORITY[5:50]
-    assert all(ev.get(name, 0) == 6 for name in debt), [
-        (n, ev.get(n)) for n in debt if ev.get(n, 0) != 6
+    # the two wire gates are brand-new: no driver evidence exists yet
+    assert all(n not in ev for n in changed[:2])
+    # [6:11]: the rolled r6 block, oldest evidence in the ledger
+    assert all(ev.get(n) == 6 for n in _PRIORITY[6:11]), _PRIORITY[6:11]
+    # [11:25]: the error-handling family at ages 7 (capture/log/describe)
+    # then 8 (DLQ/headers/serde)
+    err_gates = _PRIORITY[11:25]
+    assert [ev.get(n) for n in err_gates] == [7] * 9 + [8] * 5, [
+        (n, ev.get(n)) for n in err_gates
     ]
-    # the five displaced r6 rows are parked IMMEDIATELY past the cutoff
-    # (nothing older than them anywhere below, nothing r6-stale deeper
-    # in the tail), so the r12 rotation stays mechanical
-    rolled = _PRIORITY[50:55]
-    assert all(ev.get(n) == 6 for n in rolled), rolled
-    stragglers = [n for n in _PRIORITY[55:] if ev.get(n, 99) <= 6]
+    assert all(
+        ("capture" in n or "describe" in n or "log_errors" in n
+         or "dlq" in n or "error" in n or "serde" in n or "validate" in n)
+        for n in err_gates
+    ), err_gates
+    # [25:50]: r7 rows only — the budget closes on the oldest plain block
+    assert all(ev.get(n) == 7 for n in _PRIORITY[25:50]), [
+        (n, ev.get(n)) for n in _PRIORITY[25:50] if ev.get(n) != 7
+    ]
+    # the 11 displaced r7 rows sit IMMEDIATELY past the cutoff; no row
+    # with evidence <= 7 hides deeper in the tail
+    assert all(ev.get(n) == 7 for n in _PRIORITY[50:61]), _PRIORITY[50:61]
+    stragglers = [n for n in _PRIORITY[61:] if ev.get(n, 99) <= 7]
     assert not stragglers, stragglers
-    ages = [ev[n] for n in _PRIORITY[5:] if n in ev]
-    assert ages == sorted(ages), "tail must be evidence-age-ordered"
+    ages = [ev[n] for n in _PRIORITY[61:] if n in ev]
+    assert ages == sorted(ages), "tail past the rolled block must be age-ordered"
