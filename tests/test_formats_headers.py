@@ -313,3 +313,67 @@ def test_registry_stub_semantics():
     assert reg.latest("s") == (b, "schema-2")
     with pytest.raises(ValueError, match="magic"):
         unframe_confluent(b"\x01garbage")
+
+
+# ---------------------------------------------------------------------------
+# Property round-trips (r12): the fixture-matrix wire gates pin exact
+# bytes for non-negative, SQL-expressible cases; these hypothesis drives
+# the codecs through everything the SQL oracle's constraints exclude —
+# negative partitions/offsets (zig-zag / two's-complement varints),
+# >63-byte strings (multi-byte length varints), arbitrary unicode, and
+# empty-vs-absent distinctions — asserting decode(encode(x)) == x.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_opt_text = st.one_of(st.none(), st.text(max_size=200))
+_opt_int32 = st.one_of(
+    st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)
+)
+_opt_int64 = st.one_of(
+    st.none(), st.integers(min_value=-(2**62), max_value=2**62 - 1)
+)
+_opt_ts = st.one_of(
+    st.none(),
+    st.integers(min_value=0, max_value=4_102_444_800_000).map(
+        lambda ms: pd.Timestamp(ms, unit="ms")
+    ),
+)
+
+_dead_letters = st.fixed_dictionaries(
+    {
+        "description": st.text(max_size=300),
+        "cause": st.fixed_dictionaries(
+            {
+                "message": _opt_text,
+                "stack_trace": _opt_text,
+                "error_class": _opt_text,
+            }
+        ),
+        "input_value": _opt_text,
+        "topic": _opt_text,
+        "partition": _opt_int32,
+        "offset": _opt_int64,
+        "input_timestamp": _opt_ts,
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rec=_dead_letters)
+def test_avro_round_trip_property(rec):
+    out = decode_dead_letter(encode_dead_letter(rec))
+    for k in ("description", "cause", "input_value", "topic", "partition",
+              "offset", "input_timestamp"):
+        assert out[k] == rec[k], k
+
+
+@settings(max_examples=200, deadline=None)
+@given(rec=_dead_letters)
+def test_proto_round_trip_property(rec):
+    out = decode_proto_dead_letter(encode_proto_dead_letter(rec))
+    assert out["description"] == rec["description"]
+    assert out["cause"] == rec["cause"]
+    for k in ("input_value", "topic", "partition", "offset"):
+        assert out[k] == rec[k], k
+    assert out["input_timestamp"] == rec["input_timestamp"]

@@ -40,7 +40,11 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 # own two ≤2k-row metric aggregates and the single-row IDCG exchange —
 # every added exchange moves a bounded pool or a scalar, never the
 # corpus); arrow-python unchanged (pure column plan).
-TOTAL_ARROW_PYTHON_PIN = 33
+# r12: 33 -> 35 — the two DLQ wire-byte gates run the spec encoders as
+# Arrow-batched pandas UDFs over the 5-row fixture frame (per-row
+# binary encoding is the one legitimately Python-shaped op; the frame
+# is a literal, never corpus data).
+TOTAL_ARROW_PYTHON_PIN = 35
 # r11: 447 -> 480 — search_eval_macro (+25: five topics × the audited
 # single-query eval plan, each exchange a bounded pool / scalar, plus
 # the 12-row per-query∪macro fold) and sample_quality_classifier
@@ -51,7 +55,15 @@ TOTAL_ARROW_PYTHON_PIN = 33
 # the one-shot barrier moved to localCheckpoint (the sketch/totals
 # aggregates over the checkpointed frame plan as real exchanges where
 # the collected-local-relation draft folded them) -> 485.
-TOTAL_SHUFFLES_PIN = 485
+# r12: 485 -> 464 on 242 plans (VERDICT r11 #1/#2) — the batched eval
+# engine collapses search_eval_macro 32 -> 10 (one fused scan,
+# WindowGroupLimit pools, no subtree inlined twice; search_eval_ndcg
+# now 9 as the |Q|=1 face of the same engine), the persist-barrier /
+# collected-sketch one-shot selection modes leave
+# sample_dsir_importance at 2 and sample_quality_classifier at 4
+# (sketch/totals/weights replay a local relation), and the two new
+# wire gates add 1 each (the 5-row fixture orderBy).
+TOTAL_SHUFFLES_PIN = 464
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest

@@ -330,3 +330,44 @@ def test_quality_nb_matches_independent_python_model(spark):
     for r, e in zip(got, expected):
         assert (r.source, r.weak_pass, r.n_feats) == (e[1], e[2], e[3]), r
         assert abs(r.nb_micro - e[4]) <= r.n_feats + 1, (r, e)
+
+
+def test_one_shot_selection_caches_release_on_gc(spark):
+    """The persist-barrier contract (VERDICT r11 #2): the one-shot
+    dsir/NB modes cache the feature fan-out with FULL lineage and tie
+    release to the returned frame via a weakref finalizer — after the
+    caller drops the result, no cache-manager entry may survive (the
+    ADVICE-r10 leak was exactly stranded persists in long sessions)."""
+    import gc
+    import time
+
+    from kafka_error_handling_spark.datapipe.sampling import (
+        dsir_importance,
+        quality_nb_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src%d" % (i % 2), "alpha beta gamma delta token%d" % i)
+         for i in range(40)],
+        "doc_id long, source string, text string",
+    ).withColumn("source", F.when(F.col("doc_id") < 20, "src0").otherwise("src1"))
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    baseline = n_persisted()  # tolerate caches other fixtures may hold
+    out = dsir_importance(docs, n_select=5)
+    out.collect()
+    out2 = quality_nb_select(docs, n_select=5)
+    out2.collect()
+    # while the frames are alive their caches may legitimately persist
+    del out, out2
+    gc.collect()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if n_persisted() <= baseline:
+            break
+        time.sleep(0.5)
+    assert n_persisted() <= baseline, (
+        "one-shot selection caches survived GC of the returned frames"
+    )
