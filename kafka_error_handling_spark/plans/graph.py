@@ -29,7 +29,7 @@ determinism is what makes the result gate-able.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.files import load_table as _t
@@ -732,14 +732,21 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
         )
-        cur = cur.localCheckpoint(eager=True)
+        # the edge count rides the checkpoint job via observe (the CC
+        # round's r12 pattern — one fewer fixed-cost job per round); the
+        # node count needs a distinct, which CollectMetrics cannot
+        # express, so it stays a separate bounded aggregate
+        obs = Observation()
+        cur = cur.observe(obs, F.count(F.lit(1)).alias("n_edges")).localCheckpoint(
+            eager=True
+        )
         n_nodes = (
             cur.select(F.col("src").alias("n"))
             .unionByName(cur.select(F.col("dst").alias("n")))
             .distinct()
             .count()
         )
-        rows.append((rnd, n_nodes, cur.count()))
+        rows.append((rnd, n_nodes, obs.get["n_edges"]))
     return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")
 
 
@@ -815,7 +822,11 @@ def connected_components(
       strictly decreasing until fixpoint and "sum unchanged" == "no
       label changed".  The sum rides a DECIMAL(38,0) cast (a bigint sum
       could overflow silently at 1e9 nodes x 1e9 ids).  Per-round driver
-      traffic is that single scalar — bounded at any graph size.
+      traffic is that single scalar — bounded at any graph size — and
+      it PIGGYBACKS on the checkpoint job via ``DataFrame.observe``
+      (r12: the eager localCheckpoint already executes the round's
+      plan; a separate agg-collect job doubled the per-round fixed
+      cost that dominates small graphs — one job per round, not two).
     - each round ALSO path-shortcuts: after the edge hop, labels chase
       one pointer (label <- label(label), a self-join of the one-row-
       per-node label frame).  Edge hops alone converge in O(diameter)
@@ -868,14 +879,14 @@ def connected_components(
         ptr = hop.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        obs = Observation()
         lab_next = (
             hop.join(hint(ptr), hop.label == ptr.p_node)
             .select("node", F.col("p_label").alias("label"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = lab_next.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0][0]
+        cur_sum = obs.get["s"]  # already computed by the checkpoint job
         lab = lab_next
         # cur_sum is NULL only when the label frame is empty (no edges):
         # already converged — without this the `prev_sum is not None`
