@@ -45,6 +45,34 @@ _B = 0.75
 _QUERY_TERMS = ["spark", "join", "window"]
 
 
+def _tf_expr(toks: Column, term: str) -> Column:
+    """Per-document term frequency over a token-array column.  NB:
+    pyspark binds a Column to EVERY lambda parameter (a default arg
+    would receive the element index) — capture via closure."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+
+def _bm25_score(tf_col, df_col, n_terms: int) -> Column:
+    """THE BM25 score expression — the single source for every scorer
+    in this module (bm25_topk, boolean_and_topk, the batched eval
+    engine), so the cross-engine bit-parity claim rests on one float
+    expression instead of hand-synchronized copies (r12 review).
+
+    ``tf_col(i)`` / ``df_col(i)`` name the i-th term's frequency /
+    document-frequency columns; ``dl``/``n_docs``/``avgdl`` are read by
+    their canonical names.  The fold is seeded with lit(0.0) and adds
+    terms in query order — summation order is part of the contract."""
+    score = F.lit(0.0)
+    for i in range(n_terms):
+        tf, df = tf_col(i), df_col(i)
+        idf = F.log(
+            (F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0
+        )
+        norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        score = score + idf * (tf * (_K1 + 1.0)) / norm
+    return score
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -59,13 +87,10 @@ def bm25_topk(
     aggregate; the ranking compiles to TakeOrderedAndProject.
     """
     toks = F.split(F.col(text_col), " ")
-
-    def _tf(term):
-        # NB: pyspark binds a Column to EVERY lambda parameter (a default
-        # arg would receive the element index) — capture via closure
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
-    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)]
+    tf_cols = [
+        _tf_expr(toks, term).alias(f"tf_{i}")
+        for i, term in enumerate(query_terms)
+    ]
     base = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
 
     stats = base.agg(
@@ -78,15 +103,9 @@ def bm25_topk(
     )
 
     scored = base.crossJoin(broadcast(stats))
-    score = F.lit(0.0)
-    for i in range(len(query_terms)):
-        tf = F.col(f"tf_{i}")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
-            + 1.0
-        )
-        norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-        score = score + idf * (tf * (_K1 + 1.0)) / norm
+    score = _bm25_score(
+        lambda i: F.col(f"tf_{i}"), lambda i: F.col(f"df_{i}"), len(query_terms)
+    )
     return (
         scored.select(
             F.col(id_col),
@@ -279,11 +298,10 @@ def boolean_and_topk(
     column-pruned scan, with the digest-bucketed layout doing the file
     pruning.)"""
     toks = F.split(F.col(text_col), " ")
-
-    def _tf(term):
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
-    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)]
+    tf_cols = [
+        _tf_expr(toks, term).alias(f"tf_{i}")
+        for i, term in enumerate(query_terms)
+    ]
     base = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -297,15 +315,9 @@ def boolean_and_topk(
     for i in range(len(query_terms)):
         conj = conj.filter(F.col(f"tf_{i}") > 0)
     scored = conj.crossJoin(broadcast(stats))
-    score = F.lit(0.0)
-    for i in range(len(query_terms)):
-        tf = F.col(f"tf_{i}")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
-            + 1.0
-        )
-        norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-        score = score + idf * (tf * (_K1 + 1.0)) / norm
+    score = _bm25_score(
+        lambda i: F.col(f"tf_{i}"), lambda i: F.col(f"df_{i}"), len(query_terms)
+    )
     return (
         scored.select(
             F.col(id_col),
@@ -566,16 +578,11 @@ def rerank_cross_encoder(
     ).join(broadcast(pool.select("doc_id", "rrf")), "doc_id")
     toks = F.split(F.col("text"), " ")
     dl = F.size(toks)
-    def _tf(term: str):
-        # NB: the lambda must take exactly ONE parameter — F.filter treats
-        # a two-parameter callable as (element, index)
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
     if not query_terms:
         # zero terms would divide coverage by 0 below — fail loud at plan
         # build, not with NULL scores at runtime (ADVICE r9)
         raise ValueError("query_terms must be non-empty")
-    tfs = [_tf(term) for term in query_terms]
+    tfs = [_tf_expr(toks, term) for term in query_terms]
     poss = [F.array_position(toks, term) for term in query_terms]
     n_terms = len(query_terms)
     coverage = (
@@ -1154,13 +1161,8 @@ def _batched_eval(
     nq = len(topics)
     pool = max(RRF_POOL, k)
     toks = F.split(F.col(text_col), " ")
-
-    def _tf(term):
-        # capture via closure — pyspark binds a Column to every lambda arg
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
     tf_cols = [
-        _tf(term).alias(f"tf_{qid}_{i}")
+        _tf_expr(toks, term).alias(f"tf_{qid}_{i}")
         for qid, (terms, _v) in enumerate(topics)
         for i, term in enumerate(terms)
     ]
@@ -1178,19 +1180,15 @@ def _batched_eval(
     )
     scored = base.crossJoin(broadcast(stats))
 
-    # per-qid BM25 (the bm25_topk expression verbatim, term order fixed)
+    # per-qid BM25 — the SAME _bm25_score expression bm25_topk compiles,
+    # over the qid-prefixed tf/df columns
     qcols = []
     for qid, (terms, _v) in enumerate(topics):
-        score = F.lit(0.0)
-        for i in range(len(terms)):
-            tf = F.col(f"tf_{qid}_{i}")
-            idf = F.log(
-                (F.col("n_docs") - F.col(f"df_{qid}_{i}") + 0.5)
-                / (F.col(f"df_{qid}_{i}") + 0.5)
-                + 1.0
-            )
-            norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-            score = score + idf * (tf * (_K1 + 1.0)) / norm
+        score = _bm25_score(
+            lambda i, q=qid: F.col(f"tf_{q}_{i}"),
+            lambda i, q=qid: F.col(f"df_{q}_{i}"),
+            len(terms),
+        )
         qcols.append((F.floor(score * 10000) / 10000.0).alias(f"bm25_{qid}"))
     lex_stack = ", ".join(f"{qid}, bm25_{qid}" for qid in range(nq))
     lex_melt = scored.select(F.col(id_col), *qcols).selectExpr(

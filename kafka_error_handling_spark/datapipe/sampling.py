@@ -47,7 +47,17 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     one-shot convenience modes never strand cache-manager entries in a
     long-lived session, while the cache keeps FULL lineage (unlike
     localCheckpoint — a lost executor recomputes, never kills the job;
-    docs/SCALE.md on the barrier contract)."""
+    docs/SCALE.md on the barrier contract).
+
+    Lifetime contract (r12 review): the anchor is the returned PYTHON
+    wrapper, so act on the returned frame directly
+    (``collect``/``write``/``toPandas``).  Chaining further
+    transformations (``result.filter(...).collect()``) drops the
+    wrapper before the action runs and releases the caches early —
+    results stay CORRECT (persist keeps lineage; Spark recomputes the
+    fan-out), only the one-shot speed advantage is lost.  Callers that
+    need to transform downstream should use the two-stage
+    ``bucket_counts=``/``counts=`` paths, which cache nothing."""
     if cached:
         import weakref
 
@@ -1574,15 +1584,29 @@ def quality_nb_select(
         # aggregate row per doc; shuffling text upfront paid more)
         feats = _qnb_feature_frame(docs, text_col, id_col)
         labels = _qnb_labels(docs, text_col, id_col)
-        # a merged sketch missing its bucket −1 prior row would make the
-        # prior frame EMPTY and the crossJoin silently annihilate the
-        # whole selection (ADVICE r11) — fail loudly instead; `counts`
-        # is a bounded sketch by contract, so the probe job is cheap
-        if counts.filter(F.col("bucket") == -1).isEmpty():
+        # a malformed merged sketch must fail LOUDLY (ADVICE r11 + r12
+        # review): a missing bucket −1 prior row makes the prior frame
+        # empty and the crossJoin silently annihilates the selection; a
+        # union-merged sketch (rows appended instead of the documented
+        # groupBy(bucket).sum() re-aggregation) carries DUPLICATE bucket
+        # rows that double-match the scoring join and duplicate the
+        # prior.  One bounded probe job catches both: `counts` is a
+        # ≤4097-row sketch by contract, so the aggregate is cheap.
+        probe = (
+            counts.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("bucket") == -1) | (F.col("n") > 1))
+            .collect()
+        )
+        n_prior = sum(r["n"] for r in probe if r["bucket"] == -1)
+        dup_buckets = [r["bucket"] for r in probe if r["n"] > 1]
+        if n_prior != 1 or dup_buckets:
             raise ValueError(
-                "quality_nb_select: `counts` has no bucket == -1 prior row "
-                "— not a quality_nb_counts-shaped sketch (merge must keep "
-                "the per-class document-count row)"
+                "quality_nb_select: `counts` is not a "
+                "quality_nb_counts-shaped sketch "
+                f"(bucket == -1 prior rows: {n_prior}, expected exactly 1; "
+                f"duplicated buckets: {sorted(dup_buckets)[:5]} — merge "
+                "micro-batch sketches with groupBy(bucket).sum(), not union)"
             )
     feature_counts = counts.filter(F.col("bucket") >= 0)
     doc_counts = counts.filter(F.col("bucket") == -1)

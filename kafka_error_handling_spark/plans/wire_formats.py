@@ -28,6 +28,13 @@ UTF-8 BYTE lengths vs character counts).
 Fixture constraint: numeric fields are non-negative (negative zig-zag /
 two's-complement varints are covered by the pytest round-trips; keeping
 the SQL varint non-negative keeps the oracle readable).
+
+Timezone: the timestamp fixture is WALL-TIME-stable across session
+timezones — Spark parses the string in the session TZ and the pandas
+encoder receives the session-local wall time back (Arrow re-localizes),
+so it encodes the same epoch the DuckDB oracle derives from the same
+literal parsed as UTC.  Pinned empirically by the TZ=America/New_York
+perturbation sweep (runs/sweeps.json `tz`), which runs both gates.
 """
 
 from __future__ import annotations
@@ -170,25 +177,38 @@ def _avro_opt_long(expr: str) -> str:
     )
 
 
-def _sql_avro_wire() -> str:
-    values = ", ".join(
+def _fixture_values() -> str:
+    """The fixture matrix as a SQL VALUES body — ONE rendering shared by
+    both oracles (r12 review: a NULL/quoting/TIMESTAMP fix must never
+    land in one oracle and not the other).  Fixture strings contain no
+    single quotes by construction; numerics are non-negative (see the
+    module docstring's constraint note)."""
+
+    def _s(v):
+        if v is None:
+            return "NULL"
+        assert "'" not in v, f"fixture string needs SQL escaping: {v!r}"
+        return f"'{v}'"
+
+    return ", ".join(
         "({}, {}, {}, {}, {}, {}, {}, {}, {}, {})".format(
             cid,
-            *[
-                "NULL" if v is None else f"'{v}'"
-                for v in (iv, tp)
-            ],
+            _s(iv),
+            _s(tp),
             "NULL" if pt is None else pt,
             "NULL" if of is None else of,
-            f"'{de}'",
-            *[
-                "NULL" if v is None else f"'{v}'"
-                for v in (em, es, ec)
-            ],
+            _s(de),
+            _s(em),
+            _s(es),
+            _s(ec),
             "NULL" if ts is None else f"TIMESTAMP '{ts}'",
         )
         for cid, iv, tp, pt, of, de, em, es, ec, ts in _FIXTURES
     )
+
+
+def _sql_avro_wire() -> str:
+    values = _fixture_values()
     # .avsc field order: input_value?, topic?, partition?, offset?,
     # description, cause{error_class?, message?, stack_trace?},
     # input_timestamp?(millis)
@@ -254,18 +274,7 @@ def _proto_opt_wrapper(field_tag: int, guard_col: str, sv_col: str) -> str:
 
 
 def _sql_proto_wire() -> str:
-    values = ", ".join(
-        "({}, {}, {}, {}, {}, {}, {}, {}, {}, {})".format(
-            cid,
-            *["NULL" if v is None else f"'{v}'" for v in (iv, tp)],
-            "NULL" if pt is None else pt,
-            "NULL" if of is None else of,
-            f"'{de}'",
-            *["NULL" if v is None else f"'{v}'" for v in (em, es, ec)],
-            "NULL" if ts is None else f"TIMESTAMP '{ts}'",
-        )
-        for cid, iv, tp, pt, of, de, em, es, ec, ts in _FIXTURES
-    )
+    values = _fixture_values()
     # layer 1: leaf payloads (StringValue / Int32Value / Int64Value /
     # Timestamp submessage bodies), one column each
     secs = "(epoch_us(ts) // 1000000)"

@@ -371,3 +371,32 @@ def test_one_shot_selection_caches_release_on_gc(spark):
     assert n_persisted() <= baseline, (
         "one-shot selection caches survived GC of the returned frames"
     )
+
+
+def test_quality_nb_select_rejects_malformed_merged_sketch(spark):
+    """A merged sketch must be groupBy(bucket)-re-aggregated: a missing
+    bucket −1 prior row used to silently annihilate the selection
+    (ADVICE r11), and a union-merged sketch with duplicate bucket rows
+    silently double-counted (r12 review) — both now fail loudly."""
+    import pytest as _pytest
+
+    from kafka_error_handling_spark.datapipe.sampling import (
+        quality_nb_counts,
+        quality_nb_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src0", "alpha beta gamma tok%d" % i) for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    good = quality_nb_counts(docs)
+    # sanity: the well-formed sketch scores fine
+    assert quality_nb_select(docs, n_select=3, counts=good).count() > 0
+
+    no_prior = good.filter(F.col("bucket") >= 0)
+    with _pytest.raises(ValueError, match="prior rows: 0"):
+        quality_nb_select(docs, n_select=3, counts=no_prior)
+
+    union_merged = good.unionByName(good)  # the documented merge mistake
+    with _pytest.raises(ValueError, match="duplicated buckets"):
+        quality_nb_select(docs, n_select=3, counts=union_merged)
