@@ -105,3 +105,14 @@ def test_wire_oracles_are_duckdb_clean(sql):
     rows = rel.fetchall()
     assert len(rows) == len(_FIXTURES)
     assert all(isinstance(h, str) and len(h) % 2 == 0 for _c, h in rows)
+
+
+def test_wire_oracle_sql_stays_bounded():
+    """Regression tripwire for the nested-payload inlining blow-up: the
+    first proto oracle draft repeated each payload expression ~27x per
+    LEN nesting level, rendered 44 MB of SQL, and stalled DuckDB's
+    planner for minutes.  The CTE-layered form is ~40-80 KB; anything
+    re-approaching the combinatorial regime fails here long before a
+    gate hangs."""
+    assert len(_sql_avro_wire()) < 200_000
+    assert len(_sql_proto_wire()) < 200_000
