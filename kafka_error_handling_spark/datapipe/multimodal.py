@@ -539,10 +539,19 @@ def q_corpus_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select(
         "doc_id", "source", "text", F.md5(F.encode("text", "UTF-8")).alias("digest")
     )
-    keep_rank = F.row_number().over(
-        Window.partitionBy("digest").orderBy("doc_id")
+    # CAS keep = min(doc_id) per digest — VERDICT r12 #4: the old
+    # row_number() OVER (PARTITION BY digest) shuffled the FULL document
+    # text by digest; this aggregate's exchange carries (digest, doc_id)
+    # pairs only (map-side combined), and the join-back key is the
+    # unique doc_id, so the text column never rides a dedup exchange —
+    # at lint scale AQE broadcasts the keeper set and the wide side
+    # never shuffles at all (the repo's min_per_group_joinback pattern)
+    keepers = (
+        staged.groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    deduped = staged.withColumn("kr", keep_rank).filter(F.col("kr") == 1)
+    deduped = staged.join(keepers, "doc_id", "left_semi")
 
     chars = (
         deduped.select("doc_id", F.explode(F.split("text", "")).alias("ch"))

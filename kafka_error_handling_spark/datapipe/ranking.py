@@ -52,6 +52,20 @@ def _tf_expr(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
 
+def _bm25_term_contrib(tf: Column, df: Column) -> Column:
+    """ONE query term's BM25 contribution — the per-term factor of the
+    single-sourced score (r12 review made the SCORE single-sourced; the
+    r13 wide-topic engine needs the TERM, because it materializes each
+    (qid, term, doc) contribution as a row and folds them in term order
+    instead of unrolling the sum into one projection).  ``dl`` /
+    ``n_docs`` / ``avgdl`` are read by their canonical names; the float
+    expression is character-identical to the oracle's SQL term, so both
+    the unrolled and the row-wise fold reproduce the same bits."""
+    idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+    norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+    return idf * (tf * (_K1 + 1.0)) / norm
+
+
 def _bm25_score(tf_col, df_col, n_terms: int) -> Column:
     """THE BM25 score expression — the single source for every scorer
     in this module (bm25_topk, boolean_and_topk, the batched eval
@@ -61,15 +75,12 @@ def _bm25_score(tf_col, df_col, n_terms: int) -> Column:
     ``tf_col(i)`` / ``df_col(i)`` name the i-th term's frequency /
     document-frequency columns; ``dl``/``n_docs``/``avgdl`` are read by
     their canonical names.  The fold is seeded with lit(0.0) and adds
-    terms in query order — summation order is part of the contract."""
+    terms in query order — summation order is part of the contract
+    (zero-tf terms contribute an exact +0.0, so the wide engine may
+    skip them without moving a bit)."""
     score = F.lit(0.0)
     for i in range(n_terms):
-        tf, df = tf_col(i), df_col(i)
-        idf = F.log(
-            (F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0
-        )
-        norm = tf + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-        score = score + idf * (tf * (_K1 + 1.0)) / norm
+        score = score + _bm25_term_contrib(tf_col(i), df_col(i))
     return score
 
 
@@ -1111,6 +1122,12 @@ QUERIES["search_query_expansion"] = (q_query_expansion, _sql_query_expansion())
 
 EVAL_K = 10  # evaluation cutoff (nDCG@10 / P@10, the TREC default)
 
+#: widest topic set the unrolled (compile-time-literal) eval engine is
+#: allowed to compile: past ~50 topics the |topics|·|terms| projection
+#: falls off whole-stage codegen (docs/SCALE.md "Topic-width bound").
+#: Above this, :func:`_batched_eval` dispatches to the data-driven shape.
+EVAL_UNROLL_MAX = 50
+
 
 def _dcg_contrib_micro(grade: Column, rank: Column) -> Column:
     """floor(1e6 × (2^grade − 1)/log2(rank+1)) as int64 — the per-rank
@@ -1118,6 +1135,67 @@ def _dcg_contrib_micro(grade: Column, rank: Column) -> Column:
     gain = F.pow(F.lit(2.0), grade.cast("double")) - F.lit(1.0)
     return F.floor(gain / F.log2(rank.cast("double") + F.lit(1.0)) * 1000000.0).cast(
         "long"
+    )
+
+
+def _dense_ranks(
+    spark: SparkSession,
+    emb: DataFrame,
+    topics: list[tuple[list[str], int]],
+    pool: int,
+    id_col: str,
+) -> DataFrame:
+    """(qid, id, vec_rank) for every topic's dense query vector — ONE
+    :func:`knn_bruteforce` call over all query vectors; qid rides in via
+    a broadcast (qid, vec_id) map so topics may share a query vector.
+    Extracted verbatim from the r12 fused engine so the unrolled and the
+    wide-topic engines compile the identical dense subtree."""
+    from .similarity import knn_bruteforce
+
+    vec_ids = sorted({vid for _t, vid in topics})
+    qmap = spark.createDataFrame(
+        [(qid, vid) for qid, (_t, vid) in enumerate(topics)],
+        "qid int, vec_id long",
+    )
+    dense_raw = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id").isin(vec_ids)), k=pool
+    )
+    return (
+        dense_raw.join(broadcast(qmap), dense_raw["query_id"] == qmap["vec_id"])
+        .select(
+            "qid",
+            F.col("neighbor_id").alias(id_col),
+            F.col("rank").alias("vec_rank"),
+        )
+    )
+
+
+def _rrf_runs(
+    lexranks: DataFrame, dense: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Fuse the two bounded candidate pools into the per-(ranker, qid)
+    run lists: (ranker, qid, id, rank), rank <= k.  RRF fusion per qid
+    over <=2·pool·|Q| rows; BOTH rankers' lists derive from the ONE
+    fused frame (the bm25 list is the lex_rank <= k slice — every
+    lexranks row survives the full outer join), so the plan references
+    the scoring subtree once instead of once per ranker.  Extracted
+    verbatim from the r12 fused engine (shared by the wide engine)."""
+    fused = lexranks.join(dense, ["qid", id_col], "full_outer")
+    rrf_raw = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K0) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("vec_rank")), F.lit(0.0))
+    wr = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), F.asc(id_col))
+    return (
+        fused.withColumn("rrf_raw", rrf_raw)
+        .withColumn("hyb_rank", F.row_number().over(wr))
+        .selectExpr(
+            "qid",
+            id_col,
+            f"stack(2, 'bm25', CASE WHEN lex_rank <= {int(k)} THEN lex_rank END,"
+            f" 'hybrid_rrf', CASE WHEN hyb_rank <= {int(k)} THEN hyb_rank END)"
+            " AS (ranker, rank)",
+        )
+        .filter(F.col("rank").isNotNull())
     )
 
 
@@ -1156,7 +1234,18 @@ def _batched_eval(
     single-query expression tree (same fixed-order float sums, same
     floor scalings, same tie-breaks), so the per-topic results are
     bit-identical to the unbatched plan and the DuckDB oracle.
+
+    TOPIC-WIDTH BOUND (VERDICT r12 #1): the unrolled projection is
+    |topics|·|terms| columns wide — past ~50 topics it falls off
+    whole-stage codegen (the documented cliff in docs/SCALE.md).  Above
+    :data:`EVAL_UNROLL_MAX` this dispatches to :func:`_batched_eval_wide`,
+    the data-driven shape (broadcast (qid, term) table, one token
+    explode, ordered row-fold scoring) whose plan width is CONSTANT in
+    |topics| — same metrics, bit-identical, gated at |Q| = 60 by
+    ``search_eval_wide``.
     """
+    if len(topics) > EVAL_UNROLL_MAX:
+        return _batched_eval_wide(docs, emb, topics, k, text_col, id_col)
     spark = docs.sparkSession
     nq = len(topics)
     pool = max(RRF_POOL, k)
@@ -1202,50 +1291,10 @@ def _batched_eval(
         .select("qid", id_col, "lex_rank")
     )
 
-    # dense ranks: ONE knn call over all query vectors; qid rides in via
-    # a broadcast (qid, vec_id) map so topics may share a query vector
-    from .similarity import knn_bruteforce
-
-    vec_ids = sorted({vid for _t, vid in topics})
-    qmap = spark.createDataFrame(
-        [(qid, vid) for qid, (_t, vid) in enumerate(topics)],
-        "qid int, vec_id long",
-    )
-    dense_raw = knn_bruteforce(
-        emb, emb.filter(F.col("vec_id").isin(vec_ids)), k=pool
-    )
-    dense = (
-        dense_raw.join(broadcast(qmap), dense_raw["query_id"] == qmap["vec_id"])
-        .select(
-            "qid",
-            F.col("neighbor_id").alias(id_col),
-            F.col("rank").alias("vec_rank"),
-        )
-    )
-
-    # RRF fusion per qid over the two bounded pools (≤2·pool·|Q| rows).
-    # BOTH rankers' run lists derive from this ONE fused frame — the
-    # bm25 list is exactly the lex_rank ≤ k slice (every lexranks row
-    # survives the full outer join), so the plan references the scoring
-    # subtree once instead of once per ranker (static-plan dedup: a
-    # union of two frames sharing an ancestor inlines it twice).
-    fused = lexranks.join(dense, ["qid", id_col], "full_outer")
-    rrf_raw = F.coalesce(
-        F.lit(1.0) / (F.lit(RRF_K0) + F.col("lex_rank")), F.lit(0.0)
-    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("vec_rank")), F.lit(0.0))
-    wr = Window.partitionBy("qid").orderBy(F.desc("rrf_raw"), F.asc(id_col))
-    runs = (
-        fused.withColumn("rrf_raw", rrf_raw)
-        .withColumn("hyb_rank", F.row_number().over(wr))
-        .selectExpr(
-            "qid",
-            id_col,
-            f"stack(2, 'bm25', CASE WHEN lex_rank <= {int(k)} THEN lex_rank END,"
-            f" 'hybrid_rrf', CASE WHEN hyb_rank <= {int(k)} THEN hyb_rank END)"
-            " AS (ranker, rank)",
-        )
-        .filter(F.col("rank").isNotNull())
-    )
+    # dense ranks + RRF fusion: the shared helpers (extracted verbatim —
+    # this engine's plan is unchanged by the r13 refactor)
+    dense = _dense_ranks(spark, emb, topics, pool, id_col)
+    runs = _rrf_runs(lexranks, dense, k, id_col)
 
     # pseudo-grades for every topic off one column-pruned (id, text) scan
     grade_cols = []
@@ -1304,6 +1353,239 @@ def _batched_eval(
         "mrr_ppm",
         "prec_ppm",
     )
+
+
+def _batched_eval_wide(
+    docs: DataFrame,
+    emb: DataFrame,
+    topics: list[tuple[list[str], int]],
+    k: int = EVAL_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DATA-DRIVEN eval engine — same contract and bit-identical
+    output as :func:`_batched_eval`, but the topic set is a broadcast
+    (qid, term_idx, term) TABLE instead of an unrolled projection, so
+    plan width (and whole-stage codegen) is CONSTANT in |topics|.  This
+    is the >:data:`EVAL_UNROLL_MAX` shape VERDICT r12 #1 asked for in
+    code: a real offline eval set is 50-500 topics, and the unrolled
+    engine's |topics|·|terms| column fan-out falls off codegen there.
+
+    Plan, corpus passes (FEWER than the unrolled engine's 4):
+
+      1. one (n_docs, avgdl) aggregate — single-row exchange, broadcast;
+      2. ONE token explode joined to the broadcast term table; per
+         (qid, term, doc) frequencies via hash agg (map-side combine:
+         the exchange carries one narrow row per matched (qid, term,
+         doc), never the corpus); per-(qid, term) document frequencies
+         reduce that same frame again (tiny), broadcast back.
+      3. the per-(qid, doc) score is the ORDERED fold of the per-term
+         contributions: collect_list(struct(term_idx, contrib)) →
+         array_sort → aggregate seeded lit(0.0).  Terms the doc lacks
+         are absent rows — their unrolled contribution is an exact
+         +0.0, so skipping them reproduces the unrolled sum bit-for-bit
+         (:func:`_bm25_term_contrib` is the shared single source).
+         The SAME aggregate emits the pseudo-grade (count of matched
+         terms = the unrolled sum of array_contains), so grades cost no
+         extra corpus pass here.
+      4. per-qid candidate pools / ideal rankings via the group-limited
+         windows (WindowGroupLimit: map-side partial top-k, the
+         exchanges move pools); dense + RRF via the shared helpers.
+
+    Metric join: runs is pool-bounded but GRADES ARE SPARSE here (only
+    docs matching ≥1 term have a row), so the join is runs LEFT OUTER
+    grades with grade coalesced to 0 — run rows (dense hits with no
+    query term) keep contributing zero gain exactly as the unrolled
+    engine's dense gmelt does, and a (ranker, qid) group exists iff the
+    ranker produced run rows for that qid (same output-universe rule).
+    Both sides of that join are narrow (ids + ranks + grade).
+
+    Barrier: the per-doc frequency frame feeds FOUR consumers (df
+    derivation, candidate pools, ideal ranking, metric grades), and
+    column pruning specializes each reference enough that static
+    exchange reuse never fires — without a barrier the token explode
+    re-runs once per consumer (the dsir/qnb lesson, VERDICT r11 #2).
+    So ``tfs_doc`` is persist()-ed with FULL lineage; the cache entry's
+    lifetime is tied to the frame this engine ultimately hands the
+    caller via the ``_keh_caches`` re-anchor protocol (see
+    :func:`search_eval_macro` — the macro fold chains transformations,
+    which would drop a finalizer anchored here before the action runs).
+    """
+    spark = docs.sparkSession
+    pool = max(RRF_POOL, k)
+    toks = F.split(F.col(text_col), " ")
+
+    # the topic set as DATA: one broadcast row per (qid, term slot)
+    tterms = spark.createDataFrame(
+        [
+            (qid, i, t)
+            for qid, (terms, _v) in enumerate(topics)
+            for i, t in enumerate(terms)
+        ],
+        "qid int, term_idx int, term string",
+    )
+
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    hits = (
+        docs.select(
+            F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("tok")
+        )
+        .join(broadcast(tterms), F.col("tok") == F.col("term"))
+        .select("qid", "term_idx", id_col, "dl")
+    )
+    # dl is functionally dependent on the doc — grouping by it is free;
+    # both aggs map-side combine, so the exchanges carry one narrow row
+    # per matched (qid, term, doc) / (qid, doc), never token occurrences
+    tf = hits.groupBy("qid", "term_idx", id_col, "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tfs_doc = (
+        tf.groupBy("qid", id_col, "dl")
+        .agg(
+            F.collect_list(F.struct("term_idx", "tf")).alias("tfs"),
+            F.count(F.lit(1)).alias("grade"),
+        )
+        .persist()
+    )
+
+    # per-(qid, term) document frequencies — derived FROM THE CACHE
+    # (one tiny explode over ≤|terms|-entry arrays), folded to a per-qid
+    # map so the scorer can look df up inside the fold lambda
+    df_q = (
+        tfs_doc.select("qid", F.explode("tfs").alias("p"))
+        .groupBy("qid", F.col("p.term_idx").alias("term_idx"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy("qid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term_idx", "df"))
+            ).alias("dfmap")
+        )
+    )
+
+    # ordered fold: array_sort on (term_idx, tf) structs sorts by the
+    # UNIQUE term_idx, so the + sequence is exactly query-term order;
+    # each step adds the shared single-source per-term contribution
+    score = F.aggregate(
+        F.array_sort(F.col("tfs")),
+        F.lit(0.0),
+        lambda s, x: s
+        + _bm25_term_contrib(
+            x["tf"], F.element_at(F.col("dfmap"), x["term_idx"])
+        ),
+    )
+    scored = (
+        tfs_doc.join(broadcast(df_q), "qid")
+        .crossJoin(broadcast(stats))
+        .select(
+            "qid",
+            id_col,
+            (F.floor(score * 10000) / 10000.0).alias("bm25"),
+        )
+    )
+    # grades come STRAIGHT off the cache, not through `scored`: the df/
+    # stats joins are row-preserving (every cached row's qid exists in
+    # df_q), and routing the grade branches around them stops the
+    # optimizer from re-deriving the pruned broadcast subtrees once per
+    # branch (plans, not rows — measured 18 → ~14 exchanges)
+    grades = tfs_doc.select("qid", id_col, "grade")
+
+    wl = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(id_col))
+    lexranks = (
+        scored.filter(F.col("bm25") > 0.0)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= pool)
+        .select("qid", id_col, "lex_rank")
+    )
+
+    dense = _dense_ranks(spark, emb, topics, pool, id_col)
+    runs = _rrf_runs(lexranks, dense, k, id_col)
+
+    per = (
+        runs.join(grades, ["qid", id_col], "left")
+        .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
+        .groupBy("ranker", "qid")
+        .agg(
+            F.sum(_dcg_contrib_micro(F.col("grade"), F.col("rank"))).alias(
+                "dcg_micro"
+            ),
+            F.max(
+                F.when(
+                    F.col("grade") > 0,
+                    F.floor(F.lit(1000000.0) / F.col("rank")).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("mrr_ppm"),
+            (
+                F.sum((F.col("grade") > 0).cast("long")) * F.lit(1000000 // k)
+            ).alias("prec_ppm"),
+        )
+    )
+
+    # ideal (IDCG): grade > 0 rows ARE the sparse grades frame
+    wi = Window.partitionBy("qid").orderBy(F.desc("grade"), F.asc(id_col))
+    ideal = (
+        grades.withColumn("rank", F.row_number().over(wi))
+        .filter(F.col("rank") <= k)
+        .groupBy("qid")
+        .agg(
+            F.sum(_dcg_contrib_micro(F.col("grade"), F.col("rank"))).alias(
+                "idcg_micro"
+            )
+        )
+    )
+    out = per.join(broadcast(ideal), "qid", "left").select(
+        "ranker",
+        "qid",
+        "dcg_micro",
+        F.floor(F.col("dcg_micro") * F.lit(1000000.0) / F.col("idcg_micro"))
+        .cast("long")
+        .alias("ndcg_ppm"),
+        "mrr_ppm",
+        "prec_ppm",
+    )
+    return _anchor_caches(out, tfs_doc)
+
+
+def _anchor_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie ``cached`` frames' cache entries to ``result``'s lifetime
+    (the persist-with-lineage barrier contract of
+    ``sampling._unpersist_on_gc``) AND record both the caches and a
+    DETACHABLE finalizer on the wrapper, so a caller that CHAINS
+    transformations can move the anchor with :func:`_reanchor_caches`
+    instead of silently dropping the barrier (the documented
+    _unpersist_on_gc failure mode, ADVICE r12)."""
+    import weakref
+
+    jdfs = [c._jdf for c in cached]
+
+    def _release(jdfs=jdfs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
+
+    result._keh_caches = list(cached)
+    result._keh_finalizer = weakref.finalize(result, _release)
+    return result
+
+
+def _reanchor_caches(result: DataFrame, upstream: DataFrame) -> DataFrame:
+    """Move ``upstream``'s cache anchor onto ``result`` (the frame the
+    caller actually returns): detach the finalizer riding ``upstream``
+    — otherwise it fires the moment the intermediate wrapper is GC'd,
+    releasing the cache before the chained frame ever acts — and
+    re-attach the same caches to ``result``."""
+    caches = getattr(upstream, "_keh_caches", None)
+    if caches:
+        fin = getattr(upstream, "_keh_finalizer", None)
+        if fin is not None:
+            fin.detach()
+        return _anchor_caches(result, *caches)
+    return result
 
 
 def _eval_metrics(
@@ -1441,9 +1723,11 @@ def search_eval_macro(
     qs = EVAL_MACRO_QUERIES if queries is None else queries
     if not qs:
         raise ValueError("queries must be non-empty")
-    per = _batched_eval(docs, emb, qs, k, text_col, id_col).select(
-        "ranker", "qid", "ndcg_ppm", "mrr_ppm", "prec_ppm"
-    )
+    # keep the engine's own wrapper alive in a local until the re-anchor
+    # below — chaining .select() directly would GC it (and fire its
+    # cache finalizer) before this function even returns
+    eng = _batched_eval(docs, emb, qs, k, text_col, id_col)
+    per = eng.select("ranker", "qid", "ndcg_ppm", "mrr_ppm", "prec_ppm")
     nq = float(len(qs))
     # macro fold WITHOUT referencing `per` twice (a union of per + its
     # own aggregate inlines the whole upstream plan once per branch):
@@ -1464,7 +1748,7 @@ def search_eval_macro(
         F.sum("prec_ppm").alias("s_prec"),
     )
     is_macro = F.col("qid") == -1
-    return agged.select(
+    out = agged.select(
         "ranker",
         "qid",
         F.when(is_macro, F.floor(F.col("s_ndcg") / nq).cast("long"))
@@ -1477,6 +1761,9 @@ def search_eval_macro(
         .otherwise(F.col("s_prec"))
         .alias("prec_ppm"),
     ).orderBy("qid", "ranker")
+    # the wide engine persists its frequency frame — move its cache
+    # anchor onto the frame WE return, or the barrier dies with `eng`
+    return _reanchor_caches(out, eng)
 
 
 def q_search_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,12 +1830,21 @@ FROM per CROSS JOIN ideal
 """
 
 
-def _sql_eval_macro(k: int = EVAL_K) -> str:
-    nq = len(EVAL_MACRO_QUERIES)
+def _sql_eval_macro(
+    queries: list[tuple[list[str], int]] | None = None, k: int = EVAL_K
+) -> str:
+    """Macro-eval oracle for an arbitrary topic set: a UNION of the
+    single-sourced per-query metric core (:func:`_sql_eval_per_query`,
+    which itself wraps the single-sourced ``_sql_bm25`` scorer), plus
+    the macro floor-mean.  The wide gate reuses this with its 60-topic
+    set — the oracle is |Q| independent per-query pipelines, so it can
+    never share the engine's batching bugs."""
+    qs = EVAL_MACRO_QUERIES if queries is None else queries
+    nq = len(qs)
     per_union = "\n  UNION ALL\n".join(
         "  SELECT ranker, qid, ndcg_ppm, mrr_ppm, prec_ppm"
         f" FROM ({_sql_eval_per_query(qid, terms, vec_id, k)})"
-        for qid, (terms, vec_id) in enumerate(EVAL_MACRO_QUERIES)
+        for qid, (terms, vec_id) in enumerate(qs)
     )
     return f"""
 WITH per AS (
@@ -1570,3 +1866,52 @@ ORDER BY qid, ranker
 QUERIES["search_eval_macro"] = (q_search_eval_macro, _sql_eval_macro())
 # registered here: its oracle wraps _sql_eval_per_query (defined above)
 QUERIES["search_eval_ndcg"] = (q_search_eval_ndcg, _sql_search_eval_ndcg())
+
+
+# ---------------------------------------------------------------------------
+# Wide-topic eval gate (VERDICT r12 #1): |Q| = 60 > EVAL_UNROLL_MAX, so
+# this exercises the data-driven engine end-to-end against 60 fully
+# independent per-query oracle pipelines.  The topic set is a
+# DETERMINISTIC formula over the corpus's 30-word synthetic vocabulary
+# (fixed literal below — same reproducibility contract as
+# EVAL_MACRO_QUERIES): topic i has 2 + (i % 3) terms at stride-3 offsets
+# from 7·i (distinct within a topic for lengths <= 10), dense query
+# vector i.  Lengths cycle 2/3/4 so the fold depth varies; every vocab
+# word appears in multiple topics so the broadcast term table genuinely
+# fans tokens out to several (qid, term) slots — the inverted-index
+# shape the engine must keep narrow.
+# ---------------------------------------------------------------------------
+
+#: the synthetic corpus vocabulary (TESTDATA.md documents.text), fixed
+#: as a literal so the topic formula can never drift with the data
+_EVAL_VOCAB = [
+    "batch", "small", "scan", "agg", "data", "customer", "hash", "big",
+    "slow", "join", "row", "filter", "merge", "table", "stream", "sort",
+    "a", "window", "order", "query", "group", "spark", "part", "column",
+    "value", "the", "vector", "line", "fast", "key",
+]
+
+EVAL_WIDE_N = 60
+
+EVAL_WIDE_QUERIES: list[tuple[list[str], int]] = [
+    (
+        [
+            _EVAL_VOCAB[(7 * i + 3 * j) % len(_EVAL_VOCAB)]
+            for j in range(2 + i % 3)
+        ],
+        i,
+    )
+    for i in range(EVAL_WIDE_N)
+]
+
+
+def q_search_eval_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return search_eval_macro(d, e, EVAL_WIDE_QUERIES)
+
+
+QUERIES["search_eval_wide"] = (
+    q_search_eval_wide,
+    _sql_eval_macro(EVAL_WIDE_QUERIES),
+)

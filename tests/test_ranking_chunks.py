@@ -260,3 +260,127 @@ def test_cdc_chunking_short_and_empty_docs(spark):
     assert by_doc[2] == ["one"]
     assert by_doc[3] == ["one two"]
     assert by_doc[4] == ["one two three"]
+
+
+# ---------------------------------------------------------------------------
+# Wide-topic eval engine (VERDICT r12 #1): the data-driven shape must be
+# bit-identical to the unrolled engine, dispatch only above
+# EVAL_UNROLL_MAX, keep a literal topic formula, and release its
+# persist-with-lineage cache when the returned frame is dropped.
+# ---------------------------------------------------------------------------
+
+
+def test_wide_engine_bit_parity_with_unrolled(spark, sf_dir):
+    """Every per-(ranker, qid) metric row from the data-driven engine
+    equals the unrolled engine's EXACTLY (integer ppm metrics are only
+    equal when the underlying float rankings are bit-identical, so this
+    is the fold-order/skipped-zero-term contract in one assert)."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        EVAL_MACRO_QUERIES,
+        _batched_eval,
+        _batched_eval_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = lambda r: (r["ranker"], r["qid"])  # noqa: E731
+    a = sorted(_batched_eval(docs, emb, EVAL_MACRO_QUERIES).collect(), key=key)
+    b = sorted(
+        _batched_eval_wide(docs, emb, EVAL_MACRO_QUERIES).collect(), key=key
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_batched_eval_dispatch_threshold(spark, sf_dir):
+    """<= EVAL_UNROLL_MAX topics compile the unrolled fused scan (no
+    cache barrier in the plan); one more topic flips to the data-driven
+    engine (persist barrier present, plan width constant)."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        EVAL_UNROLL_MAX,
+        _EVAL_VOCAB,
+        _batched_eval,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def topics(n):
+        return [
+            ([_EVAL_VOCAB[i % len(_EVAL_VOCAB)],
+              _EVAL_VOCAB[(i + 5) % len(_EVAL_VOCAB)]], i)
+            for i in range(n)
+        ]
+
+    at_max = _batched_eval(docs, emb, topics(EVAL_UNROLL_MAX))
+    over = _batched_eval(docs, emb, topics(EVAL_UNROLL_MAX + 1))
+    assert "InMemoryTableScan" not in at_max._jdf.queryExecution().toString()
+    assert "InMemoryTableScan" in over._jdf.queryExecution().toString()
+    over._keh_finalizer()  # release the dispatch probe's cache eagerly
+
+
+def test_wide_topic_set_is_pinned():
+    """The 60-topic gate set is a deterministic formula over the fixed
+    vocabulary literal: lengths cycle 2/3/4, terms are distinct within a
+    topic, dense vector ids are 0..59."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        _EVAL_VOCAB,
+        EVAL_WIDE_N,
+        EVAL_WIDE_QUERIES,
+    )
+
+    assert len(EVAL_WIDE_QUERIES) == EVAL_WIDE_N == 60
+    assert [v for _t, v in EVAL_WIDE_QUERIES] == list(range(60))
+    for i, (terms, _v) in enumerate(EVAL_WIDE_QUERIES):
+        assert len(terms) == 2 + i % 3
+        assert len(set(terms)) == len(terms)
+        assert all(t in _EVAL_VOCAB for t in terms)
+    assert EVAL_WIDE_QUERIES[0][0] == ["batch", "agg"]
+    assert EVAL_WIDE_QUERIES[1][0] == ["big", "row", "table"]
+
+
+def test_wide_oracle_sql_stays_bounded():
+    """60 independent per-query pipelines render ~330 KB of oracle SQL —
+    bounded, and each wraps the single-sourced bm25/hybrid cores (the
+    wire-gate inlining lesson applied to the eval oracle)."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        EVAL_WIDE_QUERIES,
+        _sql_eval_macro,
+    )
+
+    sql = _sql_eval_macro(EVAL_WIDE_QUERIES)
+    assert len(sql) < 500_000
+    assert sql.count("UNION ALL") >= 60
+
+
+def test_wide_eval_cache_released_on_gc(spark, sf_dir):
+    """The wide engine's persisted frequency frame is anchored to the
+    frame search_eval_macro RETURNS (the re-anchor protocol — a chained
+    .select would otherwise drop the barrier, ADVICE r12) and unpersists
+    when the caller drops it."""
+    import gc
+    import time
+
+    from kafka_error_handling_spark.datapipe.ranking import (
+        EVAL_WIDE_QUERIES,
+        search_eval_macro,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    baseline = n_persisted()
+    out = search_eval_macro(docs, emb, EVAL_WIDE_QUERIES)
+    assert getattr(out, "_keh_caches", None), "re-anchor protocol lost the cache"
+    out.collect()
+    assert n_persisted() > baseline, "the barrier never materialized a cache"
+    del out
+    gc.collect()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if n_persisted() <= baseline:
+            break
+        time.sleep(0.5)
+    assert n_persisted() <= baseline, "wide-eval cache survived GC of the result"
