@@ -1510,10 +1510,10 @@ def _qnb_sketch(
 ) -> DataFrame:
     """The sketch body shared by :func:`quality_nb_counts` and the
     one-shot path in :func:`quality_nb_select`: per-doc labels join onto
-    the feature fan-out — CALLERS align the partitioning (training path:
-    both sides explicitly id-repartitioned; one-shot path: both derive
-    from the same id-partitioned checkpointed narrow frame, so
-    re-repartitioning here would add a pointless exchange) — and never a
+    the feature fan-out — CALLERS align the partitioning (both paths
+    explicitly id-repartition the two sides; the one-shot path
+    additionally persist()s them, so re-repartitioning here would add a
+    pointless exchange) — and never a
     label expression crossing the explode (see _qnb_feature_frame).
     Output: per-bucket class sums, plus the bucket −1 document-count row
     the prior reads."""
@@ -1535,6 +1535,7 @@ def quality_nb_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     counts: DataFrame | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Top ``n_select`` documents by trained-NB quality score:
     (doc_id, source, weak_pass, n_feats, nb_micro).
@@ -1543,7 +1544,9 @@ def quality_nb_select(
     e.g. merged from micro-batch sketches) to score against a
     pre-accumulated training distribution — then this function scans
     the corpus only to featurize/score (no training pass, no shuffle
-    before the per-doc aggregate).  Without it, the feature fan-out and
+    before the per-doc aggregate).  ``validate=False`` skips the eager
+    sketch-shape probe on that path (one bounded Spark job per call —
+    skip it when replaying an already-validated sketch in a loop).  Without it, the feature fan-out and
     the label frame are persist()-ed with full lineage and released by
     a weakref finalizer on the returned frame, and the sketch collapses
     to a collected local relation (the DSIR one-shot barrier
@@ -1591,23 +1594,28 @@ def quality_nb_select(
         # groupBy(bucket).sum() re-aggregation) carries DUPLICATE bucket
         # rows that double-match the scoring join and duplicate the
         # prior.  One bounded probe job catches both: `counts` is a
-        # ≤4097-row sketch by contract, so the aggregate is cheap.
-        probe = (
-            counts.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter((F.col("bucket") == -1) | (F.col("n") > 1))
-            .collect()
-        )
-        n_prior = sum(r["n"] for r in probe if r["bucket"] == -1)
-        dup_buckets = [r["bucket"] for r in probe if r["n"] > 1]
-        if n_prior != 1 or dup_buckets:
-            raise ValueError(
-                "quality_nb_select: `counts` is not a "
-                "quality_nb_counts-shaped sketch "
-                f"(bucket == -1 prior rows: {n_prior}, expected exactly 1; "
-                f"duplicated buckets: {sorted(dup_buckets)[:5]} — merge "
-                "micro-batch sketches with groupBy(bucket).sum(), not union)"
+        # ≤4097-row sketch by contract, so the aggregate is cheap —
+        # but it IS an eager Spark job at plan-build time, so callers
+        # replaying a validated sketch in a loop (e.g. per foreachBatch
+        # micro-batch) may pass validate=False to keep this builder
+        # fully lazy (ADVICE r12).
+        if validate:
+            probe = (
+                counts.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter((F.col("bucket") == -1) | (F.col("n") > 1))
+                .collect()
             )
+            n_prior = sum(r["n"] for r in probe if r["bucket"] == -1)
+            dup_buckets = [r["bucket"] for r in probe if r["n"] > 1]
+            if n_prior != 1 or dup_buckets:
+                raise ValueError(
+                    "quality_nb_select: `counts` is not a "
+                    "quality_nb_counts-shaped sketch "
+                    f"(bucket == -1 prior rows: {n_prior}, expected exactly 1; "
+                    f"duplicated buckets: {sorted(dup_buckets)[:5]} — merge "
+                    "micro-batch sketches with groupBy(bucket).sum(), not union)"
+                )
     feature_counts = counts.filter(F.col("bucket") >= 0)
     doc_counts = counts.filter(F.col("bucket") == -1)
 

@@ -78,74 +78,28 @@ def _modules():
 
 
 _PRIORITY = [
-    # r12 driver-budget ordering (VERDICT r11 #4).  Indexing convention,
-    # stated once (ADVICE r11): ALL positions are 0-based slices of this
-    # list — the driver checks _PRIORITY[0:50].  Head = the 6 rows whose
-    # code is new or semantically changed this round: the two NEW wire
-    # gates (dlq_avro_wire / dlq_proto_wire — first-ever CORRECTNESS
-    # rows for the binary DLQ encoders) and the four reworked gates (the
-    # batched eval engine behind search_eval_macro / search_eval_ndcg,
-    # the persist-barrier one-shot modes of sample_dsir_importance /
-    # sample_quality_classifier).  Then 44 stale rows: the 5 rolled r6
-    # rows, the 14 error-handling-family gates (9 r7 capture/log/
-    # describe + 5 r8 DLQ/headers/serde — VERDICT r11 #4 pulled the
-    # flagship semantics ahead of the plain r7 block: they are the
-    # OLDEST evidence for the reference's core contract), and the first
-    # 25 of the remaining 36 r7 rows.  6 + 5 + 14 + 25 = 50 exactly;
-    # the 11 displaced r7 rows park at positions 50-60 (i.e.
-    # _PRIORITY[50:61]) and roll to the r13 budget.  Tail from position
-    # 61 on: evidence-age-ordered ascending (r8 non-error, r9, r10,
-    # r11), freshest last.
-    "dlq_avro_wire",
-    "dlq_proto_wire",
+    # r13 driver-budget ordering (VERDICT r12 #2).  Indexing convention
+    # (ADVICE r11): ALL positions are 0-based slices of this list — the
+    # driver checks _PRIORITY[0:50].  Head = the 4 rows whose code is
+    # new or semantically changed this round: the NEW wide-topic eval
+    # gate (search_eval_wide — first-ever CORRECTNESS row for the
+    # data-driven >50-topic engine), the reworked corpus_media_funnel
+    # (CAS keep moved from the full-text digest window to the narrow
+    # min-per-digest join-back), and the two eval gates sharing the
+    # refactored engine (search_eval_macro / search_eval_ndcg — the
+    # dense/RRF blocks are now shared helpers and the BM25 term
+    # contribution is factored out).  Then 46 stale rows: the 11 r7
+    # rows parked at [50:61] by the r12 rotation (the verdict's
+    # explicit carry-over), and the first 35 of the 39 r8 rows (the
+    # oldest remaining evidence).  4 + 11 + 35 = 50 exactly; the 4
+    # displaced r8 rows park at [50:54] and roll to the r14 budget.
+    # Tail from position 54 on: evidence-age-ordered ascending (rest of
+    # r9, r10, r11, then the 50 r12-checked rows minus the two pulled
+    # into the head), freshest last.
+    "search_eval_wide",
+    "corpus_media_funnel",
     "search_eval_macro",
     "search_eval_ndcg",
-    "sample_dsir_importance",
-    "sample_quality_classifier",
-    "q18_large_volume_orders",
-    "min_per_group_joinback",
-    "range_join_followups",
-    "session_windows",
-    "salted_join_agg",
-    "capture_map_values_success",
-    "capture_map_values_dlq",
-    "log_errors_drop",
-    "capture_flat_map_tokens",
-    "capture_flat_map_errors",
-    "capture_map_rekey",
-    "capture_process_fanout",
-    "capture_process_values",
-    "describe_passthrough",
-    "dlq_replay",
-    "error_headers",
-    "serde_json_captured",
-    "describe_struct_result",
-    "quality_validate_dlq",
-    "embedding_knn_lsh",
-    "embedding_knn_lsh_multiprobe",
-    "embedding_neardup",
-    "embedding_knn_ivf",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_features",
-    "asof_join_last_purchase",
-    "asof_join_tolerance",
-    "sample_hash_10pct",
-    "sample_mix_sources",
-    "sample_take_per_group",
-    "sample_stratified_exact",
-    "collection_functions",
-    "approx_distinct",
-    "approx_quantiles",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q13_order_distribution",
-    "q15_top_supplier",
     "q16_supplier_cnt",
     "q19_or_predicates",
     "q20_excess_shipments",
@@ -277,7 +231,6 @@ _PRIORITY = [
     "quality_benford_digits",
     "text_vocab_coverage",
     "events_concentration",
-    "corpus_media_funnel",
     "sketch_kmv_distinct",
     "dlq_poison_causes",
     "quality_breach_streaks",
@@ -338,6 +291,54 @@ _PRIORITY = [
     "conditional_pivot",
     "q4_priority_exists",
     "q17_small_qty_revenue",
+    "dlq_avro_wire",
+    "dlq_proto_wire",
+    "sample_dsir_importance",
+    "sample_quality_classifier",
+    "q18_large_volume_orders",
+    "min_per_group_joinback",
+    "range_join_followups",
+    "session_windows",
+    "salted_join_agg",
+    "capture_map_values_success",
+    "capture_map_values_dlq",
+    "log_errors_drop",
+    "capture_flat_map_tokens",
+    "capture_flat_map_errors",
+    "capture_map_rekey",
+    "capture_process_fanout",
+    "capture_process_values",
+    "describe_passthrough",
+    "dlq_replay",
+    "error_headers",
+    "serde_json_captured",
+    "describe_struct_result",
+    "quality_validate_dlq",
+    "embedding_knn_lsh",
+    "embedding_knn_lsh_multiprobe",
+    "embedding_neardup",
+    "embedding_knn_ivf",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_features",
+    "asof_join_last_purchase",
+    "asof_join_tolerance",
+    "sample_hash_10pct",
+    "sample_mix_sources",
+    "sample_take_per_group",
+    "sample_stratified_exact",
+    "collection_functions",
+    "approx_distinct",
+    "approx_quantiles",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q13_order_distribution",
+    "q15_top_supplier",
 ]
 
 def _merged() -> dict:

@@ -187,7 +187,8 @@ def _fixture_values() -> str:
     def _s(v):
         if v is None:
             return "NULL"
-        assert "'" not in v, f"fixture string needs SQL escaping: {v!r}"
+        if "'" in v:  # not assert: -O must never strip the oracle guard
+            raise ValueError(f"fixture string needs SQL escaping: {v!r}")
         return f"'{v}'"
 
     return ", ".join(

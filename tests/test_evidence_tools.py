@@ -97,64 +97,57 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r11 item 4: the r12 priority budget (0-based slices of
+    # VERDICT r12 item 2: the r13 priority budget (0-based slices of
     # _PRIORITY; the driver checks [0:50]) is
-    #   * [0:6]  — the rows whose CODE is new or changed this round: the
-    #     two brand-new wire-byte gates (first-ever CORRECTNESS rows for
-    #     the binary DLQ encoders) and the four reworked gates (batched
-    #     eval engine, persist-barrier one-shot selection modes);
-    #   * [6:11] — the five r6 rows rolled from the r11 budget;
-    #   * [11:25] — the 14 error-handling-family gates (9 r7
-    #     capture/log/describe + 5 r8 DLQ/headers/serde), pulled ahead
-    #     of the plain r7 block per the verdict: the flagship semantics
-    #     were the ledger's oldest evidence;
-    #   * [25:50] — the first 25 of the remaining 36 r7 rows.
-    # 6 + 5 + 14 + 25 = 50.  The 11 displaced r7 rows park at [50:61]
-    # and roll to the r13 budget; from position 61 the tail is
-    # evidence-age-ordered ascending.  Pinned against the r1-r11
-    # artifacts only (the evidence the rotation was derived FROM), so
-    # later driver rounds cannot invalidate it.
+    #   * [0:4]  — the rows whose CODE is new or changed this round: the
+    #     brand-new wide-topic eval gate (search_eval_wide, first-ever
+    #     CORRECTNESS row for the data-driven engine), the reworked
+    #     corpus_media_funnel (narrow CAS keep), and the two eval gates
+    #     sharing the refactored engine (search_eval_macro/_ndcg);
+    #   * [4:15] — the 11 r7 rows the r12 rotation parked at [50:61],
+    #     the verdict's explicit carry-over (the ledger's oldest
+    #     evidence);
+    #   * [15:50] — the first 35 of the 39 r8 rows (next-oldest block).
+    # 4 + 11 + 35 = 50.  The 4 displaced r8 rows park at [50:54] and
+    # roll to the r14 budget; from position 54 the tail is
+    # evidence-age-ordered ascending (r9, r10, r11, then the r12-checked
+    # rows).  Pinned against the r1-r12 artifacts only (the evidence the
+    # rotation was derived FROM), so later driver rounds cannot
+    # invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
     changed = [
-        "dlq_avro_wire",
-        "dlq_proto_wire",
+        "search_eval_wide",
+        "corpus_media_funnel",
         "search_eval_macro",
         "search_eval_ndcg",
-        "sample_dsir_importance",
-        "sample_quality_classifier",
     ]
-    assert _PRIORITY[:6] == changed
-    for rnd in range(1, 12):
+    assert _PRIORITY[:4] == changed
+    for rnd in range(1, 13):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # the two wire gates are brand-new: no driver evidence exists yet
-    assert all(n not in ev for n in changed[:2])
-    # [6:11]: the rolled r6 block, oldest evidence in the ledger
-    assert all(ev.get(n) == 6 for n in _PRIORITY[6:11]), _PRIORITY[6:11]
-    # [11:25]: the error-handling family at ages 7 (capture/log/describe)
-    # then 8 (DLQ/headers/serde)
-    err_gates = _PRIORITY[11:25]
-    assert [ev.get(n) for n in err_gates] == [7] * 9 + [8] * 5, [
-        (n, ev.get(n)) for n in err_gates
+    # the wide gate is brand-new: no driver evidence exists yet
+    assert "search_eval_wide" not in ev
+    # the other three head rows were green in recent rounds — they are
+    # in the head for their CODE change, not their age
+    assert ev["corpus_media_funnel"] == 10
+    assert ev["search_eval_macro"] == ev["search_eval_ndcg"] == 12
+    # [4:15]: the parked r7 block, oldest evidence in the ledger
+    assert all(ev.get(n) == 7 for n in _PRIORITY[4:15]), [
+        (n, ev.get(n)) for n in _PRIORITY[4:15]
     ]
-    assert all(
-        ("capture" in n or "describe" in n or "log_errors" in n
-         or "dlq" in n or "error" in n or "serde" in n or "validate" in n)
-        for n in err_gates
-    ), err_gates
-    # [25:50]: r7 rows only — the budget closes on the oldest plain block
-    assert all(ev.get(n) == 7 for n in _PRIORITY[25:50]), [
-        (n, ev.get(n)) for n in _PRIORITY[25:50] if ev.get(n) != 7
+    # [15:50]: r8 rows only — the budget closes on the next-oldest block
+    assert all(ev.get(n) == 8 for n in _PRIORITY[15:50]), [
+        (n, ev.get(n)) for n in _PRIORITY[15:50] if ev.get(n) != 8
     ]
-    # the 11 displaced r7 rows sit IMMEDIATELY past the cutoff; no row
-    # with evidence <= 7 hides deeper in the tail
-    assert all(ev.get(n) == 7 for n in _PRIORITY[50:61]), _PRIORITY[50:61]
-    stragglers = [n for n in _PRIORITY[61:] if ev.get(n, 99) <= 7]
+    # the 4 displaced r8 rows sit IMMEDIATELY past the cutoff; no row
+    # with evidence <= 8 hides deeper in the tail
+    assert all(ev.get(n) == 8 for n in _PRIORITY[50:54]), _PRIORITY[50:54]
+    stragglers = [n for n in _PRIORITY[54:] if ev.get(n, 99) <= 8]
     assert not stragglers, stragglers
-    ages = [ev[n] for n in _PRIORITY[61:] if n in ev]
+    ages = [ev[n] for n in _PRIORITY[54:] if n in ev]
     assert ages == sorted(ages), "tail past the rolled block must be age-ordered"

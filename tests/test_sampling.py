@@ -400,3 +400,11 @@ def test_quality_nb_select_rejects_malformed_merged_sketch(spark):
     union_merged = good.unionByName(good)  # the documented merge mistake
     with _pytest.raises(ValueError, match="duplicated buckets"):
         quality_nb_select(docs, n_select=3, counts=union_merged)
+
+    # validate=False keeps the builder lazy (ADVICE r12: no eager probe
+    # job per call) — proven by the malformed sketch NOT raising at
+    # build time; the caller owns sketch hygiene on this path
+    lazy = quality_nb_select(
+        docs, n_select=3, counts=no_prior, validate=False
+    )
+    assert lazy.columns[0] == "doc_id"

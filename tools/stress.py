@@ -15,7 +15,7 @@ unified-edge-artifact check) so the evidence is reproducible.
 Usage:  python tools/stress.py [N] [family ...]
         N defaults to 10; families default to all.
 Families: see FAMILY_NAMES below (graph, basket, cc, dedup, text,
-embed, minhash, decontam, prf, dsir, qnb, searcheval).
+embed, minhash, decontam, prf, dsir, qnb, searcheval, searchevalwide).
 """
 
 from __future__ import annotations
@@ -228,6 +228,21 @@ def _families(spark):
         e = _replicate(emb, n, {"vec_id": VEC_SHIFT})
         search_eval_macro(d, e).count()
 
+    def searchevalwide(n):
+        # wide-topic (60) eval on the DATA-DRIVEN engine (r13): corpus
+        # IO is 2 document passes + 1 embeddings pass and the persisted
+        # frequency frame is one narrow row per (qid, matching doc) —
+        # wall must scale with the corpus scans, never with |Q| x corpus
+        # (the unrolled engine's regime) or pool x corpus
+        from kafka_error_handling_spark.datapipe.ranking import (
+            EVAL_WIDE_QUERIES,
+            search_eval_macro,
+        )
+
+        d = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        e = _replicate(emb, n, {"vec_id": VEC_SHIFT})
+        search_eval_macro(d, e, EVAL_WIDE_QUERIES).count()
+
     def qnb(n):
         # NB quality-classifier selection: like dsir, the training sketch
         # is FIXED at <=4097 rows however large the corpus — wall must
@@ -260,12 +275,13 @@ def _families(spark):
         "dsir": dsir,
         "qnb": qnb,
         "searcheval": searcheval,
+        "searchevalwide": searchevalwide,
     }
 
 
 FAMILY_NAMES = (
     "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam",
-    "prf", "dsir", "qnb", "searcheval",
+    "prf", "dsir", "qnb", "searcheval", "searchevalwide",
 )
 
 
