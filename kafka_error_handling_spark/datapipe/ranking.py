@@ -36,7 +36,7 @@ from pyspark.sql.functions import broadcast
 
 from ..sources.files import load_table
 
-__all__ = ["bm25_topk", "vocab_df"]
+__all__ = ["bm25_topk", "bm25_topk_multi", "vocab_df"]
 
 _K1 = 1.2
 _B = 0.75
@@ -147,6 +147,36 @@ def vocab_df(
 # ---------------------------------------------------------------------------
 # correctness-gate queries
 # ---------------------------------------------------------------------------
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    term_lists: list[list[str]],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query for MANY queries in one pass:
+    (qid, id, bm25, rank) — the batch-labeling face of the data-driven
+    scorer behind the wide-topic eval engine (r13).  Per query qid, the
+    result rows are exactly :func:`bm25_topk`'s (same floored score,
+    same (score desc, id asc) tie-break, same > 0.0 cut) — this is the
+    API a training-data pipeline uses to tag a corpus against hundreds
+    of topic queries without hundreds of corpus scans: ONE token
+    explode against a broadcast (qid, term) table, plan width constant
+    in |queries|, per-qid top-k via the group-limited window (each
+    input partition forwards ≤k rows per qid before the exchange)."""
+    scored, _grades, tfs_doc = _wide_bm25_scores(
+        docs, term_lists, text_col, id_col
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(id_col))
+    out = (
+        scored.filter(F.col("bm25") > 0.0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "bm25", "rank")
+    )
+    return _anchor_caches(out, tfs_doc)
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,71 +1385,35 @@ def _batched_eval(
     )
 
 
-def _batched_eval_wide(
+def _wide_bm25_scores(
     docs: DataFrame,
-    emb: DataFrame,
-    topics: list[tuple[list[str], int]],
-    k: int = EVAL_K,
+    term_lists: list[list[str]],
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """The DATA-DRIVEN eval engine — same contract and bit-identical
-    output as :func:`_batched_eval`, but the topic set is a broadcast
-    (qid, term_idx, term) TABLE instead of an unrolled projection, so
-    plan width (and whole-stage codegen) is CONSTANT in |topics|.  This
-    is the >:data:`EVAL_UNROLL_MAX` shape VERDICT r12 #1 asked for in
-    code: a real offline eval set is 50-500 topics, and the unrolled
-    engine's |topics|·|terms| column fan-out falls off codegen there.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The data-driven multi-query BM25 scorer shared by
+    :func:`_batched_eval_wide` and :func:`bm25_topk_multi`:
+    ``(scored, grades, tfs_doc)`` where ``scored`` is one
+    (qid, id, bm25) row per document matching ≥1 of query qid's terms
+    (the floored score — > 0.0 iff any term matched), ``grades`` is the
+    sparse (qid, id, grade = distinct-terms-matched) frame, and
+    ``tfs_doc`` is the PERSISTED per-doc frequency frame both derive
+    from — the caller owns its lifetime (anchor it on whatever frame it
+    returns, :func:`_anchor_caches`).
 
-    Plan, corpus passes (FEWER than the unrolled engine's 4):
-
-      1. one (n_docs, avgdl) aggregate — single-row exchange, broadcast;
-      2. ONE token explode joined to the broadcast term table; per
-         (qid, term, doc) frequencies via hash agg (map-side combine:
-         the exchange carries one narrow row per matched (qid, term,
-         doc), never the corpus); per-(qid, term) document frequencies
-         reduce that same frame again (tiny), broadcast back.
-      3. the per-(qid, doc) score is the ORDERED fold of the per-term
-         contributions: collect_list(struct(term_idx, contrib)) →
-         array_sort → aggregate seeded lit(0.0).  Terms the doc lacks
-         are absent rows — their unrolled contribution is an exact
-         +0.0, so skipping them reproduces the unrolled sum bit-for-bit
-         (:func:`_bm25_term_contrib` is the shared single source).
-         The SAME aggregate emits the pseudo-grade (count of matched
-         terms = the unrolled sum of array_contains), so grades cost no
-         extra corpus pass here.
-      4. per-qid candidate pools / ideal rankings via the group-limited
-         windows (WindowGroupLimit: map-side partial top-k, the
-         exchanges move pools); dense + RRF via the shared helpers.
-
-    Metric join: runs is pool-bounded but GRADES ARE SPARSE here (only
-    docs matching ≥1 term have a row), so the join is runs LEFT OUTER
-    grades with grade coalesced to 0 — run rows (dense hits with no
-    query term) keep contributing zero gain exactly as the unrolled
-    engine's dense gmelt does, and a (ranker, qid) group exists iff the
-    ranker produced run rows for that qid (same output-universe rule).
-    Both sides of that join are narrow (ids + ranks + grade).
-
-    Barrier: the per-doc frequency frame feeds FOUR consumers (df
-    derivation, candidate pools, ideal ranking, metric grades), and
-    column pruning specializes each reference enough that static
-    exchange reuse never fires — without a barrier the token explode
-    re-runs once per consumer (the dsir/qnb lesson, VERDICT r11 #2).
-    So ``tfs_doc`` is persist()-ed with FULL lineage; the cache entry's
-    lifetime is tied to the frame this engine ultimately hands the
-    caller via the ``_keh_caches`` re-anchor protocol (see
-    :func:`search_eval_macro` — the macro fold chains transformations,
-    which would drop a finalizer anchored here before the action runs).
+    Topic sets are DATA here (a broadcast (qid, term_idx, term) table),
+    so plan width is constant in |queries|; scoring is the ordered fold
+    of the single-source per-term contribution, bit-identical to the
+    unrolled ``_bm25_score`` sum (absent terms contribute exact +0.0).
     """
     spark = docs.sparkSession
-    pool = max(RRF_POOL, k)
     toks = F.split(F.col(text_col), " ")
 
-    # the topic set as DATA: one broadcast row per (qid, term slot)
+    # the query set as DATA: one broadcast row per (qid, term slot)
     tterms = spark.createDataFrame(
         [
             (qid, i, t)
-            for qid, (terms, _v) in enumerate(topics)
+            for qid, terms in enumerate(term_lists)
             for i, t in enumerate(terms)
         ],
         "qid int, term_idx int, term string",
@@ -1492,6 +1486,70 @@ def _batched_eval_wide(
     # optimizer from re-deriving the pruned broadcast subtrees once per
     # branch (plans, not rows — measured 18 → ~14 exchanges)
     grades = tfs_doc.select("qid", id_col, "grade")
+    return scored, grades, tfs_doc
+
+
+def _batched_eval_wide(
+    docs: DataFrame,
+    emb: DataFrame,
+    topics: list[tuple[list[str], int]],
+    k: int = EVAL_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DATA-DRIVEN eval engine — same contract and bit-identical
+    output as :func:`_batched_eval`, but the topic set is a broadcast
+    (qid, term_idx, term) TABLE instead of an unrolled projection, so
+    plan width (and whole-stage codegen) is CONSTANT in |topics|.  This
+    is the >:data:`EVAL_UNROLL_MAX` shape VERDICT r12 #1 asked for in
+    code: a real offline eval set is 50-500 topics, and the unrolled
+    engine's |topics|·|terms| column fan-out falls off codegen there.
+
+    Plan, corpus passes (FEWER than the unrolled engine's 4):
+
+      1. one (n_docs, avgdl) aggregate — single-row exchange, broadcast;
+      2. ONE token explode joined to the broadcast term table; per
+         (qid, term, doc) frequencies via hash agg (map-side combine:
+         the exchange carries one narrow row per matched (qid, term,
+         doc), never the corpus); per-(qid, term) document frequencies
+         reduce that same frame again (tiny), broadcast back.
+      3. the per-(qid, doc) score is the ORDERED fold of the per-term
+         contributions: collect_list(struct(term_idx, contrib)) →
+         array_sort → aggregate seeded lit(0.0).  Terms the doc lacks
+         are absent rows — their unrolled contribution is an exact
+         +0.0, so skipping them reproduces the unrolled sum bit-for-bit
+         (:func:`_bm25_term_contrib` is the shared single source).
+         The SAME aggregate emits the pseudo-grade (count of matched
+         terms = the unrolled sum of array_contains), so grades cost no
+         extra corpus pass here.
+      4. per-qid candidate pools / ideal rankings via the group-limited
+         windows (WindowGroupLimit: map-side partial top-k, the
+         exchanges move pools); dense + RRF via the shared helpers.
+
+    Metric join: runs is pool-bounded but GRADES ARE SPARSE here (only
+    docs matching ≥1 term have a row), so the join is runs LEFT OUTER
+    grades with grade coalesced to 0 — run rows (dense hits with no
+    query term) keep contributing zero gain exactly as the unrolled
+    engine's dense gmelt does, and a (ranker, qid) group exists iff the
+    ranker produced run rows for that qid (same output-universe rule).
+    Both sides of that join are narrow (ids + ranks + grade).
+
+    Barrier: the per-doc frequency frame feeds FOUR consumers (df
+    derivation, candidate pools, ideal ranking, metric grades), and
+    column pruning specializes each reference enough that static
+    exchange reuse never fires — without a barrier the token explode
+    re-runs once per consumer (the dsir/qnb lesson, VERDICT r11 #2).
+    So ``tfs_doc`` is persist()-ed with FULL lineage; the cache entry's
+    lifetime is tied to the frame this engine ultimately hands the
+    caller via the ``_keh_caches`` re-anchor protocol (see
+    :func:`search_eval_macro` — the macro fold chains transformations,
+    which would drop a finalizer anchored here before the action runs).
+    """
+    spark = docs.sparkSession
+    pool = max(RRF_POOL, k)
+    scored, grades, tfs_doc = _wide_bm25_scores(
+        docs, [terms for terms, _v in topics], text_col, id_col
+    )
 
     wl = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(id_col))
     lexranks = (
@@ -1914,4 +1972,38 @@ def q_search_eval_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["search_eval_wide"] = (
     q_search_eval_wide,
     _sql_eval_macro(EVAL_WIDE_QUERIES),
+)
+
+
+# --- bm25_topk_multi gate: the batch-labeling API over the same scorer.
+# 8 queries of mixed lengths (the first 8 wide-topic term lists); the
+# oracle is 8 independent single-query _sql_bm25 pipelines, each
+# re-ranked by its own published (score desc, id asc) order — so the
+# batch path is checked per-query against the single-query contract.
+
+_BM25_MULTI_TERMS = [terms for terms, _v in EVAL_WIDE_QUERIES[:8]]
+_BM25_MULTI_K = 10
+
+
+def q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk_multi(d, _BM25_MULTI_TERMS, k=_BM25_MULTI_K)
+
+
+def _sql_bm25_multi(
+    term_lists: list[list[str]], k: int = _BM25_MULTI_K
+) -> str:
+    per = "\nUNION ALL\n".join(
+        f"SELECT CAST({qid} AS INTEGER) AS qid, doc_id, bm25,"
+        " CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)"
+        " AS INTEGER) AS rank"
+        f" FROM ({_sql_bm25(k, terms)})"
+        for qid, terms in enumerate(term_lists)
+    )
+    return f"SELECT * FROM (\n{per}\n) ORDER BY qid, rank"
+
+
+QUERIES["text_bm25_multi"] = (
+    q_bm25_topk_multi,
+    _sql_bm25_multi(_BM25_MULTI_TERMS),
 )

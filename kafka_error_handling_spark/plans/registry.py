@@ -80,26 +80,27 @@ def _modules():
 _PRIORITY = [
     # r13 driver-budget ordering (VERDICT r12 #2).  Indexing convention
     # (ADVICE r11): ALL positions are 0-based slices of this list — the
-    # driver checks _PRIORITY[0:50].  Head = the 4 rows whose code is
+    # driver checks _PRIORITY[0:50].  Head = the 5 rows whose code is
     # new or semantically changed this round: the NEW wide-topic eval
     # gate (search_eval_wide — first-ever CORRECTNESS row for the
     # data-driven >50-topic engine), the reworked corpus_media_funnel
     # (CAS keep moved from the full-text digest window to the narrow
-    # min-per-digest join-back), and the two eval gates sharing the
-    # refactored engine (search_eval_macro / search_eval_ndcg — the
-    # dense/RRF blocks are now shared helpers and the BM25 term
-    # contribution is factored out).  Then 46 stale rows: the 11 r7
-    # rows parked at [50:61] by the r12 rotation (the verdict's
-    # explicit carry-over), and the first 35 of the 39 r8 rows (the
-    # oldest remaining evidence).  4 + 11 + 35 = 50 exactly; the 4
-    # displaced r8 rows park at [50:54] and roll to the r14 budget.
-    # Tail from position 54 on: evidence-age-ordered ascending (rest of
-    # r9, r10, r11, then the 50 r12-checked rows minus the two pulled
-    # into the head), freshest last.
+    # min-per-digest join-back), the two eval gates sharing the
+    # refactored engine (search_eval_macro / search_eval_ndcg), and the
+    # NEW batch-labeling API gate (text_bm25_multi — the data-driven
+    # scorer as a user surface).  Then 45 stale rows: the 11 r7 rows
+    # parked at [50:61] by the r12 rotation (the verdict's explicit
+    # carry-over), and the first 34 of the 39 r8 rows (the oldest
+    # remaining evidence).  5 + 11 + 34 = 50 exactly; the 5 displaced
+    # r8 rows park at [50:55] and roll to the r14 budget.  Tail from
+    # position 55 on: evidence-age-ordered ascending (rest of r9, r10,
+    # r11, then the 48 r12-checked rows minus the two pulled into the
+    # head), freshest last.
     "search_eval_wide",
     "corpus_media_funnel",
     "search_eval_macro",
     "search_eval_ndcg",
+    "text_bm25_multi",
     "q16_supplier_cnt",
     "q19_or_predicates",
     "q20_excess_shipments",

@@ -99,17 +99,18 @@ def test_stress_rejects_unknown_family_before_spark():
 def test_priority_head_is_the_stale_rows(tmp_path):
     # VERDICT r12 item 2: the r13 priority budget (0-based slices of
     # _PRIORITY; the driver checks [0:50]) is
-    #   * [0:4]  — the rows whose CODE is new or changed this round: the
+    #   * [0:5]  — the rows whose CODE is new or changed this round: the
     #     brand-new wide-topic eval gate (search_eval_wide, first-ever
     #     CORRECTNESS row for the data-driven engine), the reworked
-    #     corpus_media_funnel (narrow CAS keep), and the two eval gates
-    #     sharing the refactored engine (search_eval_macro/_ndcg);
-    #   * [4:15] — the 11 r7 rows the r12 rotation parked at [50:61],
+    #     corpus_media_funnel (narrow CAS keep), the two eval gates
+    #     sharing the refactored engine (search_eval_macro/_ndcg), and
+    #     the brand-new batch-labeling gate (text_bm25_multi);
+    #   * [5:16] — the 11 r7 rows the r12 rotation parked at [50:61],
     #     the verdict's explicit carry-over (the ledger's oldest
     #     evidence);
-    #   * [15:50] — the first 35 of the 39 r8 rows (next-oldest block).
-    # 4 + 11 + 35 = 50.  The 4 displaced r8 rows park at [50:54] and
-    # roll to the r14 budget; from position 54 the tail is
+    #   * [16:50] — the first 34 of the 39 r8 rows (next-oldest block).
+    # 5 + 11 + 34 = 50.  The 5 displaced r8 rows park at [50:55] and
+    # roll to the r14 budget; from position 55 the tail is
     # evidence-age-ordered ascending (r9, r10, r11, then the r12-checked
     # rows).  Pinned against the r1-r12 artifacts only (the evidence the
     # rotation was derived FROM), so later driver rounds cannot
@@ -123,31 +124,32 @@ def test_priority_head_is_the_stale_rows(tmp_path):
         "corpus_media_funnel",
         "search_eval_macro",
         "search_eval_ndcg",
+        "text_bm25_multi",
     ]
-    assert _PRIORITY[:4] == changed
+    assert _PRIORITY[:5] == changed
     for rnd in range(1, 13):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # the wide gate is brand-new: no driver evidence exists yet
-    assert "search_eval_wide" not in ev
+    # the two new gates are brand-new: no driver evidence exists yet
+    assert "search_eval_wide" not in ev and "text_bm25_multi" not in ev
     # the other three head rows were green in recent rounds — they are
     # in the head for their CODE change, not their age
     assert ev["corpus_media_funnel"] == 10
     assert ev["search_eval_macro"] == ev["search_eval_ndcg"] == 12
-    # [4:15]: the parked r7 block, oldest evidence in the ledger
-    assert all(ev.get(n) == 7 for n in _PRIORITY[4:15]), [
-        (n, ev.get(n)) for n in _PRIORITY[4:15]
+    # [5:16]: the parked r7 block, oldest evidence in the ledger
+    assert all(ev.get(n) == 7 for n in _PRIORITY[5:16]), [
+        (n, ev.get(n)) for n in _PRIORITY[5:16]
     ]
-    # [15:50]: r8 rows only — the budget closes on the next-oldest block
-    assert all(ev.get(n) == 8 for n in _PRIORITY[15:50]), [
-        (n, ev.get(n)) for n in _PRIORITY[15:50] if ev.get(n) != 8
+    # [16:50]: r8 rows only — the budget closes on the next-oldest block
+    assert all(ev.get(n) == 8 for n in _PRIORITY[16:50]), [
+        (n, ev.get(n)) for n in _PRIORITY[16:50] if ev.get(n) != 8
     ]
-    # the 4 displaced r8 rows sit IMMEDIATELY past the cutoff; no row
+    # the 5 displaced r8 rows sit IMMEDIATELY past the cutoff; no row
     # with evidence <= 8 hides deeper in the tail
-    assert all(ev.get(n) == 8 for n in _PRIORITY[50:54]), _PRIORITY[50:54]
-    stragglers = [n for n in _PRIORITY[54:] if ev.get(n, 99) <= 8]
+    assert all(ev.get(n) == 8 for n in _PRIORITY[50:55]), _PRIORITY[50:55]
+    stragglers = [n for n in _PRIORITY[55:] if ev.get(n, 99) <= 8]
     assert not stragglers, stragglers
-    ages = [ev[n] for n in _PRIORITY[54:] if n in ev]
+    ages = [ev[n] for n in _PRIORITY[55:] if n in ev]
     assert ages == sorted(ages), "tail past the rolled block must be age-ordered"

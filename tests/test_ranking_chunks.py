@@ -384,3 +384,27 @@ def test_wide_eval_cache_released_on_gc(spark, sf_dir):
             break
         time.sleep(0.5)
     assert n_persisted() <= baseline, "wide-eval cache survived GC of the result"
+
+
+def test_bm25_topk_multi_matches_single_query(spark, sf_dir):
+    """The batch-labeling API's per-qid slice IS bm25_topk's answer:
+    same floored scores, same (score desc, id asc) order, same >0 cut —
+    the single-query contract checked per query through the batch
+    path."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    term_lists = [["spark", "join", "window"], ["vector", "query"], ["dup"]]
+    multi = bm25_topk_multi(docs, term_lists, k=10).collect()
+    for qid, terms in enumerate(term_lists):
+        got = [
+            (r["doc_id"], r["bm25"])
+            for r in sorted(
+                (r for r in multi if r["qid"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        want = [(r["doc_id"], r["bm25"]) for r in bm25_topk(docs, terms, k=10).collect()]
+        assert got == want, f"qid {qid} diverged"
