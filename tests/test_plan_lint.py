@@ -84,11 +84,14 @@ LINT_SUBSET = {
     "multimodal_ahash": (0, 1),         # binary-column pipeline
     "sketch_hll_estimate": (4, 0),      # sketch registers
     "asof_join_nearest": (1, 0),        # as-of join
-    # r13: the data-driven wide-topic eval engine — 16 exchanges, every
-    # one pool-sized or narrow (the unrolled macro engine's 10 + the
-    # cache/df-table aggregates + the macro fold); plan width constant
-    # in |topics|, zero Python operators
-    "search_eval_wide": (16, 0),
+    # r13: the data-driven wide-topic eval engine — 15 exchanges, every
+    # one pool-sized or narrow (the fused occurrence-list agg, the
+    # df-table aggregates, the pool windows/joins, the macro fold);
+    # plan width constant in |topics|, zero Python operators
+    "search_eval_wide": (15, 0),
+    # r13: the batch-labeling face of the same scorer — 5 exchanges
+    # (occurrence agg, df x2, stats, top-k window), zero Python
+    "text_bm25_multi": (5, 0),
 }
 
 
