@@ -166,7 +166,7 @@ def bm25_topk_multi(
     explode against a broadcast (qid, term) table, plan width constant
     in |queries|, per-qid top-k via the group-limited window (each
     input partition forwards ≤k rows per qid before the exchange)."""
-    scored, _grades, tfs_doc = _wide_bm25_scores(
+    scored, _grades, caches = _wide_bm25_scores(
         docs, term_lists, text_col, id_col
     )
     w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(id_col))
@@ -176,7 +176,7 @@ def bm25_topk_multi(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "bm25", "rank")
     )
-    return _anchor_caches(out, tfs_doc)
+    return _anchor_caches(out, *caches)
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,21 +1390,39 @@ def _wide_bm25_scores(
     term_lists: list[list[str]],
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """The data-driven multi-query BM25 scorer shared by
     :func:`_batched_eval_wide` and :func:`bm25_topk_multi`:
-    ``(scored, grades, tfs_doc)`` where ``scored`` is one
+    ``(scored, grades, caches)`` where ``scored`` is one
     (qid, id, bm25) row per document matching ≥1 of query qid's terms
     (the floored score — > 0.0 iff any term matched), ``grades`` is the
     sparse (qid, id, grade = distinct-terms-matched) frame, and
-    ``tfs_doc`` is the PERSISTED per-doc frequency frame both derive
-    from — the caller owns its lifetime (anchor it on whatever frame it
-    returns, :func:`_anchor_caches`).
+    ``caches`` are the PERSISTED frames both derive from — the caller
+    owns their lifetime (anchor them on whatever frame it returns,
+    :func:`_anchor_caches`).
 
     Topic sets are DATA here (a broadcast (qid, term_idx, term) table),
-    so plan width is constant in |queries|; scoring is the ordered fold
-    of the single-source per-term contribution, bit-identical to the
-    unrolled ``_bm25_score`` sum (absent terms contribute exact +0.0).
+    so plan width is constant in |queries|; per-(qid, doc) scoring
+    PIVOTS the term contributions into ``max(when(term_idx = j, c))``
+    columns — j ranges over the MAX per-query term count (a small
+    literal, never |queries|·|terms|) — and sums them in j order seeded
+    0.0.  Each slot is the single-source per-term contribution computed
+    once per (qid, term, doc) from exact integers, absent slots are
+    NULL → an exact +0.0, so the sum is bit-identical to the unrolled
+    ``_bm25_score`` fold.  Everything is plain HashAggregate /
+    whole-stage codegen: the first draft's collect_list ObjectHash
+    aggregate allocated per-group arrays for millions of groups and
+    cold-run GC churn measured 89 s vs 35 s at a 10x replica (N=10
+    ladder probe); this shape has no object aggregation at all.
+
+    Two-level barrier: ``tf`` (one narrow row per matched (qid, term,
+    doc)) is persisted so the token explode runs ONCE although tf
+    feeds both the document-frequency aggregate and the contribution
+    rows; the pivoted per-doc frame is persisted so ITS three consumers
+    (candidate pools, metric grades, ideal ranking) replay a cache, not
+    the aggregate (the dsir/qnb barrier discipline — column pruning
+    specializes each reference enough that static exchange reuse never
+    fires).
     """
     spark = docs.sparkSession
     toks = F.split(F.col(text_col), " ")
@@ -1431,75 +1449,49 @@ def _wide_bm25_scores(
         .select("qid", "term_idx", id_col, "dl")
     )
     # dl is functionally dependent on the doc — grouping by it is free;
-    # ONE agg straight to the per-(qid, doc) grain (map-side combined:
-    # the exchange carries one narrow row per matched (qid, doc) with a
-    # ≤|terms|-entry occurrence list, never token occurrences) — the
-    # per-term frequencies fall out of the collected index list with
-    # array ops, saving the intermediate (qid, term, doc) exchange the
-    # first draft paid (same output, measured ~12% off the agg chain)
-    occ = hits.groupBy("qid", id_col, "dl").agg(
-        F.sort_array(F.collect_list("term_idx")).alias("idxs")
+    # map-side combine means the exchange carries one narrow row per
+    # matched (qid, term, doc), never token occurrences
+    tf = (
+        hits.groupBy("qid", "term_idx", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    distinct = F.array_distinct(F.col("idxs"))
-    tfs = F.transform(
-        distinct,
-        lambda i: F.struct(
-            i.alias("term_idx"),
-            F.size(F.filter(F.col("idxs"), lambda x: x == i))
-            .cast("long")
-            .alias("tf"),
-        ),
-    )
-    tfs_doc = occ.select(
-        "qid",
-        id_col,
-        "dl",
-        tfs.alias("tfs"),
-        F.size(distinct).cast("long").alias("grade"),
-    ).persist()
+    df_tbl = tf.groupBy("qid", "term_idx").agg(F.count(F.lit(1)).alias("df"))
 
-    # per-(qid, term) document frequencies — derived FROM THE CACHE
-    # (one tiny explode over ≤|terms|-entry arrays), folded to a per-qid
-    # map so the scorer can look df up inside the fold lambda
-    df_q = (
-        tfs_doc.select("qid", F.explode("tfs").alias("p"))
-        .groupBy("qid", F.col("p.term_idx").alias("term_idx"))
-        .agg(F.count(F.lit(1)).alias("df"))
-        .groupBy("qid")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term_idx", "df"))
-            ).alias("dfmap")
-        )
-    )
-
-    # ordered fold: array_sort on (term_idx, tf) structs sorts by the
-    # UNIQUE term_idx, so the + sequence is exactly query-term order;
-    # each step adds the shared single-source per-term contribution
-    score = F.aggregate(
-        F.array_sort(F.col("tfs")),
-        F.lit(0.0),
-        lambda s, x: s
-        + _bm25_term_contrib(
-            x["tf"], F.element_at(F.col("dfmap"), x["term_idx"])
-        ),
-    )
-    scored = (
-        tfs_doc.join(broadcast(df_q), "qid")
+    contrib = (
+        tf.join(broadcast(df_tbl), ["qid", "term_idx"])
         .crossJoin(broadcast(stats))
         .select(
             "qid",
+            "term_idx",
             id_col,
-            (F.floor(score * 10000) / 10000.0).alias("bm25"),
+            _bm25_term_contrib(F.col("tf"), F.col("df")).alias("c"),
         )
     )
-    # grades come STRAIGHT off the cache, not through `scored`: the df/
-    # stats joins are row-preserving (every cached row's qid exists in
-    # df_q), and routing the grade branches around them stops the
-    # optimizer from re-deriving the pruned broadcast subtrees once per
-    # branch (plans, not rows — measured 18 → ~14 exchanges)
-    grades = tfs_doc.select("qid", id_col, "grade")
-    return scored, grades, tfs_doc
+    # pivot to the per-(qid, doc) grain: slot j holds term j's
+    # contribution (max over a singleton = the value; absent = NULL)
+    n_slots = max(len(t) for t in term_lists)
+    graded_piv = (
+        contrib.groupBy("qid", id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("term_idx") == j, F.col("c"))).alias(
+                    f"c_{j}"
+                )
+                for j in range(n_slots)
+            ],
+            F.count(F.lit(1)).alias("grade"),
+        )
+        .persist()
+    )
+    score = F.lit(0.0)
+    for j in range(n_slots):
+        score = score + F.coalesce(F.col(f"c_{j}"), F.lit(0.0))
+    scored = graded_piv.select(
+        "qid", id_col, (F.floor(score * 10000) / 10000.0).alias("bm25")
+    )
+    grades = graded_piv.select("qid", id_col, "grade")
+    return scored, grades, [tf, graded_piv]
 
 
 def _batched_eval_wide(
@@ -1547,20 +1539,21 @@ def _batched_eval_wide(
     ranker produced run rows for that qid (same output-universe rule).
     Both sides of that join are narrow (ids + ranks + grade).
 
-    Barrier: the per-doc frequency frame feeds FOUR consumers (df
+    Barrier: the frequency frames feed multiple consumers (df
     derivation, candidate pools, ideal ranking, metric grades), and
     column pruning specializes each reference enough that static
     exchange reuse never fires — without a barrier the token explode
     re-runs once per consumer (the dsir/qnb lesson, VERDICT r11 #2).
-    So ``tfs_doc`` is persist()-ed with FULL lineage; the cache entry's
-    lifetime is tied to the frame this engine ultimately hands the
-    caller via the ``_keh_caches`` re-anchor protocol (see
-    :func:`search_eval_macro` — the macro fold chains transformations,
-    which would drop a finalizer anchored here before the action runs).
+    :func:`_wide_bm25_scores` persist()s its two levels with FULL
+    lineage; the cache entries' lifetimes are tied to the frame this
+    engine ultimately hands the caller via the ``_keh_caches``
+    re-anchor protocol (see :func:`search_eval_macro` — the macro fold
+    chains transformations, which would drop a finalizer anchored here
+    before the action runs).
     """
     spark = docs.sparkSession
     pool = max(RRF_POOL, k)
-    scored, grades, tfs_doc = _wide_bm25_scores(
+    scored, grades, caches = _wide_bm25_scores(
         docs, [terms for terms, _v in topics], text_col, id_col
     )
 
@@ -1617,7 +1610,7 @@ def _batched_eval_wide(
         "mrr_ppm",
         "prec_ppm",
     )
-    return _anchor_caches(out, tfs_doc)
+    return _anchor_caches(out, *caches)
 
 
 def _anchor_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:

@@ -84,11 +84,11 @@ LINT_SUBSET = {
     "multimodal_ahash": (0, 1),         # binary-column pipeline
     "sketch_hll_estimate": (4, 0),      # sketch registers
     "asof_join_nearest": (1, 0),        # as-of join
-    # r13: the data-driven wide-topic eval engine — 15 exchanges, every
-    # one pool-sized or narrow (the fused occurrence-list agg, the
-    # df-table aggregates, the pool windows/joins, the macro fold);
-    # plan width constant in |topics|, zero Python operators
-    "search_eval_wide": (15, 0),
+    # r13: the data-driven wide-topic eval engine — 14 exchanges, every
+    # one pool-sized or narrow (the tf/pivot hash aggs, the df-table
+    # aggregate, the pool windows/joins, the macro fold); plan width
+    # constant in |topics|, zero Python operators, no object aggs
+    "search_eval_wide": (14, 0),
     # r13: the batch-labeling face of the same scorer — 5 exchanges
     # (occurrence agg, df x2, stats, top-k window), zero Python
     "text_bm25_multi": (5, 0),
