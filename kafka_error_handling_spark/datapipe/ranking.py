@@ -165,9 +165,18 @@ def bm25_topk_multi(
     of topic queries without hundreds of corpus scans: ONE token
     explode against a broadcast (qid, term) table, plan width constant
     in |queries|, per-qid top-k via the group-limited window (each
-    input partition forwards ≤k rows per qid before the exchange)."""
+    input partition forwards ≤k rows per qid before the exchange).
+
+    Lifetime contract (the persist-with-lineage barrier,
+    ``sampling._unpersist_on_gc``): act on the RETURNED frame directly
+    (``collect``/``write``/``toPandas``).  Chaining a transformation
+    first (``bm25_topk_multi(...).filter(...).collect()``) drops the
+    wrapper the cache is anchored to and releases the barrier before
+    the action runs — results stay correct (full lineage; Spark
+    recomputes the explode), only the one-pass speed contract is lost.
+    """
     scored, _grades, caches = _wide_bm25_scores(
-        docs, term_lists, text_col, id_col
+        docs, term_lists, text_col, id_col, with_grades=False
     )
     w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc(id_col))
     out = (
@@ -1390,6 +1399,7 @@ def _wide_bm25_scores(
     term_lists: list[list[str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_grades: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
     """The data-driven multi-query BM25 scorer shared by
     :func:`_batched_eval_wide` and :func:`bm25_topk_multi`:
@@ -1422,8 +1432,13 @@ def _wide_bm25_scores(
     (candidate pools, metric grades, ideal ranking) replay a cache, not
     the aggregate (the dsir/qnb barrier discipline — column pruning
     specializes each reference enough that static exchange reuse never
-    fires).
+    fires).  ``with_grades=False`` (the bm25_topk_multi path, which
+    reads only ``scored``) skips the second persist level — a
+    single-consumer frame gains nothing from a cache fill (r13 review)
+    — and returns ``grades = None``.
     """
+    if not term_lists:
+        raise ValueError("term_lists must be non-empty")
     spark = docs.sparkSession
     toks = F.split(F.col(text_col), " ")
 
@@ -1471,27 +1486,27 @@ def _wide_bm25_scores(
     # pivot to the per-(qid, doc) grain: slot j holds term j's
     # contribution (max over a singleton = the value; absent = NULL)
     n_slots = max(len(t) for t in term_lists)
-    graded_piv = (
-        contrib.groupBy("qid", id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("term_idx") == j, F.col("c"))).alias(
-                    f"c_{j}"
-                )
-                for j in range(n_slots)
-            ],
-            F.count(F.lit(1)).alias("grade"),
-        )
-        .persist()
+    graded_piv = contrib.groupBy("qid", id_col).agg(
+        *[
+            F.max(F.when(F.col("term_idx") == j, F.col("c"))).alias(f"c_{j}")
+            for j in range(n_slots)
+        ],
+        F.count(F.lit(1)).alias("grade"),
     )
+    caches = [tf]
+    if with_grades:
+        graded_piv = graded_piv.persist()
+        caches.append(graded_piv)
     score = F.lit(0.0)
     for j in range(n_slots):
         score = score + F.coalesce(F.col(f"c_{j}"), F.lit(0.0))
     scored = graded_piv.select(
         "qid", id_col, (F.floor(score * 10000) / 10000.0).alias("bm25")
     )
-    grades = graded_piv.select("qid", id_col, "grade")
-    return scored, grades, [tf, graded_piv]
+    grades = (
+        graded_piv.select("qid", id_col, "grade") if with_grades else None
+    )
+    return scored, grades, caches
 
 
 def _batched_eval_wide(
@@ -1532,12 +1547,16 @@ def _batched_eval_wide(
          exchanges move pools); dense + RRF via the shared helpers.
 
     Metric join: runs is pool-bounded but GRADES ARE SPARSE here (only
-    docs matching ≥1 term have a row), so the join is runs LEFT OUTER
-    grades with grade coalesced to 0 — run rows (dense hits with no
-    query term) keep contributing zero gain exactly as the unrolled
-    engine's dense gmelt does, and a (ranker, qid) group exists iff the
-    ranker produced run rows for that qid (same output-universe rule).
-    Both sides of that join are narrow (ids + ranks + grade).
+    docs matching ≥1 term have a row), so runs are first restricted to
+    ids that EXIST in the corpus (a pruned id-only scan with the
+    pool-sized runs broadcast — the unrolled engine's inner gmelt join
+    drops corpus-orphan dense neighbors, and so must this one), then
+    LEFT OUTER joined to grades with grade coalesced to 0 — run rows
+    for real docs with no query term keep contributing zero gain
+    exactly as the unrolled engine's dense gmelt does, and a (ranker,
+    qid) group exists iff the ranker produced surviving run rows for
+    that qid (same output-universe rule).  Both sides of the grade join
+    are narrow (ids + ranks + grade).
 
     Barrier: the frequency frames feed multiple consumers (df
     derivation, candidate pools, ideal ranking, metric grades), and
@@ -1568,8 +1587,18 @@ def _batched_eval_wide(
     dense = _dense_ranks(spark, emb, topics, pool, id_col)
     runs = _rrf_runs(lexranks, dense, k, id_col)
 
+    # Output-universe parity (r13 review #1): the unrolled engine joins
+    # runs INNER against the all-docs grade scan, so a dense neighbor
+    # whose id has no documents row is DROPPED from the metrics (after
+    # rank assignment — ranks of surviving docs are untouched).  The
+    # sparse grades frame can't distinguish "doc exists, zero terms"
+    # (keep, grade 0) from "id not in the corpus" (drop), so membership
+    # rides a pruned id-only corpus pass with the pool-sized runs frame
+    # broadcast — output stays <= |runs|.
+    runs_in_corpus = broadcast(runs).join(docs.select(F.col(id_col)), id_col)
+
     per = (
-        runs.join(grades, ["qid", id_col], "left")
+        runs_in_corpus.join(grades, ["qid", id_col], "left")
         .withColumn("grade", F.coalesce(F.col("grade"), F.lit(0)))
         .groupBy("ranker", "qid")
         .agg(
@@ -1614,27 +1643,16 @@ def _batched_eval_wide(
 
 
 def _anchor_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Tie ``cached`` frames' cache entries to ``result``'s lifetime
-    (the persist-with-lineage barrier contract of
-    ``sampling._unpersist_on_gc``) AND record both the caches and a
-    DETACHABLE finalizer on the wrapper, so a caller that CHAINS
+    """Tie ``cached`` frames' cache entries to ``result``'s lifetime —
+    THE shared persist-with-lineage barrier helper
+    (``sampling._unpersist_on_gc``, which records the caches and a
+    DETACHABLE finalizer on the wrapper), so a caller that CHAINS
     transformations can move the anchor with :func:`_reanchor_caches`
-    instead of silently dropping the barrier (the documented
-    _unpersist_on_gc failure mode, ADVICE r12)."""
-    import weakref
+    instead of silently dropping the barrier (the documented failure
+    mode, ADVICE r12; single-sourced per the r13 review)."""
+    from .sampling import _unpersist_on_gc
 
-    jdfs = [c._jdf for c in cached]
-
-    def _release(jdfs=jdfs):
-        for j in jdfs:
-            try:
-                j.unpersist(False)
-            except Exception:  # noqa: BLE001 — session may be gone
-                pass
-
-    result._keh_caches = list(cached)
-    result._keh_finalizer = weakref.finalize(result, _release)
-    return result
+    return _unpersist_on_gc(result, *cached)
 
 
 def _reanchor_caches(result: DataFrame, upstream: DataFrame) -> DataFrame:

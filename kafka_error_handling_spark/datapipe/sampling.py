@@ -57,7 +57,12 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     results stay CORRECT (persist keeps lineage; Spark recomputes the
     fan-out), only the one-shot speed advantage is lost.  Callers that
     need to transform downstream should use the two-stage
-    ``bucket_counts=``/``counts=`` paths, which cache nothing."""
+    ``bucket_counts=``/``counts=`` paths (which cache nothing), or —
+    for internal plan builders — move the anchor onto the frame they
+    actually return: the caches and a DETACHABLE finalizer are recorded
+    on the wrapper (``_keh_caches`` / ``_keh_finalizer``, the re-anchor
+    protocol ``ranking._reanchor_caches`` rides; r13 review made this
+    helper the single source for both modules)."""
     if cached:
         import weakref
 
@@ -70,7 +75,8 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
                 except Exception:  # noqa: BLE001 — session may be gone
                     pass
 
-        weakref.finalize(result, _release)
+        result._keh_caches = list(cached)
+        result._keh_finalizer = weakref.finalize(result, _release)
     return result
 
 

@@ -408,3 +408,41 @@ def test_bm25_topk_multi_matches_single_query(spark, sf_dir):
         ]
         want = [(r["doc_id"], r["bm25"]) for r in bm25_topk(docs, terms, k=10).collect()]
         assert got == want, f"qid {qid} diverged"
+
+
+def test_wide_engine_drops_corpus_orphan_neighbors(spark):
+    """Output-universe parity (r13 review #1): a dense neighbor whose id
+    has NO documents row must vanish from the metrics — the unrolled
+    engine's inner all-docs grade join drops it; the wide engine must
+    restrict runs to corpus ids, not keep orphans as grade-0 rows.  The
+    sharpest observable: a topic whose terms match nothing and whose
+    dense pool is ALL orphans produces NO (hybrid_rrf, qid) row at all."""
+    from kafka_error_handling_spark.datapipe.ranking import (
+        _batched_eval,
+        _batched_eval_wide,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    # embedding ids 100-103: none exist in docs -> every dense neighbor
+    # is a corpus orphan
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0, 2.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    topics = [(["nosuchterm"], 100)]
+    a = _batched_eval(docs, emb, topics).collect()
+    b = _batched_eval_wide(docs, emb, topics).collect()
+    assert a == [] and b == [], (a, b)
+
+
+def test_bm25_topk_multi_rejects_empty_query_set(spark):
+    from kafka_error_handling_spark.datapipe.ranking import bm25_topk_multi
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk_multi(docs, [])

@@ -7,6 +7,10 @@ sorted by name, values stringified row-wise, rows sorted).
 
 Usage:  python tools/check_correctness.py [sf_dir] [query ...]
         python tools/check_correctness.py --lint   (type-lint all oracles, no Spark)
+        python tools/check_correctness.py --evidence-only
+            (regenerate EVIDENCE.md from CORRECTNESS_r*.json, no Spark —
+             run at round start once the driver writes its artifact, and
+             as a closing step; VERDICT r12 #3)
 
 The driver's hash is TYPE-faithful: DuckDB HUGEINT (the default result of
 ``sum(<integer>)``) vs Spark BIGINT diverges even when values are equal
