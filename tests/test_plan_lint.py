@@ -63,7 +63,13 @@ TOTAL_ARROW_PYTHON_PIN = 35
 # sample_dsir_importance at 2 and sample_quality_classifier at 4
 # (sketch/totals/weights replay a local relation), and the two new
 # wire gates add 1 each (the 5-row fixture orderBy).
-TOTAL_SHUFFLES_PIN = 464
+# r13: 464 -> 481 on 244 plans — corpus_media_funnel drops 2 (the
+# full-text digest window became the narrow min-per-digest join-back),
+# search_eval_wide adds 14 (the data-driven >50-topic engine: tf/pivot
+# hash aggs, df table, pool windows/joins, macro fold — every exchange
+# pool-sized or narrow, plan width constant in |topics|), and
+# text_bm25_multi adds 5 (the same scorer's batch-labeling face).
+TOTAL_SHUFFLES_PIN = 481
 
 # one representative per family; membership frozen for comparability.
 # Values = (max_shuffles, max_arrow_python) measured under the pytest
@@ -84,11 +90,13 @@ LINT_SUBSET = {
     "multimodal_ahash": (0, 1),         # binary-column pipeline
     "sketch_hll_estimate": (4, 0),      # sketch registers
     "asof_join_nearest": (1, 0),        # as-of join
-    # r13: the data-driven wide-topic eval engine — 14 exchanges, every
-    # one pool-sized or narrow (the tf/pivot hash aggs, the df-table
-    # aggregate, the pool windows/joins, the macro fold); plan width
-    # constant in |topics|, zero Python operators, no object aggs
-    "search_eval_wide": (14, 0),
+    # r13: the data-driven wide-topic eval engine — 15 exchanges under
+    # the pytest session conf (AQE's initial plan keeps the final
+    # orderBy range exchange the static lint conf folds: 14 there),
+    # every one pool-sized or narrow (the tf/pivot hash aggs, the
+    # df-table aggregate, the pool windows/joins, the macro fold);
+    # plan width constant in |topics|, zero Python ops, no object aggs
+    "search_eval_wide": (15, 0),
     # r13: the batch-labeling face of the same scorer — 5 exchanges
     # (occurrence agg, df x2, stats, top-k window), zero Python
     "text_bm25_multi": (5, 0),
