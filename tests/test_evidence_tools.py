@@ -153,3 +153,30 @@ def test_priority_head_is_the_stale_rows(tmp_path):
     assert not stragglers, stragglers
     ages = [ev[n] for n in _PRIORITY[55:] if n in ev]
     assert ages == sorted(ages), "tail past the rolled block must be age-ordered"
+
+
+def test_evidence_only_cli_regenerates_without_spark():
+    """`check_correctness.py --evidence-only` (VERDICT r12 #3) must
+    rewrite EVIDENCE.md from the CORRECTNESS artifacts quickly and
+    WITHOUT launching Spark — it is the round-start refresh step, so a
+    JVM spin-up (or any gate run) here would defeat its purpose."""
+    import time
+
+    before = os.path.getmtime(os.path.join(_REPO, "EVIDENCE.md"))
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "check_correctness.py"),
+         "--evidence-only"],
+        capture_output=True, text=True, cwd=_REPO, timeout=120,
+    )
+    wall = time.time() - t0
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "EVIDENCE.md regenerated" in out.stdout
+    assert os.path.getmtime(os.path.join(_REPO, "EVIDENCE.md")) >= before
+    # no-Spark bound: JVM startup alone is ~4-6 s; the refresh is pure
+    # file I/O + registry import and must stay well under that
+    assert wall < 60, f"--evidence-only took {wall:.1f}s — did it start Spark?"
+    md = open(os.path.join(_REPO, "EVIDENCE.md")).read()
+    # the r12-green wire gates must show their driver round (the exact
+    # staleness VERDICT r12 #2-weak flagged)
+    assert "| dlq_avro_wire | r12 |" in md

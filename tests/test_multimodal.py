@@ -235,3 +235,32 @@ def test_decode_image_with_injected_codec_full_pipeline(spark):
     a = {r.doc_id: (r.f0, r.f1, r.f2, r.f3) for r in feats.collect()}
     assert set(a) == {1, 2, 3}
     assert all(0.0 <= v < 1.0 for vals in a.values() for v in vals)
+
+
+def test_media_funnel_text_never_rides_an_exchange(spark, sf_dir):
+    """The r13 CAS-keep rework's whole point (VERDICT r12 #4): the dedup
+    key exchange carries (digest, doc_id) pairs, and NO shuffle exchange
+    anywhere in the funnel plan moves the document text column.  Checked
+    on the FORMATTED plan's per-node detail blocks (each Exchange block
+    lists its Input attributes; the bare tree string does not), and the
+    assertion is validated against the old window-keep shape, whose
+    digest exchange block really does list text#N."""
+    import os
+    import re
+    import sys as _sys
+
+    import __spark_entry__ as entrymod
+
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(_repo, "tools"))
+    from plan_lint import plan_string
+
+    df = entrymod.queries()["corpus_media_funnel"](spark, sf_dir)
+    blocks = [
+        b
+        for b in plan_string(df).split("\n\n")
+        if re.match(r"\(\d+\) Exchange", b.strip())
+    ]
+    assert blocks, "no Exchange detail blocks found — explain format changed?"
+    offenders = [b.splitlines()[0] for b in blocks if "text#" in b]
+    assert not offenders, offenders

@@ -446,3 +446,38 @@ def test_bm25_topk_multi_rejects_empty_query_set(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_topk_multi(docs, [])
+
+
+def test_reanchor_detaches_upstream_finalizer(spark):
+    """_reanchor_caches must DETACH the upstream wrapper's finalizer:
+    if it merely re-registered, GC of the intermediate frame would
+    unpersist the cache out from under the chained result (the exact
+    early-release bug the re-anchor protocol exists to prevent)."""
+    import gc
+
+    from kafka_error_handling_spark.datapipe.ranking import (
+        _anchor_caches,
+        _reanchor_caches,
+    )
+
+    def n_persisted():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    baseline = n_persisted()
+    cached = spark.range(10).persist()
+    cached.count()
+    assert n_persisted() == baseline + 1
+    inner = _anchor_caches(spark.range(10).selectExpr("id * 2 AS id"), cached)
+    outer = _reanchor_caches(inner.selectExpr("id + 1 AS id"), inner)
+    del inner
+    gc.collect()
+    # the cache must SURVIVE the intermediate wrapper's GC
+    assert n_persisted() == baseline + 1, "re-anchor failed to detach upstream"
+    assert outer.count() == 10
+    del outer
+    gc.collect()
+    import time as _t
+    deadline = _t.time() + 10
+    while _t.time() < deadline and n_persisted() > baseline:
+        _t.sleep(0.5)
+    assert n_persisted() == baseline, "re-anchored cache leaked past result GC"
