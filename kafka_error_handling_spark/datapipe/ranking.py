@@ -1533,15 +1533,17 @@ def _batched_eval_wide(
          the exchange carries one narrow row per matched (qid, term,
          doc), never the corpus); per-(qid, term) document frequencies
          reduce that same frame again (tiny), broadcast back.
-      3. the per-(qid, doc) score is the ORDERED fold of the per-term
-         contributions: collect_list(struct(term_idx, contrib)) →
-         array_sort → aggregate seeded lit(0.0).  Terms the doc lacks
-         are absent rows — their unrolled contribution is an exact
-         +0.0, so skipping them reproduces the unrolled sum bit-for-bit
-         (:func:`_bm25_term_contrib` is the shared single source).
-         The SAME aggregate emits the pseudo-grade (count of matched
-         terms = the unrolled sum of array_contains), so grades cost no
-         extra corpus pass here.
+      3. the per-(qid, doc) score is the ORDERED sum of the per-term
+         contributions, with NO object aggregation: each contribution
+         is pivoted into its slot via max(when(term_idx = j, contrib))
+         inside the same hash agg, then the slots are summed in fixed
+         slot order (see :func:`_wide_bm25_scores`).  Terms the doc
+         lacks leave their slot null → coalesce(+0.0), which is an
+         exact +0.0, so the pivot reproduces the unrolled sum
+         bit-for-bit (:func:`_bm25_term_contrib` is the shared single
+         source).  The SAME aggregate emits the pseudo-grade (count of
+         matched terms = the unrolled sum of array_contains), so grades
+         cost no extra corpus pass here.
       4. per-qid candidate pools / ideal rankings via the group-limited
          windows (WindowGroupLimit: map-side partial top-k, the
          exchanges move pools); dense + RRF via the shared helpers.

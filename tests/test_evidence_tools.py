@@ -180,3 +180,19 @@ def test_evidence_only_cli_regenerates_without_spark():
     # the r12-green wire gates must show their driver round (the exact
     # staleness VERDICT r12 #2-weak flagged)
     assert "| dlq_avro_wire | r12 |" in md
+
+
+def test_evidence_only_cli_rejects_extra_arguments():
+    """ADVICE r13: `--evidence-only some_query` looks like a gate run
+    but would only re-render EVIDENCE.md — the CLI must refuse the
+    combination instead of silently discarding the other arguments."""
+    before = os.path.getmtime(os.path.join(_REPO, "EVIDENCE.md"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "check_correctness.py"),
+         "--evidence-only", "dedup_exact"],
+        capture_output=True, text=True, cwd=_REPO, timeout=120,
+    )
+    assert out.returncode != 0
+    assert "--evidence-only takes no other arguments" in (out.stderr + out.stdout)
+    # and it must not have rewritten the ledger on the failing path
+    assert os.path.getmtime(os.path.join(_REPO, "EVIDENCE.md")) == before

@@ -258,6 +258,16 @@ def update_evidence(passed_names, sf_label: str) -> None:
 
 def main():
     if "--evidence-only" in sys.argv[1:]:
+        # --evidence-only must be the SOLE argument (ADVICE r13): a call
+        # like `check_correctness.py --evidence-only some_query` LOOKS
+        # like a gate run but would only re-render the MD — error out
+        # instead of silently discarding the extra arguments.
+        extra = [a for a in sys.argv[1:] if a != "--evidence-only"]
+        if extra:
+            raise SystemExit(
+                f"--evidence-only takes no other arguments (got {extra}): "
+                "it only re-renders EVIDENCE.md and runs no queries"
+            )
         # regenerate EVIDENCE.md from the current CORRECTNESS_r*.json set
         # WITHOUT running anything (VERDICT r12 #3: the driver writes its
         # artifact after the round's last local sweep, so the ledger must
