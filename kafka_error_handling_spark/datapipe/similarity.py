@@ -762,6 +762,59 @@ QUERIES["embedding_lsh_recall"] = (q_lsh_recall, _sql_recall(_sql_knn_lsh()))
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation (Kusupati et al. 2022, "Matryoshka Representation
+# Learning"): retrieval over only the FIRST d' dims of each embedding —
+# the standard funnel trick where a cheap truncated pass shortlists and
+# the full vector only rescores the shortlist.  The audit here measures
+# what the shortlist pass gives up: exact top-k under truncated cosine,
+# plus the paired recall gate against the full-dimension ranking.
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # truncation prefix (full vectors are 64-dim)
+
+
+def q_knn_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k under FIRST-``MRL_DIM``-dims cosine.
+
+    Scale design: identical to ``embedding_knn`` (broadcast queries ×
+    corpus scan, group-limited window) but every distance touches 4×
+    fewer floats — at 100 TB this is the cheap first pass of a
+    truncate-then-rescore funnel, and the slice happens in the scan
+    projection so the shuffle/broadcast never carries the full vector.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_DIM).alias("embedding")
+    )
+    return knn_bruteforce(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sql_knn_mrl() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{MRL_DIM}] AS ev FROM embeddings)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_DUCK_COS} AS cos_sim,
+         row_number() OVER (PARTITION BY b.vec_id
+                            ORDER BY {_DUCK_COS} DESC, a.vec_id ASC) AS rank
+  FROM e a JOIN e b ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+) WHERE rank <= 5
+"""
+
+
+QUERIES["embedding_knn_mrl"] = (q_knn_mrl, _sql_knn_mrl())
+
+
+def q_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the ``MRL_DIM``-dim truncated ranking vs the full
+    64-dim exact ranking — the number that decides whether a truncated
+    shortlist pass (with full-dim rescoring) is safe for this corpus."""
+    return _recall_gate(spark, sf_dir, q_knn_mrl)
+
+
+QUERIES["embedding_mrl_recall"] = (q_mrl_recall, _sql_recall(_sql_knn_mrl()))
+
+
+# ---------------------------------------------------------------------------
 # Arrow/BLAS scale path for brute-force scoring
 # ---------------------------------------------------------------------------
 

@@ -915,6 +915,7 @@ GROUP BY doc_id
 QUERIES["text_lm_score"] = (q_lm_score, SQL_LM_SCORE)
 
 
+
 # ---------------------------------------------------------------------------
 # Gopher-style rule audit (Rae et al. 2021, §A1.1, adapted to deterministic
 # thresholds): instead of silently dropping documents, report per-rule
@@ -1575,3 +1576,194 @@ FROM cells
 
 
 QUERIES["text_lang_confusion"] = (q_lang_confusion, _sql_lang_confusion())
+
+
+
+# NOTE: this block must stay at the END of the module: registering the
+# oracle calls _sql_ccnet_buckets() at import time, which imports
+# .sampling — whose own module-level oracle builders import text
+# attributes (e.g. _sql_gopher_flags) that must already be defined.
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data", §4.3): train a
+# language model per language on a CLEAN reference slice, score every
+# document, and split each language into head / middle / tail perplexity
+# tertiles — the standard web-corpus quality partition (head ≈ most
+# reference-like text).  Differs from ``text_lm_score`` in exactly the two
+# ways CCNet differs from self-scoring: the model is trained on a held-out
+# reference subset (not the corpus itself), and the output is the
+# per-language bucket assignment, not just the raw score.
+# ---------------------------------------------------------------------------
+
+# fraction of each language kept as the LM reference slice (CCNet trains on
+# Wikipedia; the testdata has no wiki column, so the analog is a salted
+# deterministic hash split — same md5-ppm machinery as assign_split)
+CCNET_REF_PPM = 400_000
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-document CCNet bucket: (doc_id, lang, n_bigrams, avg_nll,
+    bucket ∈ {head, middle, tail}).
+
+    ``avg_nll`` is the mean negative ln-likelihood per bigram under the
+    reference-trained add-one bigram model — a monotone transform of
+    CCNet's perplexity (ppl = e^avg_nll), kept in log space so the
+    cross-engine float surface is one ln + one avg, rounded to 4
+    decimals like every score here.  Bucketing is ntile(3) per language
+    ordered by (rounded avg_nll, doc_id) — deterministic, and tertiles
+    by construction like CCNet's equal-thirds split.
+
+    Scale design: the reference slice is a hash filter (no shuffle); the
+    per-language count tables come from two explode→hash-agg passes over
+    the REFERENCE slice only (40% of the corpus, map-side combined);
+    scoring joins are shuffle joins keyed on (lang, ngram) — both sides
+    corpus-scale at 100 TB, same shape as ``lm_score``.  The only global
+    op is the per-language ntile over narrow (doc, score) rows; a
+    1000-executor run replaces it with approx-quantile cutoffs, but the
+    exact window keeps oracle parity and is itself just a sort of
+    id+double pairs.  Documents under 2 tokens and languages whose
+    reference slice is empty (possible at tiny SFs) have no model to
+    score against and are excluded — the inner vocab join makes that
+    explicit rather than emitting a fake score.
+    """
+    from pyspark.sql.window import Window
+
+    from .sampling import hash_bucket
+
+    tokenized = docs.select(
+        F.col(id_col), F.col(lang_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    # hash_bucket's default denominator IS ppm (sampling.DENOM), so the
+    # reference cut compares the salted bucket against the ppm constant
+    ref = tokenized.filter(
+        hash_bucket(F.concat(F.lit("ccnet|"), F.col(id_col).cast("string")))
+        < CCNET_REF_PPM
+    )
+    toks = F.col("__toks")
+    uni = (
+        ref.select(F.col(lang_col), F.explode(toks).alias("w1"))
+        .groupBy(lang_col, "w1")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    bi = (
+        ref.select(
+            F.col(lang_col), F.explode(ngram_array_toks(toks, 2)).alias("bigram")
+        )
+        .groupBy(lang_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    vocab = uni.groupBy(lang_col).agg(F.count(F.lit(1)).alias("v"))
+
+    # (bigram, w1) in one transform pass — the lm_score shape (its perf
+    # note applies: re-deriving w1 by splitting the bigram post-explode
+    # costs an extra split over the largest row count in the query)
+    bi_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ).alias("bigram"),
+                F.element_at(toks, i).alias("w1"),
+            ),
+        ),
+    )
+    doc_bi = (
+        tokenized.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.col(lang_col), F.explode(bi_structs).alias("bs"))
+        .select(
+            id_col,
+            lang_col,
+            F.col("bs.bigram").alias("bigram"),
+            F.col("bs.w1").alias("w1"),
+        )
+    )
+    # LEFT joins: unlike the self-trained lm_score, held-out documents
+    # contain n-grams the reference never saw — they score as count 0
+    # under the same add-one smoothing, not as dropped rows
+    scored = (
+        doc_bi.join(bi, [lang_col, "bigram"], "left")
+        .join(uni, [lang_col, "w1"], "left")
+        .join(vocab, [lang_col])
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.coalesce(F.col("c_bi"), F.lit(0)) + 1)
+                        / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("avg_nll"),
+        )
+    )
+    wb = Window.partitionBy(lang_col).orderBy(F.asc("avg_nll"), F.asc(id_col))
+    return scored.withColumn("nt", F.ntile(3).over(wb)).select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "avg_nll",
+        F.when(F.col("nt") == 1, F.lit("head"))
+        .when(F.col("nt") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_ccnet_buckets() -> str:
+    from .sampling import _DUCK_SALTED_BUCKET
+
+    ref_bucket = _DUCK_SALTED_BUCKET.replace("<SALT>", "ccnet|").format(k="doc_id")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), ref AS (
+  SELECT * FROM toks WHERE {ref_bucket} < {CCNET_REF_PPM}
+), uni AS (
+  SELECT lang, w1, count(*) AS c_uni
+  FROM (SELECT lang, unnest(t) AS w1 FROM ref) GROUP BY lang, w1
+), bi AS (
+  SELECT lang, bigram, count(*) AS c_bi
+  FROM (SELECT lang,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM ref WHERE len(t) >= 2)
+  GROUP BY lang, bigram
+), vocab AS (
+  SELECT lang, count(*) AS v FROM uni GROUP BY lang
+), doc_bi AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), scored AS (
+  SELECT d.doc_id, d.lang,
+         count(*) AS n_bigrams,
+         round(-avg(ln((coalesce(c_bi, 0) + 1)::DOUBLE
+                       / (coalesce(c_uni, 0) + v))), 4) AS avg_nll
+  FROM doc_bi d
+  LEFT JOIN bi ON bi.lang = d.lang AND bi.bigram = d.bigram
+  LEFT JOIN uni ON uni.lang = d.lang AND uni.w1 = string_split(d.bigram, ' ')[1]
+  JOIN vocab ON vocab.lang = d.lang
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc_id, lang, n_bigrams, avg_nll,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+  SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll ASC, doc_id ASC) AS nt
+  FROM scored
+)
+"""
+
+
+QUERIES["text_ccnet_buckets"] = (q_ccnet_buckets, _sql_ccnet_buckets())

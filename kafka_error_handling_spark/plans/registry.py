@@ -78,74 +78,23 @@ def _modules():
 
 
 _PRIORITY = [
-    # r13 driver-budget ordering (VERDICT r12 #2).  Indexing convention
-    # (ADVICE r11): ALL positions are 0-based slices of this list — the
-    # driver checks _PRIORITY[0:50].  Head = the 5 rows whose code is
-    # new or semantically changed this round: the NEW wide-topic eval
-    # gate (search_eval_wide — first-ever CORRECTNESS row for the
-    # data-driven >50-topic engine), the reworked corpus_media_funnel
-    # (CAS keep moved from the full-text digest window to the narrow
-    # min-per-digest join-back), the two eval gates sharing the
-    # refactored engine (search_eval_macro / search_eval_ndcg), and the
-    # NEW batch-labeling API gate (text_bm25_multi — the data-driven
-    # scorer as a user surface).  Then 45 stale rows: the 11 r7 rows
-    # parked at [50:61] by the r12 rotation (the verdict's explicit
-    # carry-over), and the first 34 of the 39 r8 rows (the oldest
-    # remaining evidence).  5 + 11 + 34 = 50 exactly; the 5 displaced
-    # r8 rows park at [50:55] and roll to the r14 budget.  Tail from
-    # position 55 on: evidence-age-ordered ascending (rest of r9, r10,
-    # r11, then the 48 r12-checked rows minus the two pulled into the
-    # head), freshest last.
-    "search_eval_wide",
-    "corpus_media_funnel",
-    "search_eval_macro",
-    "search_eval_ndcg",
-    "text_bm25_multi",
-    "q16_supplier_cnt",
-    "q19_or_predicates",
-    "q20_excess_shipments",
-    "q21_waiting_supplier",
-    "q22_no_order_customers",
-    "embedding_label_purity",
-    "sketch_cms_topk",
-    "embedding_semdedup",
-    "embedding_kmeans",
-    "dedup_exact_substring",
-    "dedup_incremental",
-    "sliding_windows",
-    "exact_percentiles",
-    "event_funnel",
-    "bloom_pruned_join",
-    "forward_fill",
-    "event_sessionize",
-    "sketch_countmin",
-    "sketch_countmin_estimate",
-    "q12_priority_by_returnflag",
-    "text_pii_scrub",
-    "text_bigram_counts",
-    "text_repetition",
-    "text_decontaminate",
-    "text_lm_score",
-    "quality_gopher_report",
-    "corpus_pipeline_priority",
-    "dedup_fuzzy_names",
-    "dedup_priority_source",
-    "sample_pack_sequences",
-    "sample_quality_curriculum",
-    "sample_weighted_quality",
-    "asof_join_forward",
-    "merge_upsert",
-    "scd2_intervals",
-    "quality_profile_columns",
-    "quality_fk_orphans",
-    "quality_key_skew",
-    "sample_split_assignment",
-    "corpus_pipeline",
-    "pipeline_chunked_corpus",
-    "sketch_hll_registers",
-    "sketch_hll_estimate",
-    "graph_triangles",
-    "layout_zorder_pruning",
+    # r14 driver-budget ordering (the VERDICT r12 #2 rotation rule,
+    # third application).  0-based slices; the driver checks
+    # _PRIORITY[0:50].  Head [0:3] = the rows whose code is NEW this
+    # round: text_ccnet_buckets (CCNet-style per-language perplexity
+    # tertiles off a held-out reference LM), embedding_knn_mrl
+    # (Matryoshka first-16-dims retrieval) and embedding_mrl_recall
+    # (its paired recall-vs-full-dims gate) — none has ever had a
+    # driver row.  Then 47 stale rows: the 5 r8 rows (the ledger's
+    # oldest evidence — the r13 rotation displaced them to [50:55])
+    # and the first 42 of the 48 r9 rows.  3 + 5 + 42 = 50 exactly;
+    # the 6 displaced r9 rows park at [50:56] and roll to the r15
+    # budget.  Tail from position 56 on: evidence-age-ordered
+    # ascending (rest of r9 -> none, r10, r11, r12, then the r13
+    # rows), freshest last.
+    "text_ccnet_buckets",
+    "embedding_knn_mrl",
+    "embedding_mrl_recall",
     "graph_clustering_coeff",
     "graph_jaccard_neighbors",
     "embedding_knn_pq",
@@ -340,6 +289,56 @@ _PRIORITY = [
     "q11_important_parts",
     "q13_order_distribution",
     "q15_top_supplier",
+    "search_eval_wide",
+    "corpus_media_funnel",
+    "search_eval_macro",
+    "search_eval_ndcg",
+    "text_bm25_multi",
+    "q16_supplier_cnt",
+    "q19_or_predicates",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_no_order_customers",
+    "embedding_label_purity",
+    "sketch_cms_topk",
+    "embedding_semdedup",
+    "embedding_kmeans",
+    "dedup_exact_substring",
+    "dedup_incremental",
+    "sliding_windows",
+    "exact_percentiles",
+    "event_funnel",
+    "bloom_pruned_join",
+    "forward_fill",
+    "event_sessionize",
+    "sketch_countmin",
+    "sketch_countmin_estimate",
+    "q12_priority_by_returnflag",
+    "text_pii_scrub",
+    "text_bigram_counts",
+    "text_repetition",
+    "text_decontaminate",
+    "text_lm_score",
+    "quality_gopher_report",
+    "corpus_pipeline_priority",
+    "dedup_fuzzy_names",
+    "dedup_priority_source",
+    "sample_pack_sequences",
+    "sample_quality_curriculum",
+    "sample_weighted_quality",
+    "asof_join_forward",
+    "merge_upsert",
+    "scd2_intervals",
+    "quality_profile_columns",
+    "quality_fk_orphans",
+    "quality_key_skew",
+    "sample_split_assignment",
+    "corpus_pipeline",
+    "pipeline_chunked_corpus",
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "graph_triangles",
+    "layout_zorder_pruning",
 ]
 
 def _merged() -> dict:

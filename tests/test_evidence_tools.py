@@ -97,61 +97,54 @@ def test_stress_rejects_unknown_family_before_spark():
 
 
 def test_priority_head_is_the_stale_rows(tmp_path):
-    # VERDICT r12 item 2: the r13 priority budget (0-based slices of
-    # _PRIORITY; the driver checks [0:50]) is
-    #   * [0:5]  — the rows whose CODE is new or changed this round: the
-    #     brand-new wide-topic eval gate (search_eval_wide, first-ever
-    #     CORRECTNESS row for the data-driven engine), the reworked
-    #     corpus_media_funnel (narrow CAS keep), the two eval gates
-    #     sharing the refactored engine (search_eval_macro/_ndcg), and
-    #     the brand-new batch-labeling gate (text_bm25_multi);
-    #   * [5:16] — the 11 r7 rows the r12 rotation parked at [50:61],
-    #     the verdict's explicit carry-over (the ledger's oldest
-    #     evidence);
-    #   * [16:50] — the first 34 of the 39 r8 rows (next-oldest block).
-    # 5 + 11 + 34 = 50.  The 5 displaced r8 rows park at [50:55] and
-    # roll to the r14 budget; from position 55 the tail is
-    # evidence-age-ordered ascending (r9, r10, r11, then the r12-checked
-    # rows).  Pinned against the r1-r12 artifacts only (the evidence the
-    # rotation was derived FROM), so later driver rounds cannot
-    # invalidate it.
+    # The r14 priority budget (VERDICT r12 #2 rotation rule, third
+    # application; 0-based slices of _PRIORITY; the driver checks
+    # [0:50]):
+    #   * [0:3]  — the rows whose CODE is brand-new this round, none
+    #     with any driver evidence: text_ccnet_buckets (CCNet-style
+    #     per-language perplexity tertiles off a held-out reference
+    #     LM), embedding_knn_mrl (Matryoshka first-16-dims retrieval),
+    #     embedding_mrl_recall (its recall-vs-full-dims gate);
+    #   * [3:8]  — the 5 r8 rows the r13 rotation parked at [50:55],
+    #     the ledger's oldest evidence;
+    #   * [8:50] — the first 42 of the 48 r9 rows (next-oldest block).
+    # 3 + 5 + 42 = 50.  The 6 displaced r9 rows park at [50:56] and
+    # roll to the r15 budget; from position 56 the tail is
+    # evidence-age-ordered ascending (r10, r11, r12, then the
+    # r13-checked rows).  Pinned against the r1-r13 artifacts only
+    # (the evidence the rotation was derived FROM), so later driver
+    # rounds cannot invalidate it.
     import shutil
 
     from kafka_error_handling_spark.plans.registry import _PRIORITY
 
     changed = [
-        "search_eval_wide",
-        "corpus_media_funnel",
-        "search_eval_macro",
-        "search_eval_ndcg",
-        "text_bm25_multi",
+        "text_ccnet_buckets",
+        "embedding_knn_mrl",
+        "embedding_mrl_recall",
     ]
-    assert _PRIORITY[:5] == changed
-    for rnd in range(1, 13):
+    assert _PRIORITY[:3] == changed
+    for rnd in range(1, 14):
         shutil.copy(
             os.path.join(_REPO, f"CORRECTNESS_r{rnd:02d}.json"), str(tmp_path)
         )
     ev = _driver_evidence(str(tmp_path))
-    # the two new gates are brand-new: no driver evidence exists yet
-    assert "search_eval_wide" not in ev and "text_bm25_multi" not in ev
-    # the other three head rows were green in recent rounds — they are
-    # in the head for their CODE change, not their age
-    assert ev["corpus_media_funnel"] == 10
-    assert ev["search_eval_macro"] == ev["search_eval_ndcg"] == 12
-    # [5:16]: the parked r7 block, oldest evidence in the ledger
-    assert all(ev.get(n) == 7 for n in _PRIORITY[5:16]), [
-        (n, ev.get(n)) for n in _PRIORITY[5:16]
+    # the three head rows are brand-new: no driver evidence exists yet
+    assert not any(n in ev for n in changed)
+    # [3:8]: the parked r8 block, oldest evidence in the ledger
+    assert all(ev.get(n) == 8 for n in _PRIORITY[3:8]), [
+        (n, ev.get(n)) for n in _PRIORITY[3:8]
     ]
-    # [16:50]: r8 rows only — the budget closes on the next-oldest block
-    assert all(ev.get(n) == 8 for n in _PRIORITY[16:50]), [
-        (n, ev.get(n)) for n in _PRIORITY[16:50] if ev.get(n) != 8
+    # [8:50]: r9 rows only — the budget closes on the next-oldest block
+    assert all(ev.get(n) == 9 for n in _PRIORITY[8:50]), [
+        (n, ev.get(n)) for n in _PRIORITY[8:50] if ev.get(n) != 9
     ]
-    # the 5 displaced r8 rows sit IMMEDIATELY past the cutoff; no row
-    # with evidence <= 8 hides deeper in the tail
-    assert all(ev.get(n) == 8 for n in _PRIORITY[50:55]), _PRIORITY[50:55]
-    stragglers = [n for n in _PRIORITY[55:] if ev.get(n, 99) <= 8]
+    # the 6 displaced r9 rows sit IMMEDIATELY past the cutoff; no row
+    # with evidence <= 9 hides deeper in the tail
+    assert all(ev.get(n) == 9 for n in _PRIORITY[50:56]), _PRIORITY[50:56]
+    stragglers = [n for n in _PRIORITY[56:] if ev.get(n, 99) <= 9]
     assert not stragglers, stragglers
-    ages = [ev[n] for n in _PRIORITY[55:] if n in ev]
+    ages = [ev[n] for n in _PRIORITY[56:] if n in ev]
     assert ages == sorted(ages), "tail past the rolled block must be age-ordered"
 
 
