@@ -18,6 +18,15 @@ strategy / row layout may change):
 - ``layout``         local[3] / shuffle=5 (vs the default local[8]/8)
 - ``permutation``    every table rewritten in seeded-random row order
 - ``tz``             TZ=America/New_York (host-timezone independence)
+- ``splits``         spark.sql.files.maxPartitionBytes=64k + openCostInBytes=0
+                     (every scan fractured into many input splits — the
+                     split-boundary shape a real multi-file 100 TB table has;
+                     catches anything that silently assumes one scan task or
+                     leans on within-scan row contiguity)
+- ``arrowbatch``     spark.sql.execution.arrow.maxRecordsPerBatch=7 (every
+                     Arrow-batched Python op re-batched at 7 rows — batch-
+                     boundary correctness for the capture/multimodal UDF
+                     surface, where a real corpus delivers arbitrary batching)
 
 Usage: python tools/run_sweeps.py [sf_dir] [sweep ...]
        (default sf_dir /root/testdata/sf0.01; default = all sweeps)
@@ -52,6 +61,19 @@ SWEEPS: dict[str, dict] = {
     "layout": {"env": {"KEH_CHECK_MASTER": "local[3]", "KEH_CHECK_SHUFFLE": "5"}},
     "permutation": {"env": {}, "permute": True},
     "tz": {"env": {"TZ": "America/New_York"}},
+    "splits": {
+        "env": {
+            "KEH_CHECK_CONF": (
+                "spark.sql.files.maxPartitionBytes=65536"
+                ";spark.sql.files.openCostInBytes=0"
+            )
+        }
+    },
+    "arrowbatch": {
+        "env": {
+            "KEH_CHECK_CONF": "spark.sql.execution.arrow.maxRecordsPerBatch=7"
+        }
+    },
 }
 
 

@@ -15,7 +15,8 @@ unified-edge-artifact check) so the evidence is reproducible.
 Usage:  python tools/stress.py [N] [family ...]
         N defaults to 10; families default to all.
 Families: see FAMILY_NAMES below (graph, basket, cc, dedup, text,
-embed, minhash, decontam, prf, dsir, qnb, searcheval, searchevalwide).
+embed, minhash, decontam, prf, dsir, qnb, searcheval, searchevalwide,
+ccnet, mrl).
 """
 
 from __future__ import annotations
@@ -243,6 +244,36 @@ def _families(spark):
         e = _replicate(emb, n, {"vec_id": VEC_SHIFT})
         search_eval_macro(d, e, EVAL_WIDE_QUERIES).count()
 
+    def ccnet(n):
+        # CCNet bucketing (r14): the reference slice is a fixed FRACTION
+        # of the corpus, so the count tables grow N× alongside the doc
+        # stream — every join stays (lang, ngram)-keyed and linear; the
+        # per-language ntile runs over narrow (doc, score) rows.  Wall
+        # must scale with the explode/agg passes, never quadratically.
+        from kafka_error_handling_spark.datapipe.text import ccnet_buckets
+
+        df = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        ccnet_buckets(df).count()
+
+    def mrl(n):
+        # Matryoshka truncated retrieval (r14): fixed query set against
+        # the replicated corpus under first-16-dims cosine — the slice
+        # happens in the scan projection, so wall must scale with the
+        # corpus scan at ~1/4 the float work of the full-dim `embed`
+        # family, never with queries × queries
+        from kafka_error_handling_spark.datapipe.similarity import (
+            MRL_DIM,
+            knn_bruteforce,
+        )
+
+        df = _replicate(emb, n, {"vec_id": VEC_SHIFT}).select(
+            "vec_id", F.slice(F.col("embedding"), 1, MRL_DIM).alias("embedding")
+        )
+        q = emb.filter(F.col("vec_id") < 10).select(
+            "vec_id", F.slice(F.col("embedding"), 1, MRL_DIM).alias("embedding")
+        )
+        knn_bruteforce(df, q, k=5).count()
+
     def qnb(n):
         # NB quality-classifier selection: like dsir, the training sketch
         # is FIXED at <=4097 rows however large the corpus — wall must
@@ -276,12 +307,14 @@ def _families(spark):
         "qnb": qnb,
         "searcheval": searcheval,
         "searchevalwide": searchevalwide,
+        "ccnet": ccnet,
+        "mrl": mrl,
     }
 
 
 FAMILY_NAMES = (
     "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam",
-    "prf", "dsir", "qnb", "searcheval", "searchevalwide",
+    "prf", "dsir", "qnb", "searcheval", "searchevalwide", "ccnet", "mrl",
 )
 
 
