@@ -37,7 +37,17 @@ __all__ = [
     "stratified_exact",
 ]
 
-DENOM = 1_000_000  # ppm resolution for rates/weights
+# bucket machinery lives in the leaf module bucket_sql (text.py needs it
+# at module-import time too, and sampling's own module-level oracle
+# builders import text attributes — a direct text -> sampling import
+# would make the cycle's resolvability depend on statement order);
+# re-exported here so existing call sites keep their import path
+from .bucket_sql import (  # noqa: F401
+    DENOM,
+    DUCK_BUCKET,
+    DUCK_SALTED_BUCKET,
+    hash_bucket,
+)
 
 
 def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -78,12 +88,6 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
         result._keh_caches = list(cached)
         result._keh_finalizer = weakref.finalize(result, _release)
     return result
-
-
-def hash_bucket(key: Column, denom: int = DENOM) -> Column:
-    """Uniform bucket in [0, denom) from a key column's md5."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-    return h % denom
 
 
 def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
@@ -129,17 +133,11 @@ def assign_split(
 # correctness-gate queries
 # ---------------------------------------------------------------------------
 
-_DUCK_BUCKET = (
-    "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
-    f" % {DENOM}"
-)
+_DUCK_BUCKET = DUCK_BUCKET
 
 # salted bucket template: one source of truth for every salted md5 ppm
 # bucket in the oracles (the salt must include its trailing separator)
-_DUCK_SALTED_BUCKET = (
-    "CAST(concat('0x', substr(md5('<SALT>' || CAST({k} AS VARCHAR)), 1, 15))"
-    f" AS BIGINT) % {DENOM}"
-)
+_DUCK_SALTED_BUCKET = DUCK_SALTED_BUCKET
 
 # the salted split-assignment bucket (mirrors assign_split)
 _DUCK_SPLIT_BUCKET = _DUCK_SALTED_BUCKET.replace("<SALT>", "split|")

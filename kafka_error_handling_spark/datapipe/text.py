@@ -1579,10 +1579,9 @@ QUERIES["text_lang_confusion"] = (q_lang_confusion, _sql_lang_confusion())
 
 
 
-# NOTE: this block must stay at the END of the module: registering the
-# oracle calls _sql_ccnet_buckets() at import time, which imports
-# .sampling — whose own module-level oracle builders import text
-# attributes (e.g. _sql_gopher_flags) that must already be defined.
+# (This block imports only the LEAF bucket_sql module at registration
+# time — never .sampling, whose module-level oracle builders import
+# text attributes back; see bucket_sql's docstring for the cycle.)
 # ---------------------------------------------------------------------------
 # CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
 # High Quality Monolingual Datasets from Web Crawl Data", §4.3): train a
@@ -1633,7 +1632,7 @@ def ccnet_buckets(
     """
     from pyspark.sql.window import Window
 
-    from .sampling import hash_bucket
+    from .bucket_sql import hash_bucket
 
     tokenized = docs.select(
         F.col(id_col), F.col(lang_col), F.split(F.col(text_col), " ").alias("__toks")
@@ -1723,9 +1722,9 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ccnet_buckets() -> str:
-    from .sampling import _DUCK_SALTED_BUCKET
+    from .bucket_sql import DUCK_SALTED_BUCKET
 
-    ref_bucket = _DUCK_SALTED_BUCKET.replace("<SALT>", "ccnet|").format(k="doc_id")
+    ref_bucket = DUCK_SALTED_BUCKET.replace("<SALT>", "ccnet|").format(k="doc_id")
     return f"""
 WITH toks AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents

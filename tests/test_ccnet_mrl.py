@@ -43,12 +43,12 @@ def test_ccnet_reference_docs_score_better_on_average(spark, sf_dir):
     have a lower mean NLL than held-out ones — the model has seen their
     n-grams, so add-one smoothing penalizes them less.  Catches a
     swapped join direction or an inverted sign."""
-    from kafka_error_handling_spark.datapipe.sampling import hash_bucket
+    from kafka_error_handling_spark.datapipe.bucket_sql import hash_bucket
     from kafka_error_handling_spark.datapipe.text import CCNET_REF_PPM
     from kafka_error_handling_spark.sources.files import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = ccnet_buckets(docs).join(docs.select("doc_id"), "doc_id")
+    scored = ccnet_buckets(docs)
     in_ref = hash_bucket(
         F.concat(F.lit("ccnet|"), F.col("doc_id").cast("string"))
     ) < CCNET_REF_PPM
@@ -70,14 +70,30 @@ def test_ccnet_unseen_language_is_excluded_not_fake_scored(spark):
     # all-English reference: whatever the hash split keeps, 'zz' has no
     # other members, so IF this one doc lands outside the slice the lang
     # has no model at all
-    rows.append((999983, "zz", "unseen language text here"))
-    out = ccnet_buckets(_docs(spark, rows))
-    langs = {r.lang for r in out.collect()}
-    # 'en' always has reference docs at 40 rows / 40% cut; 'zz' either
-    # scored (its own doc was sampled into the reference) or excluded —
-    # both are fine, but a crash/NaN here is not
+    zz_id = 999983
+    from kafka_error_handling_spark.datapipe.bucket_sql import hash_bucket
+    from kafka_error_handling_spark.datapipe.text import CCNET_REF_PPM
+
+    rows.append((zz_id, "zz", "unseen language text here"))
+    df = _docs(spark, rows)
+    zz_in_ref = (
+        df.filter(F.col("doc_id") == zz_id)
+        .select(
+            (
+                hash_bucket(F.concat(F.lit("ccnet|"), F.col("doc_id").cast("string")))
+                < CCNET_REF_PPM
+            ).alias("r")
+        )
+        .first()
+        .r
+    )
+    out = ccnet_buckets(df).collect()
+    langs = {r.lang for r in out}
     assert "en" in langs
-    for r in out.collect():
+    # PIN the exclusion contract: 'zz' has exactly one doc, so its model
+    # exists iff that doc hashed into the reference slice
+    assert ("zz" in langs) == zz_in_ref
+    for r in out:
         assert r.avg_nll is not None and r.avg_nll == r.avg_nll  # not NaN
 
 
@@ -106,3 +122,27 @@ def test_mrl_recall_bounds_and_width(spark, sf_dir):
     assert len(rows) == 10
     assert all(0.0 <= r.recall_at_5 <= 1.0 for r in rows)
     assert sum(r.recall_at_5 for r in rows) > 0
+
+
+def test_text_sampling_import_order_is_free():
+    """Both module-level import orders of the text <-> sampling pair must
+    work in FRESH interpreters: sampling's module-level oracle builders
+    import text attributes, so text must never import sampling at module
+    load (it uses the leaf bucket_sql module instead — r14 review)."""
+    import subprocess
+    import sys
+
+    for first, second in (("text", "sampling"), ("sampling", "text")):
+        code = (
+            f"import kafka_error_handling_spark.datapipe.{first} as a\n"
+            f"import kafka_error_handling_spark.datapipe.{second} as b\n"
+            "assert 'text_ccnet_buckets' in "
+            "__import__('kafka_error_handling_spark.datapipe.text', "
+            "fromlist=['QUERIES']).QUERIES\n"
+        )
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=120,
+            cwd="/root/repo",
+        )
+        assert p.returncode == 0, (first, second, p.stderr[-800:])
