@@ -100,6 +100,11 @@ LINT_SUBSET = {
     # r13: the batch-labeling face of the same scorer — 5 exchanges
     # (occurrence agg, df x2, stats, top-k window), zero Python
     "text_bm25_multi": (5, 0),
+    # r14: reference-LM perplexity tertiles — 6 exchanges under the
+    # pytest session conf (uni/bi/vocab count aggs over the hash-split
+    # reference slice, the two scoring joins' per-doc agg, the
+    # per-language ntile window), zero Python
+    "text_ccnet_buckets": (6, 0),
 }
 
 
