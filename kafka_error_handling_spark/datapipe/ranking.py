@@ -1456,19 +1456,27 @@ def _wide_bm25_scores(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
+    # dl is PROJECTED BELOW the Generate (its own select, before the
+    # explode) and carried through the agg as min() rather than as a 4th
+    # grouping key: with the collapsed single-select shape, whole-stage
+    # codegen inlined `size(split(text))` into the fused join/agg loop
+    # and re-evaluated the full split per JOIN-OUTPUT row — measured
+    # 7.5 s vs 1.5 s for the tf frame at sf0.1 (r14, guide §1/§4: keep
+    # opaque recomputation out of hot codegen loops).  min(dl) over a
+    # per-doc-constant column is exact, so tf's rows are unchanged.
+    pre = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), toks.alias("__toks")
+    )
     hits = (
-        docs.select(
-            F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("tok")
-        )
+        pre.select(id_col, "dl", F.explode("__toks").alias("tok"))
         .join(broadcast(tterms), F.col("tok") == F.col("term"))
         .select("qid", "term_idx", id_col, "dl")
     )
-    # dl is functionally dependent on the doc — grouping by it is free;
     # map-side combine means the exchange carries one narrow row per
     # matched (qid, term, doc), never token occurrences
     tf = (
-        hits.groupBy("qid", "term_idx", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        hits.groupBy("qid", "term_idx", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
         .persist()
     )
     df_tbl = tf.groupBy("qid", "term_idx").agg(F.count(F.lit(1)).alias("df"))

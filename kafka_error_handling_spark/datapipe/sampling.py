@@ -1224,6 +1224,43 @@ def _dsir_bucket(feat: Column) -> Column:
     return h % _DSIR_BUCKETS
 
 
+def _feature_rows(
+    src: DataFrame, text_col: str, *cols: Column
+) -> DataFrame:
+    """``cols + (feat,)`` rows — the unigram+bigram fan-out as a UNION of
+    two plain explodes instead of ``explode(_dsir_features(...))``.
+
+    Building the concatenated per-doc feature ARRAY runs the bigram
+    ``transform`` lambda interpreted per element and allocates the
+    ~2×tokens array per document; exploding positions and emitting each
+    bigram with codegen'd ``element_at`` measured 0.5 s vs 3.0-4.8 s for
+    the sf0.1 fan-out (r14, guide §4.1: prefer codegen expressions over
+    higher-order lambdas on the hot path).  The emitted (cols, feat)
+    multiset is identical — only generation order changes, and every
+    consumer aggregates."""
+    toks = F.split(F.col(text_col), " ")
+    base = src.select(*cols, toks.alias("__tk"))
+    names = base.columns[:-1]  # the caller's columns, post-alias
+    uni = base.select(*names, F.explode("__tk").alias("feat"))
+    bi = (
+        base.filter(F.size("__tk") > 1)
+        .select(
+            *names,
+            "__tk",
+            F.explode(F.sequence(F.lit(1), F.size("__tk") - 1)).alias("__i"),
+        )
+        .select(
+            *names,
+            F.concat_ws(
+                " ",
+                F.element_at("__tk", F.col("__i")),
+                F.element_at("__tk", F.col("__i") + 1),
+            ).alias("feat"),
+        )
+    )
+    return uni.unionByName(bi)
+
+
 def _dsir_feature_frame(
     docs: DataFrame,
     target_source: str,
@@ -1238,17 +1275,14 @@ def _dsir_feature_frame(
     over whatever width AQE picks for the exchange even off a single
     parquet file, and the pool-scoring ``groupBy(id_col)`` downstream
     aggregates without a second corpus-sized shuffle."""
-    return (
-        docs.repartition(F.col(id_col))
-        .select(
-            F.col(id_col),
-            F.col("source"),
-            (F.col("source") == target_source).alias("is_tgt"),
-            F.explode(_dsir_features(text_col)).alias("feat"),
-        )
-        .select(
-            id_col, "source", "is_tgt", _dsir_bucket(F.col("feat")).alias("bucket")
-        )
+    return _feature_rows(
+        docs.repartition(F.col(id_col)),
+        text_col,
+        F.col(id_col),
+        F.col("source"),
+        (F.col("source") == target_source).alias("is_tgt"),
+    ).select(
+        id_col, "source", "is_tgt", _dsir_bucket(F.col("feat")).alias("bucket")
     )
 
 
@@ -1473,14 +1507,9 @@ def _qnb_feature_frame(
     corpus-wide text exchange; its own groupBy moves one slim aggregate
     row per doc, strictly cheaper than shuffling text upfront)."""
     base = docs.repartition(F.col(id_col)) if repartition_by_id else docs
-    return (
-        base.select(
-            F.col(id_col),
-            F.col("source"),
-            F.explode(_dsir_features(text_col)).alias("feat"),
-        )
-        .select(id_col, "source", _dsir_bucket(F.col("feat")).alias("bucket"))
-    )
+    return _feature_rows(
+        base, text_col, F.col(id_col), F.col("source")
+    ).select(id_col, "source", _dsir_bucket(F.col("feat")).alias("bucket"))
 
 
 def _qnb_labels(
