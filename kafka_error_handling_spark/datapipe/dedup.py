@@ -377,14 +377,27 @@ _H_SQL = (
 _MINS_SQL = ", ".join(
     f"min(({_A[i]}L * h + {_B[i]}L) % {MH_PRIME}L) AS mh{i}" for i in range(NUM_PERM)
 )
+# band keys straight off the FLAT mh{i} signature columns: the r14
+# optimization pass dropped the array(mh0..mh63) wrapper from the whole
+# strong-pairs pipeline — materializing the array and re-dereferencing it
+# with element_at / zip_with per candidate pair measured 4.2 s vs 1.7 s
+# for the strong stream at sf0.1 (interpreted array ops + per-row array
+# allocation; flat columns stay in whole-stage codegen registers)
 _BKEYS_SQL = ", ".join(
     "concat_ws('_', "
     + ", ".join(
-        f"CAST(element_at(mh, {b * ROWS_PER_BAND + r + 1}) AS STRING)"
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS STRING)"
         for r in range(ROWS_PER_BAND)
     )
     + ")"
     for b in range(LSH_BANDS)
+)
+
+# est >= NUM_PERM/2 signature-agreement prefilter as a flat-column sum
+# (codegen; the zip_with/filter/size chain ran interpreted per pair)
+_EST_SQL = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(NUM_PERM)
 )
 
 # driver-side cap on the signature-verified pair stream: above this the
@@ -416,7 +429,9 @@ def _shingle_sql(source: str) -> str:
 
 def strong_pairs_sql(sig_view: str, broadcast_signatures: bool) -> str:
     """SQL for the banded-LSH candidate stream + the est≥32/64
-    signature-agreement prefilter over a (doc_id, mh array) view.
+    signature-agreement prefilter over a FLAT (doc_id, mh0..mh63) view
+    (r14: the array-wrapped view paid interpreted element_at/zip_with
+    per pair — see _BKEYS_SQL).
 
     Exposed so the regime pin test can plan BOTH variants directly: the
     prefilter hint must actually switch the physical join strategy —
@@ -451,8 +466,7 @@ def strong_pairs_sql(sig_view: str, broadcast_signatures: bool) -> str:
         SELECT {hint} id_a, id_b
         FROM pairs JOIN {sig_view} sa ON sa.doc_id = id_a
                    JOIN {sig_view} sb ON sb.doc_id = id_b
-        WHERE size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), t -> t))
-              >= {NUM_PERM // 2}"""
+        WHERE ({_EST_SQL}) >= {NUM_PERM // 2}"""
 
 
 def q_dedup_minhash_lsh(
@@ -500,14 +514,13 @@ def q_dedup_minhash_lsh(
     docs_v = f"_mh_docs_{seq}"
     sig_v = f"_mh_sig_{seq}"
     d.createOrReplaceTempView(docs_v)
+    # FLAT mh0..mh63 signature view (r14): no array() wrapper — banding
+    # and the est prefilter read the columns directly (see _BKEYS_SQL)
     sig = spark.sql(
         f"""
-        SELECT doc_id, array({", ".join(f"mh{i}" for i in range(NUM_PERM))}) AS mh
-        FROM (
-          SELECT doc_id, {_MINS_SQL}
-          FROM ({_shingle_sql(f"(SELECT /*+ REPARTITION(doc_id) */ doc_id, text FROM {docs_v})")})
-          GROUP BY doc_id
-        )"""
+        SELECT doc_id, {_MINS_SQL}
+        FROM ({_shingle_sql(f"(SELECT /*+ REPARTITION(doc_id) */ doc_id, text FROM {docs_v})")})
+        GROUP BY doc_id"""
     ).persist()
     sig.createOrReplaceTempView(sig_v)
     # regime guard (VERDICT r7 #3).  The regime needs only n_docs, and the
@@ -833,12 +846,34 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = cached.localCheckpoint(eager=True)
     cached.unpersist()
     pairs = lsh_candidate_pairs(sig)
-    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)])
-    slim = sig.select("doc_id", mh_arr.alias("mh"))
-    est_n = F.size(F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda t: t))
+    # FLAT signature columns on both pair sides (r14): the previous
+    # array() wrapper + zip_with slot comparison ran interpreted per
+    # pair with a per-row array allocation — the flat 64-term sum stays
+    # in whole-stage codegen (same win as strong_pairs_sql's _EST_SQL)
+    a_side = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(NUM_PERM)],
+    )
+    b_side = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(NUM_PERM)],
+    )
+    # the SAME broadcast-vs-shuffle regime guard as q_dedup_minhash_lsh's
+    # prefilter (r14): the checkpointed signature frame has no stats, so
+    # leaving the strategy to Catalyst's estimates planned SortMergeJoins
+    # with full-width sorts here
+    if _broadcast_signatures(spark, d.count()):
+        a_side, b_side = broadcast(a_side), broadcast(b_side)
+    else:
+        a_side = a_side.hint("SHUFFLE_HASH")
+        b_side = b_side.hint("SHUFFLE_HASH")
+    est_n = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        for i in range(NUM_PERM)
+    )
     strong = (
-        pairs.join(slim.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("ma")), "id_a")
-        .join(slim.select(F.col("doc_id").alias("id_b"), F.col("mh").alias("mb")), "id_b")
+        pairs.join(a_side, "id_a")
+        .join(b_side, "id_b")
         .select("id_a", "id_b", est_n.alias("est_n"))
         .filter(F.col("est_n") >= NUM_PERM // 2)
     )
@@ -856,8 +891,18 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(strong.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    # no broadcast hint: the participant set is small when duplication
-    # is rare but UNBOUNDED in general — Catalyst's size check decides
+    # participant-id broadcast under the shared byte budget (r14): the
+    # checkpointed strong frame is stats-free, so Catalyst planned the
+    # semi-join as a SortMergeJoin that SHUFFLED THE CORPUS SCAN (twice —
+    # the sets subtree is inlined per pair side).  n_strong bounds the id
+    # set and reading it off the local checkpoint blocks is cheap; above
+    # the budget the hint stays off exactly like q_dedup_minhash_lsh's
+    # distributed fallback.
+    from ..conf import driver_max_result_bytes
+
+    n_strong = strong.count()
+    if 2 * n_strong * 8 * _SIG_BROADCAST_SLACK <= driver_max_result_bytes(spark):
+        ids = broadcast(ids)
     sets = shingle_sets(d.join(ids, "doc_id", "left_semi"))
     exact = F.round(
         F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb")), 4

@@ -647,16 +647,14 @@ def test_minhash_prefilter_hint_switches_join_strategy(spark, sf_dir):
     (a silently-ignored hint would leave the unconditional-broadcast
     scale hazard in place while the value tests stay green)."""
     from kafka_error_handling_spark.datapipe.dedup import (
-        NUM_PERM,
         minhash_signature,
         strong_pairs_sql,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(d).select(
-        "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(NUM_PERM)]).alias("mh"),
-    )
+    # flat mh0..mh63 view — the r14 strong-pairs contract (the array
+    # wrapper was dropped; banding/prefilter read the columns directly)
+    sig = minhash_signature(d)
     sig.createOrReplaceTempView("_regime_pin_sig")
     # plan with implicit broadcasts OFF so the only BroadcastHashJoins in
     # either plan are the HINTED ones (at lint scale the banding
