@@ -798,6 +798,48 @@ def test_s_curve_identical_docs_always_candidates(spark):
     assert sorted(s[0]["hs"]) == sorted(s[1]["hs"])
 
 
+def test_shingle_binary_branch_matches_char_reference(spark):
+    """r14 perf: `_shingle_df` slices shingle bytes from a BINARY cast for
+    pure-ASCII docs (O(1) offset vs the O(pos) UTF-8 byte-walk of STRING
+    substring).  The hash multiset must be identical to the plain
+    char-substring reference for ASCII docs, non-ASCII docs (fallback
+    branch), emoji/multibyte, empty and shorter-than-k texts."""
+    import kafka_error_handling_spark.datapipe.dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain ascii body with several words"),
+            (2, "naïve café résumé — non-ascii päth"),
+            (3, "emoji 🤖 in the middle 🤖 of text"),
+            (4, ""),
+            (5, "ab"),  # shorter than SHINGLE_K
+            (6, "ascii again after unicode rows"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dd._shingle_df(docs, "doc_id", "text")
+    k = dd.SHINGLE_K
+    # reference: the pre-r14 shape — char substring at every position
+    ref = (
+        docs.select(
+            "doc_id",
+            F.col("text").alias("_t"),
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1))
+                )
+            ).alias("_pos"),
+        )
+        .select(
+            "doc_id",
+            dd.shingle_hash(F.expr(f"substring(_t, _pos, {k})")).alias("h"),
+        )
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
 def test_split_leakage_counts_match_brute_force(spark, sf_dir):
     """The C(n,2)/n_i*n_j identity must equal literally materializing the
     dup pairs and classifying each — checked on the gate corpus."""
