@@ -670,39 +670,79 @@ def decontaminate_semantic(
     like :func:`decontaminate`, the action on a hit is dropping the doc,
     so emitting the clean 100 TB majority would be all no-ops.  Argmax
     ties break on bench_id ascending (deterministic under any partition
-    layout, the knn-gate convention)."""
-    from pyspark.sql.window import Window
+    layout, the knn-gate convention).
 
-    from .similarity import _dvec, _norm
+    r14 (guide §4.2): scoring is one BLAS matmul per Arrow batch instead
+    of the interpreted ``zip_with``/``aggregate`` fold per (corpus, bench)
+    pair — the bounded bench matrix rides a broadcast variable, and
+    because every corpus row sees the WHOLE bench side inside its batch,
+    the tau filter AND the per-doc argmax complete map-side: the plan has
+    ZERO exchanges (the old shape shuffled the suspicious pairs into a
+    per-doc row_number window).  Operation order matches the old
+    expression and the DuckDB oracle — dot, divide by norm product, round
+    to 4 — and the argmax scans bench ids ascending so ties break
+    identically; verified value-hash-equal at all 3 SFs."""
+    import numpy as np
 
-    b = bench_emb.select(
-        F.col(id_col).alias("bench_id"), _dvec(vec_col).alias("bv")
-    ).withColumn("bn", _norm(F.col("bv")))
-    c = corpus_emb.select(
-        F.col(id_col).alias("doc_id"), _dvec(vec_col).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    dot = F.aggregate(
-        F.zip_with(F.col("cv"), F.col("bv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    suspicious = (
-        c.crossJoin(F.broadcast(b))
-        .select(
-            "doc_id",
-            "bench_id",
-            F.round(dot / (F.col("cn") * F.col("bn")), 4).alias("cos_sim"),
+
+    from .similarity import MAX_QUERY_VECTORS
+
+    spark = corpus_emb.sparkSession
+    # the bench matrix is driver-collected and broadcast: a corpus-sized
+    # bench frame would OOM the driver first — fail loudly with the bound
+    # (take(), not limit().collect() — the incremental-limit probe re-runs
+    # the upstream pipeline, the knn_bruteforce_arrow lesson)
+    brows = bench_emb.select(id_col, vec_col).take(MAX_QUERY_VECTORS + 1)
+    if len(brows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"benchmark set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}; "
+            "decontaminate_semantic broadcasts the bench matrix — for "
+            "corpus-sized screens use the bucketed LSH paths"
         )
-        .filter(F.col("cos_sim") >= tau)
+    brows.sort(key=lambda r: r[0])  # ids ascending → argmax first-hit = min id
+    bids = np.array([r[0] for r in brows], dtype=np.int64)
+    B = np.array([list(r[1]) for r in brows], dtype=np.float64)
+    bn = np.sqrt((B * B).sum(axis=1))
+    bb = spark.sparkContext.broadcast((bids, B, bn))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("bench_id", LongType()),
+            StructField("max_cos", DoubleType()),
+        ]
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("cos_sim"), F.asc("bench_id")
-    )
-    return (
-        suspicious.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "bench_id", F.col("cos_sim").alias("max_cos"))
-    )
+
+    def _screen(batches):
+        import pandas as pd
+
+        k_bids, k_B, k_bn = bb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = np.round((C @ k_B.T) / np.outer(cn, k_bn), 4)
+            best = S.max(axis=1)
+            keep = best >= tau
+            if not keep.any():
+                continue
+            j = np.argmax(S[keep] == best[keep][:, None], axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values[keep].astype("int64"),
+                    "bench_id": k_bids[j],
+                    "max_cos": best[keep],
+                }
+            )
+
+    return corpus_emb.select(id_col, vec_col).mapInPandas(_screen, schema)
 
 
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
