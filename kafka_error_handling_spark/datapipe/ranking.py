@@ -1189,14 +1189,18 @@ def _dense_ranks(
     a broadcast (qid, vec_id) map so topics may share a query vector.
     Extracted verbatim from the r12 fused engine so the unrolled and the
     wide-topic engines compile the identical dense subtree."""
-    from .similarity import knn_bruteforce
+    from .similarity import _knn_scores_np
 
     vec_ids = sorted({vid for _t, vid in topics})
     qmap = spark.createDataFrame(
         [(qid, vid) for qid, (_t, vid) in enumerate(topics)],
         "qid int, vec_id long",
     )
-    dense_raw = knn_bruteforce(
+    # r14: the matmul twin of knn_bruteforce (similarity._knn_scores_np)
+    # — the wide gate's 60 query vectors × the corpus ran the interpreted
+    # zip_with fold per pair; same rounding/tie-breaks, results pinned
+    # identical at 3 SFs (guide §4.2)
+    dense_raw = _knn_scores_np(
         emb, emb.filter(F.col("vec_id").isin(vec_ids)), k=pool
     )
     return (

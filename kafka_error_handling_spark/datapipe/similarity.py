@@ -106,6 +106,87 @@ def knn_bruteforce(
     )
 
 
+def _knn_scores_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Private matmul twin of :func:`knn_bruteforce` for INTERNAL dense
+    subtrees (eval gates' `_dense_ranks`, label purity) — same output
+    contract (query_id, neighbor_id, cos_sim, rank), same rounding, same
+    tie-breaks, but the scoring is one BLAS matmul per Arrow batch
+    (guide §4.2) instead of the interpreted zip_with/aggregate fold per
+    (corpus, query) pair.  Operation order mirrors the JVM expression and
+    the DuckDB oracle exactly — dot product, divide by the norm PRODUCT,
+    round to 4 (NOT normalize-then-dot, whose last-ulp behavior differs).
+    `knn_bruteforce` itself stays the dependency-free oracle-checked
+    baseline the recall gates diff against; `knn_bruteforce_arrow` stays
+    the declared arrow gate.  Verified value-hash-equal for every
+    consumer at all 3 SFs (r14)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).take(MAX_QUERY_VECTORS + 1)
+    if len(qrows) > MAX_QUERY_VECTORS:
+        raise ValueError(
+            f"query set exceeds MAX_QUERY_VECTORS={MAX_QUERY_VECTORS}; "
+            "_knn_scores_np broadcasts the query matrix — use the bucketed "
+            "LSH/IVF paths for corpus-sized query sets"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bq = spark.sparkContext.broadcast((qids, Q, qn))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        k_qids, k_Q, k_qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = np.round((C @ k_Q.T) / np.outer(cn, k_qn), 4)
+            n = len(pdf)
+            nid = pdf[id_col].values.astype("int64")
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(k_qids, n),
+                    "neighbor_id": np.tile(nid, len(k_qids)),
+                    "cos_sim": S.T.ravel(),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _plane_weight(p: int, d: int) -> int:
     """Deterministic pseudo-random weight in [-8, 8): md5-derived, shared
     with the SQL oracle (no RNG state, reproducible anywhere)."""
@@ -1824,7 +1905,9 @@ def label_knn_purity(
     label's audited queries and n_low_purity counts queries with <= k/2
     matching neighbors (majority-vote disagreement — the mislabel
     candidates)."""
-    nn = knn_bruteforce(
+    # r14: the matmul twin — 100 query vectors × the corpus ran the
+    # interpreted fold per pair; results pinned identical (guide §4.2)
+    nn = _knn_scores_np(
         emb, emb.filter(F.col(id_col) < sample), k=k, id_col=id_col
     )
     qlab = emb.filter(F.col(id_col) < sample).select(

@@ -95,8 +95,10 @@ LINT_SUBSET = {
     # orderBy range exchange the static lint conf folds: 14 there),
     # every one pool-sized or narrow (the tf/pivot hash aggs, the
     # df-table aggregate, the pool windows/joins, the macro fold);
-    # plan width constant in |topics|, zero Python ops, no object aggs
-    "search_eval_wide": (15, 0),
+    # plan width constant in |topics|, no object aggs; r14: the dense
+    # side scores via the matmul twin (_knn_scores_np) — exactly ONE
+    # MapInPandas, shuffle count unchanged
+    "search_eval_wide": (15, 1),
     # r13: the batch-labeling face of the same scorer — 5 exchanges
     # (occurrence agg, df x2, stats, top-k window), zero Python
     "text_bm25_multi": (5, 0),
