@@ -998,9 +998,18 @@ def query_expansion_prf(
         raise ValueError("query_expansion_prf requires at least one term")
     spark = docs.sparkSession
 
-    fb_ids = bm25_topk(
-        docs, query_terms, k=fb_k, text_col=text_col, id_col=id_col
-    ).select(id_col)
+    # r14 (guide §3.3 — materialize intermediates to truncate the plan):
+    # the feedback pool and the mined term set are TINY bounded frames
+    # (<=fb_k and <=|q|+m rows) but sit at phase boundaries referenced by
+    # several consumers; un-cut, Catalyst re-inlines the whole upstream
+    # bm25 pipeline per consumer (the round-open plan ran 18 corpus
+    # scans, plans/r14/pre/search_query_expansion.txt). Eager
+    # localCheckpoints cut them to one evaluation each; values unchanged.
+    fb_ids = (
+        bm25_topk(docs, query_terms, k=fb_k, text_col=text_col, id_col=id_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
 
     fb_toks = (
         docs.join(F.broadcast(fb_ids), id_col)
@@ -1024,7 +1033,7 @@ def query_expansion_prf(
     orig_terms = spark.createDataFrame(
         [(t, 1.0) for t in query_terms], "token string, w double"
     )
-    terms = orig_terms.unionByName(exp_terms)
+    terms = orig_terms.unionByName(exp_terms).localCheckpoint(eager=True)
 
     toks = docs.select(
         F.col(id_col),
@@ -1040,7 +1049,6 @@ def query_expansion_prf(
             F.max("w").alias("w"),
         )
     )
-    df_t = per_dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
@@ -1055,8 +1063,14 @@ def query_expansion_prf(
             F.col("w") * idf * (F.col("tf") * (_K1 + 1.0)) / norm * 10000.0
         ).cast("long")
     )
+    # r14: df over a token window instead of a second aggregation joined
+    # back — the df_t subtree re-ran the whole per_dt pipeline (scan +
+    # explode + join + agg); count(*) over (partition by token) reads the
+    # SAME per_dt rows once and yields the identical per-token row count,
+    # for one narrow exchange of the survivor stream (guide §2.4).
+    wdf = Window.partitionBy("token")
     return (
-        per_dt.join(F.broadcast(df_t), "token")
+        per_dt.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), contrib.alias("c"))
         .groupBy(id_col)
