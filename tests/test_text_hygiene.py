@@ -266,7 +266,12 @@ def test_decontaminate_semantic_flags_and_argmax(spark):
 
 def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
     """Scale-shape pin: the benchmark side must reach the corpus scan as a
-    broadcast (one corpus pass, no shuffle before the per-doc argmax)."""
+    broadcast (one corpus pass, no shuffle before the per-doc argmax).
+
+    r14 shape: the bench matrix rides a SparkContext broadcast VARIABLE
+    into one MapInPandas that scores, tau-filters and argmaxes map-side —
+    so the pin is now zero-shuffle + the single Python node, not a
+    BroadcastExchange (there is no join left to broadcast into)."""
     from kafka_error_handling_spark.datapipe.text import decontaminate_semantic
     from kafka_error_handling_spark.sources.files import load_table
 
@@ -274,9 +279,9 @@ def test_decontaminate_semantic_broadcasts_benchmark(spark, sf_dir):
     plan = decontaminate_semantic(
         e.filter(F.col("vec_id") % 97 != 0), e.filter(F.col("vec_id") % 97 == 0)
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the threshold filter must sit below the window (map-side prune):
-    # no SortMergeJoin / shuffle of the full cross product
+    assert "MapInPandas" in plan
+    # the corpus never leaves its scan stage: no shuffle of any kind
+    assert "Exchange" not in plan
     assert "SortMergeJoin" not in plan
 
 
