@@ -791,6 +791,57 @@ QUERIES["graph_kcore"] = (q_graph_kcore, _sql_kcore())
 
 CC_MAX_ROUNDS = 64  # safety bound on the convergence loop, not a semantic cap
 
+# Driver union-find regime (r14, guide §8 "decide with small rows"): below
+# this byte budget the edge list is pulled once and labeled with an O(E α(E))
+# union-find on the driver instead of running the distributed fixpoint.  The
+# broadcast-labels regime already ships the label frame THROUGH the driver
+# once per round; for a small graph the one-shot edge pull moves strictly
+# fewer bytes than R rounds of label broadcast and replaces ~R×3 jobs
+# (join + agg + checkpoint per round) with one bounded take().  The budget
+# derives from spark.driver.maxResultSize like every other regime crossover;
+# 4 KiB/edge prices the collected Row objects plus the Python-side
+# union-find dict entries with slack (≈256k edges at the 1g default —
+# beyond that the loop's fixed cost is amortized anyway).
+CC_DRIVER_UF_CONF = "spark.keh.cc.driverUnionFind"  # auto|true|false
+CC_BYTES_PER_EDGE = 4096
+
+
+def _driver_union_find(edges: DataFrame, rows) -> DataFrame:
+    """Label a collected canonical edge list on the driver; returns the
+    same (node, comp_id = component-minimum id) frame as the loop."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            # smaller root stays the root → every root is its component's
+            # minimum, matching the loop's min-label convergence exactly
+            parent[rb] = ra
+    out = sorted((n, find(n)) for n in parent)
+    ntype = edges.schema["src"].dataType
+    schema = StructType(
+        [StructField("node", ntype, False), StructField("comp_id", ntype, False)]
+    )
+    # the RDD-backed frame has no stats, so consumers' joins would never
+    # auto-broadcast it; it is budget-bounded by construction (the regime
+    # only engages under the maxResultSize-derived edge cap), so carry the
+    # broadcast hint — a billion-doc corpus left-joining a small component
+    # frame must not shuffle itself by the id
+    return F.broadcast(edges.sparkSession.createDataFrame(out, schema))
+
 
 def connected_components(
     edges: DataFrame,
@@ -841,7 +892,29 @@ def connected_components(
     ``max_rounds`` raises rather than silently truncating, so a graph
     that somehow exceeds the budget (2^64 diameter would be required)
     is loud, never wrong.
+
+    r14: when ``broadcast_labels`` is left on auto (None), a third regime
+    sits below both loop regimes — the driver union-find (see
+    ``CC_DRIVER_UF_CONF``): one bounded ``take()`` probe that doubles as
+    the collect, engaged only while the edge list fits the
+    maxResultSize-derived byte budget.  Passing an explicit
+    ``broadcast_labels`` pins a LOOP regime (the tests' lever), and the
+    conf can force the driver path on/off cluster-wide.  Over budget the
+    probe cost is one partial pass of the edge pipeline (CollectLimit
+    stops early), against the ≥6 full passes the loop replaces.
     """
+    if broadcast_labels is None:
+        from ..conf import driver_max_result_bytes
+
+        spark = edges.sparkSession
+        mode = str(spark.conf.get(CC_DRIVER_UF_CONF, "auto")).strip().lower()
+        if mode == "true":
+            return _driver_union_find(edges, edges.collect())
+        if mode != "false":
+            budget = driver_max_result_bytes(spark) // CC_BYTES_PER_EDGE
+            rows = edges.take(budget + 1)
+            if len(rows) <= budget:
+                return _driver_union_find(edges, rows)
     nb = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

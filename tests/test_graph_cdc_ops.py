@@ -997,6 +997,39 @@ def test_connected_components_regimes_are_value_identical(spark):
     assert a == b
 
 
+def test_connected_components_driver_uf_matches_loop(spark):
+    """r14 third regime: the driver union-find (auto default for small
+    graphs) must be value-identical to both loop regimes, keep the same
+    (node, comp_id) schema/dtypes, and respect the conf kill switch."""
+    from kafka_error_handling_spark.plans.graph import (
+        CC_DRIVER_UF_CONF,
+        connected_components,
+    )
+
+    und = [(i, i + 1) for i in range(100, 112)] + [(1, 2), (2, 3), (1, 3), (50, 60)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    uf = connected_components(edges)  # auto → driver path (tiny graph)
+    loop = connected_components(edges, broadcast_labels=True)
+    assert sorted(map(tuple, uf.collect())) == sorted(map(tuple, loop.collect()))
+    assert uf.schema.fieldNames() == loop.schema.fieldNames()
+    assert [f.dataType for f in uf.schema.fields] == [
+        f.dataType for f in loop.schema.fields
+    ]
+    # the conf forces the loop even on auto: no driver-side labeling
+    spark.conf.set(CC_DRIVER_UF_CONF, "false")
+    try:
+        forced = connected_components(edges)
+        # loop output localCheckpoints → Scan ExistingRDD; the driver path
+        # is a LocalTableScan — distinguish the regimes by plan shape
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan
+        assert sorted(map(tuple, forced.collect())) == sorted(
+            map(tuple, uf.collect())
+        )
+    finally:
+        spark.conf.unset(CC_DRIVER_UF_CONF)
+
+
 def test_connected_components_raises_on_round_budget(spark):
     """max_rounds raises loudly instead of silently truncating: one round
     cannot even confirm convergence (the sum check needs two)."""
@@ -1005,8 +1038,10 @@ def test_connected_components_raises_on_round_budget(spark):
     from kafka_error_handling_spark.plans.graph import connected_components
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    # pin a LOOP regime: on auto this tiny graph takes the r14 driver
+    # union-find path, which has no rounds to exhaust
     with _pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(edges, max_rounds=1).collect()
+        connected_components(edges, broadcast_labels=True, max_rounds=1).collect()
 
 
 def test_broadcast_max_nodes_parses_size_strings(spark):
