@@ -343,30 +343,78 @@ def q_embedding_neardup(
     GATE pins the machinery at 0.25 where the result is non-trivial
     (~40 pairs) instead of vacuously empty."""
     e = load_table(spark, sf_dir, "embeddings")
-    c = e.select(
-        F.col("vec_id").alias("id_a"),
-        _dvec("embedding").alias("va"),
-        hyperplane_sketch(F.col("embedding")).alias("bucket"),
-    ).withColumn("na", _norm(F.col("va")))
-    d = e.select(
-        F.col("vec_id").alias("id_b"),
-        _dvec("embedding").alias("vb"),
-        hyperplane_sketch(F.col("embedding")).alias("bucket"),
-    ).withColumn("nb", _norm(F.col("vb")))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
+    return _bucket_neardup_pairs(
+        e.select(
+            "vec_id",
+            _dvec("embedding").alias("v"),
+            hyperplane_sketch(F.col("embedding")).alias("bucket"),
+        ),
+        threshold,
     )
-    return (
-        c.join(d, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+
+
+# row-block width for the chunked in-bucket gram matrix: bounds Python
+# memory at O(block × bucket) doubles per task however large a hot LSH
+# bucket grows (the full n×n gram would be quadratic in the bucket size)
+_NEARDUP_GRAM_BLOCK = 4096
+
+
+def _bucket_neardup_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """All in-bucket pairs (id_a < id_b) at cosine ≥ threshold.
+
+    r14 (guide §4.2 / §8): ONE shuffle of (id, vec) by bucket feeds a
+    per-bucket BLAS gram matrix — the old shape self-joined the sketch
+    frame (every vector crossed the exchange twice, once per join side)
+    and scored each candidate pair with an interpreted
+    ``zip_with``/``aggregate`` fold.  Operation order matches the old
+    expression and the DuckDB oracle exactly: dot, divide by the norm
+    PRODUCT, round 4, then the ≥ threshold filter (verified
+    value-hash-equal at all 3 SFs).  The sketch stays the shared JVM
+    expression — bucket assignment is part of the declared semantics and
+    must not move off the fold that the oracle mirrors.  Ids are sorted
+    per bucket so the upper triangle IS the id_a < id_b pair set."""
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
         )
-        .filter(F.col("cos_sim") >= threshold)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        outs = []
+        for s in range(0, n, _NEARDUP_GRAM_BLOCK):
+            t = min(s + _NEARDUP_GRAM_BLOCK, n)
+            S = V[s:t] @ V[s:].T  # rows s..t against cols s..n (j >= s)
+            cos = np.round(S / np.outer(nrm[s:t], nrm[s:]), 4)
+            li, lj = np.nonzero(cos >= thr)
+            keep = (lj + s) > (li + s)  # strict upper triangle: id_a < id_b
+            li, lj = li[keep], lj[keep]
+            if len(li):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[li + s],
+                            "id_b": ids[lj + s],
+                            "cos_sim": cos[li, lj],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return base.groupBy("bucket").applyInPandas(
+        _pairs, "id_a long, id_b long, cos_sim double"
     )
 
 
