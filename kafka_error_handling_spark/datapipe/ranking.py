@@ -272,7 +272,12 @@ def tfidf_keywords(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    # df derived from tf, not from a second explode over the corpus: tf is
+    # already one row per (doc, token), so count(*) per token IS the
+    # distinct-doc count — this removes the whole second Generate fan-out
+    # and the count_distinct's extra dedup exchange, and the two identical
+    # tf subtrees collapse into one via exchange reuse (guide §2.4)
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "token")
