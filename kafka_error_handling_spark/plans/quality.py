@@ -446,11 +446,15 @@ def psi_drift(
 ) -> DataFrame:
     """(group, n_ref, n_cur, psi) — population stability index of
     ``value_col`` between the first and second half of ``split_col``."""
+    # eager localCheckpoint on the 1-row median: `sided` is consumed by BOTH
+    # the edges branch and the binned branch, and Catalyst inlines the whole
+    # median subtree (a full-table sort-based percentile) into each — the
+    # cut halves the percentile passes over df (r14, guide §3.3)
     med = df.agg(
         F.expr(
             f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {split_col})"
         ).alias("med")
-    )
+    ).localCheckpoint(eager=True)
     sided = df.crossJoin(F.broadcast(med)).withColumn(
         "is_ref", F.col(split_col) <= F.col("med")
     )
