@@ -44,7 +44,15 @@ from plan_lint import lint_plan, plan_string  # noqa: E402
 # Arrow-batched pandas UDFs over the 5-row fixture frame (per-row
 # binary encoding is the one legitimately Python-shaped op; the frame
 # is a literal, never corpus data).
-TOTAL_ARROW_PYTHON_PIN = 35
+# r14: 35 -> 43 on 247 plans — the optimization round's guide-§4.2
+# conversions, each a deliberate dense-math BLAS batch op replacing an
+# interpreted per-pair JVM fold: the semantic decontamination screen
+# (+1 text_decontaminate_semantic, +1 _compare), the kNN matmul twin in
+# the eval gates (+1 each search_eval_wide/macro/ndcg,
+# embedding_label_purity), and the per-bucket near-dup gram matrix
+# (+1 each embedding_neardup, embedding_threshold_sweep).  All are
+# MapInPandas / grouped-map — no row-at-a-time Python anywhere.
+TOTAL_ARROW_PYTHON_PIN = 43
 # r11: 447 -> 480 — search_eval_macro (+25: five topics × the audited
 # single-query eval plan, each exchange a bounded pool / scalar, plus
 # the 12-row per-query∪macro fold) and sample_quality_classifier
