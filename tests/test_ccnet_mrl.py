@@ -146,3 +146,55 @@ def test_text_sampling_import_order_is_free():
             cwd="/root/repo",
         )
         assert p.returncode == 0, (first, second, p.stderr[-800:])
+
+
+def test_ccnet_bigram_positions_match_transform_reference(spark):
+    """r14 perf: the ccnet bigram fan-out is a positions explode with
+    codegen element_at (guide §4.1) instead of exploding a per-doc array
+    built by an interpreted ``transform`` lambda.  The (keys, bigram, w1)
+    multiset must equal the lambda reference on the awkward rows: 1-token
+    and empty docs (emit nothing), exactly-2-token docs, repeated tokens
+    (multiset counts!), and multibyte text."""
+    from kafka_error_handling_spark.datapipe.text import _bigram_positions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma"),
+            (2, "en", "solo"),
+            (3, "en", ""),
+            (4, "de", "zwei wörter"),
+            (5, "en", "dup dup dup dup"),
+            (6, "fr", "café au lait au café"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    base = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("__toks")
+    )
+    got = _bigram_positions(base, "doc_id", "lang")
+    toks = F.col("__toks")
+    ref = (
+        base.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(toks, i),
+                            F.element_at(toks, i + 1),
+                        ).alias("bigram"),
+                        F.element_at(toks, i).alias("w1"),
+                    ),
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", "lang", "bs.bigram", "bs.w1")
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+    # the guard rows emit nothing
+    assert got.filter(F.col("doc_id").isin(2, 3)).count() == 0
