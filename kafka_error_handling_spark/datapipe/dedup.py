@@ -873,15 +873,17 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(NUM_PERM)],
     )
-    # the SAME broadcast-vs-shuffle regime guard as q_dedup_minhash_lsh's
-    # prefilter (r14): the checkpointed signature frame has no stats, so
-    # leaving the strategy to Catalyst's estimates planned SortMergeJoins
-    # with full-width sorts here
-    if _broadcast_signatures(spark, d.count()):
-        a_side, b_side = broadcast(a_side), broadcast(b_side)
-    else:
-        a_side = a_side.hint("SHUFFLE_HASH")
-        b_side = b_side.hint("SHUFFLE_HASH")
+    # SHUFFLE_HASH unconditionally (r14b): the checkpointed signature
+    # frame has no stats, so Catalyst's estimates planned SortMergeJoins
+    # with full-width sorts here — the hint removes the sorts without a
+    # regime probe.  A broadcast regime for the sides was tried and
+    # REVERTED: at 100 TB sig is corpus-sized (could never broadcast),
+    # and locally building TWO 65-column broadcast relations per run
+    # measured slower than the r13 shape in a both-orders A/B (5.3 vs
+    # 3.6 s) and twice showed run-over-run degradation in long sessions
+    # (9.7→30.6 s, 44.9→54.3 s) that the SHUFFLE_HASH shape never did.
+    a_side = a_side.hint("SHUFFLE_HASH")
+    b_side = b_side.hint("SHUFFLE_HASH")
     est_n = sum(
         (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
         for i in range(NUM_PERM)
