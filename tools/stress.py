@@ -16,7 +16,7 @@ Usage:  python tools/stress.py [N] [family ...]
         N defaults to 10; families default to all.
 Families: see FAMILY_NAMES below (graph, basket, cc, dedup, text,
 embed, minhash, decontam, prf, dsir, qnb, searcheval, searchevalwide,
-ccnet, mrl).
+searchevalwide500, ccnet, mrl).
 """
 
 from __future__ import annotations
@@ -244,6 +244,33 @@ def _families(spark):
         e = _replicate(emb, n, {"vec_id": VEC_SHIFT})
         search_eval_macro(d, e, EVAL_WIDE_QUERIES).count()
 
+    def searchevalwide500(n):
+        # |Q| = 500 probe (VERDICT r13 #6): the 60-topic gate proves the
+        # data-driven shape; SCALE.md's "no second cliff at 500 topics"
+        # claim needs a measured entry.  Topics come from the SAME vocab
+        # formula as EVAL_WIDE_QUERIES extended to 500 qids (vec ids
+        # 0..499 all exist at sf0.1); wall must grow ≲ linearly in |Q|
+        # with plan width flat — the engine's per-topic state is data
+        # rows, never columns.
+        from kafka_error_handling_spark.datapipe.ranking import (
+            _EVAL_VOCAB,
+            search_eval_macro,
+        )
+
+        topics = [
+            (
+                [
+                    _EVAL_VOCAB[(7 * i + 3 * j) % len(_EVAL_VOCAB)]
+                    for j in range(2 + i % 3)
+                ],
+                i,
+            )
+            for i in range(500)
+        ]
+        d = _replicate(docs, n, {"doc_id": DOC_SHIFT})
+        e = _replicate(emb, n, {"vec_id": VEC_SHIFT})
+        search_eval_macro(d, e, topics).count()
+
     def ccnet(n):
         # CCNet bucketing (r14): the reference slice is a fixed FRACTION
         # of the corpus, so the count tables grow N× alongside the doc
@@ -307,6 +334,7 @@ def _families(spark):
         "qnb": qnb,
         "searcheval": searcheval,
         "searchevalwide": searchevalwide,
+        "searchevalwide500": searchevalwide500,
         "ccnet": ccnet,
         "mrl": mrl,
     }
@@ -314,7 +342,8 @@ def _families(spark):
 
 FAMILY_NAMES = (
     "graph", "basket", "cc", "dedup", "text", "embed", "minhash", "decontam",
-    "prf", "dsir", "qnb", "searcheval", "searchevalwide", "ccnet", "mrl",
+    "prf", "dsir", "qnb", "searcheval", "searchevalwide",
+    "searchevalwide500", "ccnet", "mrl",
 )
 
 
