@@ -855,33 +855,48 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     """Per-document avg ln P(w_i | w_{i-1}) under the corpus's own add-one
     smoothed bigram model.
 
-    Scale design: three aggregation passes over the corpus (unigram
-    counts, bigram counts, vocab size) — each ONE explode feeding a
-    map-side-combined groupBy — then the per-doc bigram stream joins the
-    count tables.  Both join sides are corpus-sized at 100 TB, so these
-    are plain shuffle joins keyed on the n-gram (no broadcast: a web-scale
-    bigram table is tens of billions of rows); the final per-doc average
-    shuffles on ``doc_id`` like every per-doc op here.  Counts are exact
-    integers, so the only cross-engine float work is the ln/avg, rounded
-    to 4 decimals.
+    Scale design (r14, guide §2.4): TWO fan-out passes over the corpus —
+    the per-doc bigram stream and the unigram counts.  The bigram count
+    table is no longer a third explode+groupBy: ``doc_bi`` holds every
+    bigram occurrence, so ``count(*) over (partition by bigram)`` on the
+    stream the join already exchanges by ``bigram`` IS the corpus bigram
+    count — exactly (integer count of identical rows), one pass and one
+    exchange cheaper.  Vocab size is a count over the unigram aggregate;
+    the explicit ``isnotnull(w1)`` below that aggregate matches the
+    constraint the w1 join infers on its branch, so the two consumers
+    canonicalize to ONE exchange (without it, measured: the vocab branch
+    re-ran the whole unigram explode).  The unigram join side is
+    corpus-vocab-sized at 100 TB, so it stays a plain shuffle join keyed
+    on the token; the final per-doc average shuffles on ``doc_id`` like
+    every per-doc op here.  Counts are exact integers, so the only
+    cross-engine float work is the ln/avg, rounded to 4 decimals.
     """
+    from pyspark.sql.window import Window
+
     # split ONCE into a projected column; see ngram_array_toks perf note
     tokenized = docs.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
-    bigrams = ngram_array_toks(F.col("__toks"), 2)
 
     uni = (
         tokenized.select(F.explode(F.col("__toks")).alias("w1"))
+        .filter(F.col("w1").isNotNull())
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c_uni"))
     )
-    bi = (
-        tokenized.select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_bi"))
+    # vocab size = row count of `uni`, but written so the vocab branch's
+    # partial aggregate still CARRIES c_uni: with a plain count(*) (or
+    # count(c_uni) — rewritten to count(*) since c_uni is provably
+    # non-null) the optimizer prunes c_uni out of this branch, its
+    # exchange no longer canonicalizes with the join branch's, and the
+    # whole unigram explode runs twice (measured in the AQE final plan).
+    # The when-guard references c_uni in a way the optimizer cannot fold
+    # (c_uni >= 1 holds for every count(1) group, so the value is the
+    # same vocab size), which makes the two exchanges byte-identical and
+    # lets AQE build the unigram table ONCE.
+    vocab = uni.agg(
+        F.count(F.when(F.col("c_uni") >= 1, F.lit(1))).alias("v")
     )
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
     # build (bigram, w1) in ONE transform pass: deriving w1 by re-splitting
     # the bigram string after the explode costs an extra per-occurrence
@@ -904,9 +919,15 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         .select(F.col(id_col), F.explode(bi_structs).alias("bs"))
         .select(id_col, F.col("bs.bigram").alias("bigram"), F.col("bs.w1").alias("w1"))
     )
+    # corpus bigram count without a second corpus explode: every
+    # occurrence is a doc_bi row, so the per-bigram window count over
+    # this stream equals the old separate groupBy table exactly, and the
+    # inner join it replaces never dropped a row (every doc_bi bigram
+    # counts itself at least once)
+    w_bi = Window.partitionBy("bigram")
 
     return (
-        doc_bi.join(bi, "bigram")
+        doc_bi.withColumn("c_bi", F.count(F.lit(1)).over(w_bi))
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
@@ -1730,7 +1751,16 @@ def ccnet_buckets(
         .groupBy(lang_col, "bigram")
         .agg(F.count(F.lit(1)).alias("c_bi"))
     )
-    vocab = uni.groupBy(lang_col).agg(F.count(F.lit(1)).alias("v"))
+    # per-language vocab = row count of `uni` per lang, written with the
+    # lm_score when-guard so this branch's partial agg still carries
+    # c_uni: a plain count(*) lets the optimizer prune c_uni, the pruned
+    # exchange no longer canonicalizes with the scoring join's, and the
+    # whole reference-slice unigram explode runs twice (measured in the
+    # AQE final plan).  c_uni >= 1 holds for every count(1) group, so
+    # the value is unchanged and AQE builds the unigram table ONCE.
+    vocab = uni.groupBy(lang_col).agg(
+        F.count(F.when(F.col("c_uni") >= 1, F.lit(1))).alias("v")
+    )
 
     doc_bi = _bigram_positions(tokenized, id_col, lang_col)
     # LEFT joins: unlike the self-trained lm_score, held-out documents

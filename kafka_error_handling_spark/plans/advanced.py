@@ -329,11 +329,16 @@ def bloom_filter_positions(build: DataFrame, key) -> DataFrame:
     """The bloom filter of the build side's keys, as the DISTINCT set of bit
     positions (column ``pos``) — at most BLOOM_BITS rows regardless of the
     build side's cardinality, so it broadcasts at any scale."""
-    arms = [build.select(_bloom_pos(key, i).alias("pos")) for i in range(BLOOM_K)]
-    u = arms[0]
-    for a in arms[1:]:
-        u = u.unionAll(a)
-    return u.distinct()
+    # ONE pass over the build side: each row explodes its K bit
+    # positions in-stage (r14, guide §2.4 — the previous UNION ALL of K
+    # per-hash projections inlined K full scans of the build side; the
+    # exploded position multiset is identical, so the distinct set is
+    # too)
+    return build.select(
+        F.explode(
+            F.array(*[_bloom_pos(key, i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
 
 
 def bloom_prune(probe: DataFrame, key, positions: DataFrame) -> DataFrame:

@@ -197,15 +197,25 @@ def _cm_hash(key, j: int):
 
 
 def sketch_countmin(df: DataFrame, key) -> DataFrame:
-    """The full d×w count matrix for ``key``'s frequency distribution."""
-    rows = [
-        df.select(F.lit(j).alias("depth"), _cm_hash(key, j).alias("col"))
-        for j in range(CM_DEPTH)
-    ]
-    all_rows = rows[0]
-    for r in rows[1:]:
-        all_rows = all_rows.unionAll(r)
-    return all_rows.groupBy("depth", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    """The full d×w count matrix for ``key``'s frequency distribution.
+
+    ONE pass over ``df``: each row projects its d (depth, col) pairs and
+    explodes them in-stage (r14, guide §2.4 — the previous UNION ALL of d
+    per-depth projections inlined d full scans of the source; the
+    exploded multiset is identical, so the aggregated matrix is too, and
+    the map-side partial agg sees the same rows either way)."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("depth"), _cm_hash(key, j).alias("col"))
+            for j in range(CM_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("_dc"))
+        .select(F.col("_dc.depth").alias("depth"), F.col("_dc.col").alias("col"))
+        .groupBy("depth", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,18 +246,29 @@ def q_sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("exact"))
     )
-    arms = [
-        probes.select(
-            "o_custkey",
-            "exact",
-            F.lit(j).alias("depth"),
-            _cm_hash(F.col("o_custkey"), j).alias("col"),
-        )
-        for j in range(CM_DEPTH)
-    ]
-    cells = arms[0]
-    for a in arms[1:]:
-        cells = cells.unionAll(a)
+    # one pass over the (bounded) probe aggregate: explode the d probe
+    # cells per key instead of UNION-ALL-ing d copies of the aggregate
+    # subtree (r14, guide §2.4 — same multiset, one aggregation)
+    cells = probes.select(
+        "o_custkey",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cm_hash(F.col("o_custkey"), j).alias("col"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("_dc"),
+    ).select(
+        "o_custkey",
+        "exact",
+        F.col("_dc.depth").alias("depth"),
+        F.col("_dc.col").alias("col"),
+    )
     return (
         cells.join(F.broadcast(sketch), ["depth", "col"])
         .groupBy("o_custkey", "exact")
@@ -309,18 +330,31 @@ def q_sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sketch = sketch_countmin(ev, F.col("user_id"))
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
-    arms = [
-        exact.select(
-            "user_id",
-            "exact",
-            F.lit(j).alias("depth"),
-            _cm_hash(F.col("user_id"), j).alias("col"),
-        )
-        for j in range(CM_DEPTH)
-    ]
-    cells = arms[0]
-    for a in arms[1:]:
-        cells = cells.unionAll(a)
+    # one pass over the per-key exact aggregate: explode the d probe
+    # cells per key instead of UNION-ALL-ing d copies of the whole
+    # events aggregation (r14, guide §2.4 — same multiset; the exact
+    # frame's groupBy now runs once, and its exchange is shared with
+    # the exact_topk branch by runtime reuse)
+    cells = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cm_hash(F.col("user_id"), j).alias("col"),
+                    )
+                    for j in range(CM_DEPTH)
+                ]
+            )
+        ).alias("_dc"),
+    ).select(
+        "user_id",
+        "exact",
+        F.col("_dc.depth").alias("depth"),
+        F.col("_dc.col").alias("col"),
+    )
     est = (
         cells.join(F.broadcast(sketch), ["depth", "col"])
         .groupBy("user_id", "exact")

@@ -248,7 +248,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality.  Revenue is exact integer cents so the max-equality match
     is immune to double summation order."""
     l = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        # explicit so BOTH consumers of `revenue` carry it: the supplier
+        # join-back infers isnotnull(l_suppkey) on the main branch only,
+        # which breaks subtree canonicalization and made the max branch
+        # re-scan + re-aggregate lineitem (r14, measured: ShuffleQueryStage
+        # 0/1 both executed).  l_suppkey is a TPC-H key, never null, so the
+        # revenue view is unchanged; with the predicate on both branches
+        # the exchange is built once and the max branch reuses it.
+        & F.col("l_suppkey").isNotNull()
     )
     s = _t(spark, sf_dir, "supplier")
     revenue = l.groupBy("l_suppkey").agg(
