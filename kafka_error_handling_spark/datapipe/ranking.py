@@ -272,15 +272,20 @@ def tfidf_keywords(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df derived from tf, not from a second explode over the corpus: tf is
-    # already one row per (doc, token), so count(*) per token IS the
-    # distinct-doc count — this removes the whole second Generate fan-out
-    # and the count_distinct's extra dedup exchange, and the two identical
-    # tf subtrees collapse into one via exchange reuse (guide §2.4)
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df via count() over (partition by token) on tf — tf is one row per
+    # (doc, token), so the per-token window count IS the distinct-doc
+    # count, computed on the exchange the df join would have needed
+    # anyway.  The r13 form (a second groupBy on tf joined back) relied
+    # on runtime exchange reuse that in fact never fires: the df branch's
+    # partial agg prunes the tf count, its exchange no longer
+    # canonicalizes with the scoring branch's, and the whole token
+    # explode ran twice (measured in the AQE final plan).  The window
+    # removes the duplicated fan-out, the df aggregate, and the join
+    # outright (guide §2.4).
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w_df = Window.partitionBy("token")
     scored = (
-        tf.join(df_, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
         .crossJoin(broadcast(n_docs))
         .withColumn(
             "score",

@@ -1392,23 +1392,39 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    wau = (
+    # ONE corpus pass for both metrics (r14, guide §2.4): referencing the
+    # distinct (user, day) frame from two branches re-ran the events scan
+    # per branch (the wau branch's explode fused BELOW its distinct, so
+    # the subtrees never canonicalized).  Instead each activity carries a
+    # day-0 flag through the 7-wide explode: max(flag) per (user, wend)
+    # marks users active ON the window end itself, so one (wend, user)
+    # dedup yields wau = count(*) and dau = count(flag) per window end.
+    # The old inner join dropped window ends with no same-day activity —
+    # the dau > 0 filter is that exact condition.
+    uw = (
         ud.select(
             "user_id",
+            "day",
             F.explode(
                 F.sequence(F.col("day"), F.col("day") + F.lit(6))
             ).alias("wend"),
         )
-        .distinct()
-        .groupBy("wend")
-        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(
+            "user_id", "wend", (F.col("day") == F.col("wend")).alias("d0")
+        )
+        .groupBy("user_id", "wend")
+        .agg(F.max("d0").alias("d0"))
     )
     return (
-        dau.join(wau, dau.day == wau.wend)
+        uw.groupBy("wend")
+        .agg(
+            F.count(F.when(F.col("d0"), 1)).alias("dau"),
+            F.count(F.lit(1)).alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
         .select(
             F.date_format(
-                F.timestamp_seconds(F.col("day") * 86400), "yyyy-MM-dd"
+                F.timestamp_seconds(F.col("wend") * 86400), "yyyy-MM-dd"
             ).alias("day"),
             "dau",
             "wau",

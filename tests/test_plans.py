@@ -436,21 +436,28 @@ def test_dlq_replay_runs_each_capture_once(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 2
 
 
-def test_tfidf_unhinted_join_degrades_to_shuffle_at_scale(spark, sf_dir):
-    """The tf ⋈ df join carries no broadcast hint: at test SF Catalyst
-    broadcasts the small df frame, and at web-scale vocab sizes the same
-    plan falls back to a token-keyed shuffle join — pin that the fallback
-    actually materializes when broadcast is off, and that the 1-row
-    n_docs scalar broadcasts either way."""
+def test_tfidf_df_rides_token_window_no_join(spark, sf_dir):
+    """r14: df is count() over (partition by token) ON the tf frame —
+    the old df aggregate + join-back re-ran the whole token explode (its
+    pruned partial agg never canonicalized with the scoring branch's, so
+    runtime exchange reuse did not fire).  Pin the new shape: exactly ONE
+    Generate (one corpus fan-out), a token-keyed window, NO tf ⋈ df join
+    at any broadcast threshold, and the 1-row n_docs scalar still rides
+    a broadcast nested-loop cross join."""
     from kafka_error_handling_spark.datapipe.ranking import q_tfidf_keywords
 
     plan = _plan(q_tfidf_keywords(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan  # the n_docs scalar
+    assert plan.count("Generate") == 1  # one token fan-out, not two
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         scale_plan = _plan(q_tfidf_keywords(spark, sf_dir))
-        assert "SortMergeJoin" in scale_plan or "ShuffledHashJoin" in scale_plan
+        # no equi-join left to degrade: the df window rides the token
+        # exchange, so disabling broadcast must not surface a join
+        assert "SortMergeJoin" not in scale_plan
+        assert "ShuffledHashJoin" not in scale_plan
+        assert scale_plan.count("Generate") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
