@@ -920,7 +920,17 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_strong = strong.count()
     if 2 * n_strong * 8 * _SIG_BROADCAST_SLACK <= driver_max_result_bytes(spark):
         ids = broadcast(ids)
-    sets = shingle_sets(d.join(ids, "doc_id", "left_semi"))
+    # eager localCheckpoint (r15): `sets` feeds BOTH pair-side joins and
+    # Catalyst inlines the semi-join + shingle-explode + collect_set
+    # subtree once PER SIDE — the r14 postexec census and the r15
+    # before-plan both show the fan-out executing twice (two Generate
+    # nodes over two documents scans).  The frame is bounded by the
+    # strong-pair participant count (it sits behind the semi-prune), so
+    # the lineage cut is the §3.3 "materialize the shared intermediate"
+    # shape, not a corpus-sized spill.
+    sets = shingle_sets(d.join(ids, "doc_id", "left_semi")).localCheckpoint(
+        eager=True
+    )
     exact = F.round(
         F.size(F.array_intersect("ha", "hb")) / F.size(F.array_union("ha", "hb")), 4
     )

@@ -701,30 +701,86 @@ QUERIES["graph_bfs_depth"] = (q_graph_bfs_depth, _SQL_BFS)
 KCORE_K = 4
 KCORE_ROUNDS = 3
 
+# Driver peel regime (r15, the CC union-find pattern): k-core peeling is
+# pure integer degree arithmetic over the CANONICAL support-2 edge list —
+# the same bounded artifact the CC driver union-find collects — so below
+# the maxResultSize-derived edge budget the 3 rounds run as one O(E)
+# driver pass instead of 3 × (degree agg + 2 semi-joins + checkpoint +
+# distinct-count job).  Over budget the distributed loop is untouched.
+KCORE_DRIVER_CONF = "spark.keh.kcore.driverPeel"  # auto|true|false
 
-def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Size of the support-2 graph after each of 3 rounds of k-core
-    peeling (drop nodes with degree < 4, recompute degrees on the
-    survivor subgraph, repeat): (round, n_nodes, n_edges).  Peeling is
-    the standard preprocessor before community detection at scale — it
-    strips the low-degree periphery that dominates volume but carries no
-    community signal.  Same bounded-unrolled discipline as PageRank/BFS:
-    each round is one degree aggregate + one semi-join pair, the edge
-    frame is checkpointed per round (lineage cut), and the round count
-    is static so the plan and the oracle (the same three rounds as
+
+def _driver_kcore_rows(rows, rounds: int, k: int) -> list[tuple[int, int, int]]:
+    """Peel a collected canonical edge list on the driver; returns the
+    same (round, n_nodes, n_edges) tuples as the distributed loop —
+    integer degree counts, so the arithmetic is exact by construction."""
+    cur = [(r[0], r[1]) for r in rows]
+    out = []
+    for rnd in range(1, rounds + 1):
+        deg: dict = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        cur = [(a, b) for a, b in cur if deg[a] >= k and deg[b] >= k]
+        nodes = {a for a, _ in cur} | {b for _, b in cur}
+        out.append((rnd, len(nodes), len(cur)))
+    return out
+
+
+def kcore_rounds(
+    edges: DataFrame,
+    rounds: int = KCORE_ROUNDS,
+    k: int = KCORE_K,
+    driver_peel: bool | None = None,
+) -> DataFrame:
+    """Size of the graph after each of ``rounds`` rounds of k-core
+    peeling (drop nodes with degree < ``k``, recompute degrees on the
+    survivor subgraph, repeat): (round, n_nodes, n_edges).  ``edges``
+    must be canonical (src < dst, no dups).  Peeling is the standard
+    preprocessor before community detection at scale — it strips the
+    low-degree periphery that dominates volume but carries no community
+    signal.  Same bounded-unrolled discipline as PageRank/BFS: each
+    round is one degree aggregate + one semi-join pair, the edge frame
+    is checkpointed per round (lineage cut), and the round count is
+    static so the plan and the oracle (the same three rounds as
     unrolled CTEs) evaluate the identical bounded fixpoint — full k-core
-    convergence is the while-loop version of exactly this round body."""
-    edges = _sig_edges_for(spark, sf_dir)  # canonical src < dst
+    convergence is the while-loop version of exactly this round body.
+
+    ``driver_peel=None`` (auto) engages the r15 driver regime while the
+    edge list fits the ``spark.driver.maxResultSize``-derived byte
+    budget (:data:`CC_BYTES_PER_EDGE` pricing, one bounded ``take()``
+    that doubles as the collect); an explicit bool or the
+    :data:`KCORE_DRIVER_CONF` conf pins either regime."""
+    spark = edges.sparkSession
+    if driver_peel is None:
+        mode = str(spark.conf.get(KCORE_DRIVER_CONF, "auto")).strip().lower()
+        if mode in ("true", "false"):
+            driver_peel = mode == "true"
+    if driver_peel is True:
+        return spark.createDataFrame(
+            _driver_kcore_rows(edges.collect(), rounds, k),
+            "round long, n_nodes long, n_edges long",
+        )
+    if driver_peel is None:
+        from ..conf import driver_max_result_bytes
+
+        budget = driver_max_result_bytes(spark) // CC_BYTES_PER_EDGE
+        probe = edges.take(budget + 1)
+        if len(probe) <= budget:
+            return spark.createDataFrame(
+                _driver_kcore_rows(probe, rounds, k),
+                "round long, n_nodes long, n_edges long",
+            )
     rows = []
     cur = edges
-    for rnd in range(1, KCORE_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         both = cur.unionByName(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         keep = (
             both.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
+            .filter(F.col("deg") >= k)
             .select("node")
         )
         cur = (
@@ -748,6 +804,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((rnd, n_nodes, obs.get["n_edges"]))
     return spark.createDataFrame(rows, "round long, n_nodes long, n_edges long")
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate: :func:`kcore_rounds` over the support-2 co-purchase graph —
+    see that function for the peel semantics and the r15 driver regime."""
+    return kcore_rounds(_sig_edges_for(spark, sf_dir))
 
 
 def _sql_kcore() -> str:

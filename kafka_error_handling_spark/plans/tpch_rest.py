@@ -344,7 +344,19 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    pairs = l.select("l_orderkey", "l_suppkey", "l_returnflag").distinct()
+    # eager localCheckpoint (r15, VERDICT r14 #7): all three legs derive
+    # from this one distinct, but column pruning specializes each
+    # reference (l2 re-distincts without returnflag, l1/l3 filter on it)
+    # so the subtrees never canonicalize and the final plan scanned +
+    # re-distincted LINEITEM three times.  The cut materializes the
+    # narrow (orderkey, suppkey, returnflag) pair set once — 3 fact
+    # scans → 1 — while the correlated semi/anti self-join pair below
+    # (the planner shape this gate exists to pin) is untouched.
+    pairs = (
+        l.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     l1 = (
         pairs.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_suppkey")

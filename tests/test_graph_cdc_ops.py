@@ -1099,3 +1099,39 @@ def test_connected_components_empty_edges_converges(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(edges, max_rounds=3).count() == 0
+
+
+def test_kcore_driver_peel_matches_distributed_loop(spark, monkeypatch):
+    """r15 driver-peel regime: value/schema-identical to the distributed
+    loop, and the conf kill switch really pins the loop (the driver
+    helper must never be entered under KCORE_DRIVER_CONF=false)."""
+    from kafka_error_handling_spark.plans import graph as G
+
+    # 6-clique (every node deg 5) + a path tail that peels off at k=4,
+    # plus a 5-cycle (deg 2) that vanishes in round 1
+    clique = [(i, j) for i in range(1, 7) for j in range(i + 1, 7)]
+    tail = [(6, 10), (10, 11)]
+    cyc = [(20, 21), (21, 22), (22, 23), (23, 24), (20, 24)]
+    edges = spark.createDataFrame(clique + tail + cyc, "src long, dst long")
+
+    auto = G.kcore_rounds(edges)  # tiny graph -> driver regime
+    loop = G.kcore_rounds(edges, driver_peel=False)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, loop.collect()))
+    assert auto.schema == loop.schema
+    # hand-computed: tail/cycle nodes peel in round 1, the clique is stable
+    assert sorted(map(tuple, auto.collect())) == [(1, 6, 15), (2, 6, 15), (3, 6, 15)]
+
+    # kill switch: conf false must take the distributed loop, never the
+    # driver helper
+    def _boom(*a, **k):
+        raise AssertionError("driver peel entered under conf=false")
+
+    monkeypatch.setattr(G, "_driver_kcore_rows", _boom)
+    spark.conf.set(G.KCORE_DRIVER_CONF, "false")
+    try:
+        forced = G.kcore_rounds(edges)
+        assert sorted(map(tuple, forced.collect())) == sorted(
+            map(tuple, loop.collect())
+        )
+    finally:
+        spark.conf.unset(G.KCORE_DRIVER_CONF)
