@@ -282,6 +282,14 @@ def tfidf_keywords(
     # explode ran twice (measured in the AQE final plan).  The window
     # removes the duplicated fan-out, the df aggregate, and the join
     # outright (guide §2.4).
+    # SKEW CLIFF (ADVICE r14, same trade as lm_score's c_bi window): tf
+    # is per (doc, token), so one stop-word's window partition holds a
+    # row for ~every doc containing it, in ONE WindowExec task that
+    # neither map-side combine nor AQE skew-join splitting can shrink.
+    # Fine here (the window rides the exchange the scorer needs anyway
+    # and the bench corpus has no degenerate token); on a Zipfian corpus
+    # prefer the agg+join form (skew-safe both sides) and pay the second
+    # fan-out — the two forms are value-identical.
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     w_df = Window.partitionBy("token")
     scored = (

@@ -923,7 +923,21 @@ def lm_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     # occurrence is a doc_bi row, so the per-bigram window count over
     # this stream equals the old separate groupBy table exactly, and the
     # inner join it replaces never dropped a row (every doc_bi bigram
-    # counts itself at least once)
+    # counts itself at least once).
+    #
+    # SKEW CLIFF (ADVICE r14): a window count has no map-side partial
+    # aggregation and AQE skew handling only splits JOINS — every
+    # occurrence of one bigram lands in ONE WindowExec task.  On the
+    # bench corpus the hottest bigram is a tiny fraction of rows, so the
+    # one-fan-out window wins; on a Zipfian web corpus the top bigram
+    # can be ~1% of ALL occurrences and that single task becomes the
+    # stage.  The cluster-scale mitigation is the r13 shape this
+    # replaced: groupBy("bigram").count() (map-side combine absorbs the
+    # skew) joined back to doc_bi (AQE skew-join can split the probe
+    # side) — it costs a second doc_bi fan-out (the pruned partial agg
+    # stops the exchanges canonicalizing) but has no single-key cliff.
+    # Choose by max-key share at deploy time; the two forms are
+    # value-identical (the r14 oracle sweep covered both).
     w_bi = Window.partitionBy("bigram")
 
     return (

@@ -28,6 +28,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     naive timestamps, and every timestamp the engine formats/compares must
     render identically to a timezone-less engine (the DuckDB oracle)
     regardless of the host TZ.
+
+    Data contract (ADVICE r14): the TPC-H tables are assumed to honor the
+    spec's key constraints — in particular join keys like ``l_suppkey``
+    are never NULL.  ``q15_top_supplier`` bakes that into an explicit
+    ``isnotnull(l_suppkey)`` filter purely so its two revenue subtrees
+    stay canonical (exchange reuse); on non-conforming data that filter
+    would silently drop null-key rows rather than fail, which is the
+    spec-correct reading but worth knowing when repointing the loader at
+    other data.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _NANO_TS_COLS.get(name, [])

@@ -682,3 +682,69 @@ def test_minhash_prefilter_hint_switches_join_strategy(spark, sf_dir):
     # `pairs` carries no broadcast either at any size)
     assert shuf.count("ShuffledHashJoin") >= 2
     assert "BroadcastHashJoin" not in shuf
+
+
+def _final_tree(df) -> str:
+    """Execute ``df``'s OWN adaptive plan and return the formatted FINAL
+    plan TREE (runtime exchange/stage reuse resolved, the '== Initial
+    Plan ==' echo and the shared details section stripped) —
+    pre-execution explain shows the unreused tree, so reuse invariants
+    must be pinned here (the tools/postexec_plan.py mechanism; ADVICE
+    r14 asked for these pins after the r14 census falsified a
+    static-reuse claim)."""
+    spark = df.sparkSession
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "isFinalPlan=true" in plan
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_lm_score_final_plan_two_fanouts_with_reuse(spark, sf_dir):
+    """r14 entry 20: bigram counts ride a window on the doc_bi stream and
+    the vocab count's when-guard keeps c_uni in the partial agg so the
+    unigram exchange reuses — the FINAL plan holds exactly 2 Generates
+    (unigram + bigram corpus fan-outs) and at least one ReusedExchange.
+    A Catalyst version that folds count(when(c_uni >= 1, 1)) back to
+    count(*) would silently re-run the explode; this pin makes that a
+    loud failure (ADVICE r14)."""
+    import re as _re
+
+    from kafka_error_handling_spark.datapipe.text import QUERIES as TQ
+
+    tree = _final_tree(TQ["text_lm_score"][0](spark, sf_dir))
+    assert len(_re.findall(r"Generate \(\d+\)", tree)) == 2
+    assert "ReusedExchange" in tree
+
+
+def test_ccnet_buckets_final_plan_three_fanouts_with_reuse(spark, sf_dir):
+    """r14 entry 21: the per-language vocab count reuses the reference
+    unigram exchange — 3 Generates (corpus bigrams, reference bigrams,
+    reference unigrams: the structural minimum) + ReusedExchange in the
+    final plan."""
+    import re as _re
+
+    from kafka_error_handling_spark.datapipe.text import QUERIES as TQ
+
+    tree = _final_tree(TQ["text_ccnet_buckets"][0](spark, sf_dir))
+    assert len(_re.findall(r"Generate \(\d+\)", tree)) == 3
+    assert "ReusedExchange" in tree
+
+
+def test_q15_final_plan_aggregates_lineitem_once(spark, sf_dir):
+    """r14 entry 19: the explicit isnotnull(l_suppkey) keeps the revenue
+    subtrees canonical, so the max branch REUSES the main branch's
+    aggregate instead of re-scanning lineitem — exactly one lineitem
+    scan and a reuse node in the final plan."""
+    import re as _re
+
+    from kafka_error_handling_spark.plans.tpch_rest import q15_top_supplier
+
+    tree = _final_tree(q15_top_supplier(spark, sf_dir))
+    assert _re.search(r"ReusedExchange|ReusedSubquery|table cache", tree)
+    # two scans total in the final tree: lineitem once + the supplier dim
+    assert len(_re.findall(r"Scan parquet\s+\(\d+\)", tree)) == 2

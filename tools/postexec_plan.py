@@ -25,10 +25,17 @@ def main() -> None:
     out_dir = None
     if "--dir" in args:
         i = args.index("--dir")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            raise SystemExit("--dir requires a directory argument")
         out_dir = args[i + 1]
         del args[i : i + 2]
         os.makedirs(out_dir, exist_ok=True)
-    names = [a for a in args if not a.startswith("--")]
+    unknown_flags = [a for a in args if a.startswith("--")]
+    if unknown_flags:
+        raise SystemExit(f"unknown flags: {unknown_flags}\n{__doc__}")
+    names = list(args)
+    if not names:
+        raise SystemExit(__doc__)
 
     from pyspark.sql import SparkSession
 
@@ -45,6 +52,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    missing = [n for n in names if n not in qs]
+    if missing:
+        spark.stop()
+        raise SystemExit(
+            f"unknown queries: {missing}\navailable: {', '.join(sorted(qs))}"
+        )
     for name in names:
         df = qs[name](spark, SF_DIR)
         # Execute THIS DataFrame's own adaptive plan (a noop write would
