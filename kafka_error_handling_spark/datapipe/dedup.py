@@ -589,10 +589,18 @@ def q_dedup_minhash_lsh(
 
         if 2 * n_strong * 8 * _SIG_BROADCAST_SLACK <= driver_max_result_bytes(spark):
             ids = broadcast(ids)
+        # eager localCheckpoint (r15, the q_minhash_est_error fix): `sets`
+        # feeds BOTH pair-side joins and Catalyst inlines the semi-join +
+        # shingle-explode + collect_set subtree once per side — above the
+        # strong-pair cap that re-ran the participant fan-out twice
+        # (measured in the ×10 stress, where this fallback is the active
+        # path).  Participant-bounded by the semi-prune, so the cut is
+        # small-row materialization, not a corpus spill.
         sets = (
             _shingle_df(d.join(ids, "doc_id", "left_semi"), "doc_id", "text")
             .groupBy("doc_id")
             .agg(F.collect_set("h").alias("hs"))
+            .localCheckpoint(eager=True)
         )
         out = (
             strong_df.join(
@@ -1675,9 +1683,22 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _shingle_df(d, "doc_id", "text")
     sh = sh.localCheckpoint(eager=True)  # one explode serves sets AND sigs
-    sets = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
-    sig = minhash_signature_from_hashes(sh)
-    per_doc = sets.join(sig, "doc_id")
+    # ONE aggregation carries the exact set AND the 64 min slots (r15,
+    # VERDICT r14 #5): the split sets/sig aggregates shuffled the same
+    # checkpointed hash frame twice and joined the results back — and
+    # because per_doc feeds BOTH pair sides, each side re-ran both
+    # aggregates (4 agg passes + 2 joins).  collect_set ignores order and
+    # only set SIZES reach the output; the min slots are the same partial
+    # aggregates minhash_signature_from_hashes builds — values unchanged.
+    per_doc = sh.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"),
+        *[
+            F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MH_PRIME).alias(
+                f"mh{i}"
+            )
+            for i in range(NUM_PERM)
+        ],
+    ).localCheckpoint(eager=True)
     a = per_doc.select(
         F.col("doc_id").alias("id_a"),
         F.col("hs").alias("ha"),
